@@ -1,0 +1,245 @@
+"""vspace-surface queries: the reference's term-statistics capability
+over the driver's ``documents`` table.
+
+The documents table stands in for the reference corpus (FIXTURES.md §6):
+``doc_id`` = document_index, ``source`` = source dimension (the
+reference reached it through index ⋈ src2sub joins — exercised
+separately in queries/relational.py's join suite and the pipeline test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.stats import (
+    compute_stats,
+    doc_term_frequencies,
+    term_stats,
+    tokenized_documents,
+)
+from vspace_spark.queries import query
+
+# Reusable oracle CTE: documents → exploded n-grams (n in 1..{max_n})
+# with per-doc wc — mirrors functions/text.py everygrams + histogram.
+_NGRAM_CTE = """
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, source, t, len(t) AS wc,
+               unnest(range(1, len(t) + 1)) AS i
+        FROM toks),
+ng AS (SELECT doc_id, source, wc,
+              array_to_string(t[i:i + n - 1], ' ') AS token
+       FROM pos, (SELECT unnest(range(1, {max_n} + 1)) AS n) AS gn
+       WHERE i + n - 1 <= wc),
+perdoc AS (SELECT doc_id, source, wc, token, count(*) AS tf
+           FROM ng GROUP BY ALL)
+"""
+
+
+def _stats_sql(max_n: int, by_source: bool = False) -> str:
+    group = "token, source" if by_source else "token"
+    cols = "token, source" if by_source else "token"
+    return f"""
+WITH {_NGRAM_CTE.format(max_n=max_n)}
+SELECT {cols},
+       count(*)::BIGINT AS document_frequency,
+       sum(tf)::BIGINT  AS term_frequency,
+       sum(wc)::BIGINT  AS tdsum
+FROM perdoc GROUP BY {group}
+"""
+
+
+@query("term_stats_unigram", oracle=_stats_sql(max_n=1))
+def term_stats_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (A1 global, unigrams): document_frequency /
+    term_frequency / tdsum per token
+    (reference: vspace/pipelines/base.py:192-208, 423)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return term_stats(docs, min_n=1, max_n=1)
+
+
+@query("term_stats_ngram", oracle=_stats_sql(max_n=3))
+def term_stats_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 global over 1..3-grams with exact inclusive bounds (F1; fixes
+    the reference's off-by-one, SURVEY.md §1.4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return term_stats(docs, min_n=1, max_n=3)
+
+
+@query("term_stats_by_source", oracle=_stats_sql(max_n=2, by_source=True))
+def term_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 per-source over 1..2-grams (reference's parametric grouping,
+    vspace/pipelines/base.py:192-199, 422)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return term_stats(docs, group_cols=["source"], min_n=1, max_n=2)
+
+
+@query(
+    "doc_term_frequencies",
+    oracle=f"""
+WITH {_NGRAM_CTE.format(max_n=2)}
+SELECT doc_id, token, tf::INT AS tf FROM perdoc
+""",
+)
+def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded per-document 1..2-gram counts (FIXTURES.md `tokenized`
+    shape; map form kept internal per SURVEY.md §7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_term_frequencies(docs, min_n=1, max_n=2)
+
+
+@query(
+    "doc_wordcount",
+    oracle="SELECT doc_id, len(string_split(text, ' '))::INT AS wc FROM documents",
+)
+def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-document word count (reference:
+    vspace/pipelines/base.py:141-142)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenized_documents(docs).select("doc_id", "wc").distinct()
+
+
+@query(
+    "normalize_corpus",
+    oracle="""
+SELECT doc_id,
+       array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')
+           AS normalized
+FROM documents
+""",
+)
+def normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — corpus normalization pipeline output (reference:
+    vspace/utils/text.py:8-17, persisted at vspace/pipelines/base.py:394)."""
+    from vspace_spark.functions.text import normalize_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_col("text").alias("normalized"))
+
+
+@query(
+    "vocabulary",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token,
+       (row_number() OVER (ORDER BY token) - 1)::INT AS tokenid
+FROM toks
+""",
+)
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pipeline (U1+A4+O3): distinct corpus unigrams with a
+    deterministic id (reference: vspace/pipelines/base.py:343-355;
+    non-deterministic monotonically_increasing_id consciously replaced,
+    SURVEY.md §7)."""
+    from vspace_spark.operators.stats import build_vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized_documents(docs).select("token")
+    return build_vocabulary(toks)
+
+
+@query(
+    "vocab_gated_stats",
+    oracle=f"""
+WITH {_NGRAM_CTE.format(max_n=2)},
+vocab AS (
+  SELECT token FROM perdoc WHERE contains(token, ' ')
+  GROUP BY token HAVING count(*) >= 20
+),
+gated AS (
+  SELECT * FROM perdoc
+  WHERE NOT contains(token, ' ')
+     OR token IN (SELECT token FROM vocab)
+)
+SELECT token,
+       count(*)::BIGINT AS document_frequency,
+       sum(tf)::BIGINT  AS term_frequency,
+       sum(wc)::BIGINT  AS tdsum
+FROM gated GROUP BY token
+""",
+)
+def vocab_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — vocabulary gate as a broadcast left-semi join: unigrams
+    always pass, bigrams only if in vocabulary (reference DAWG gate,
+    vspace/pipelines/base.py:385-389 + vspace/lookups/dawg.py:179-193).
+    Vocabulary here = bigrams with document_frequency ≥ 20, derived from
+    the corpus itself so the query is self-contained."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenized_documents(docs, min_n=1, max_n=2)
+    vocab = (
+        toks.filter(F.col("token").contains(" "))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 20)
+        .select("token")
+    )
+    gated = toks.filter(~F.col("token").contains(" ")).unionByName(
+        toks.filter(F.col("token").contains(" ")).join(
+            F.broadcast(vocab), "token", "left_semi"
+        )
+    )
+    return compute_stats(gated)
+
+
+@query(
+    "source_language_map",
+    oracle="""
+SELECT source,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source
+""",
+)
+def source_language_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-shape pipeline (split/explode/collect to a deterministic
+    list): which languages each source carries
+    (reference: vspace/pipelines/base.py:94-118)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "tfidf_top3_per_doc",
+    oracle=f"""
+WITH {_NGRAM_CTE.format(max_n=1)},
+df AS (SELECT token, count(*) AS df FROM perdoc GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT p.doc_id, p.token,
+         p.tf * ln((SELECT n FROM n) / df.df) AS score
+  FROM perdoc p JOIN df USING (token)
+)
+SELECT doc_id, token, rank FROM (
+  SELECT doc_id, token,
+         (row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token))::INT AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring on the engine's own term statistics (§2.11 — the
+    reference stores the sufficient statistics but never scores; this
+    closes the loop) + top-k-per-group window."""
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = tokenized_documents(docs)  # doc_id, wc, token, tf
+    df = perdoc.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = perdoc.join(df, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "rank")
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference tuned ``spark.sql.shuffle.partitions`` from an INI key
+(reference: vspace/pipelines/base.py:418-420) and relied on a 100 GB
+driver because it collected a trie lookup to the driver
+(reference: conf/spark-defaults.conf:28-39). The rebuild needs neither:
+AQE right-sizes shuffle partitions at runtime and nothing is collected.
+
+On a real cluster these same configs apply; only ``master`` and the
+memory topology change. Partition sizing is driven by
+``spark.sql.files.maxPartitionBytes`` (scan-side) and AQE advisory
+sizes (shuffle-side), both of which hold at 100 TB inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "vspace_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Local test topology: ``local[$SPARK_GRAFT_CPUS]``. In production the
+    caller passes the cluster master / lets spark-submit inject it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+        # and plan re-optimization from actual stage statistics.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Static fallback when AQE cannot coalesce; ~cores in local mode.
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus)),
+        )
+        # Deterministic timestamps vs the DuckDB oracle (UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep scan partitions a sane size; at 100 TB this, not file
+        # count, controls task fan-out.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
