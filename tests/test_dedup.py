@@ -1,0 +1,135 @@
+"""Behavioral tests for the non-SQL-expressible dedup operators:
+MinHash+LSH and SimHash are probabilistic, so instead of an oracle we
+assert recall/precision against the EXACT Jaccard pairs and invariance
+properties (identical text → identical signature)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingle_pairs_jaccard,
+    simhash_col,
+    simhash_near_pairs,
+)
+from vspace_spark.functions.text import tokenize_col
+
+
+def _with_planted_dups(spark, sf_dir):
+    """Corpus + planted near-duplicates: copies of real docs with one
+    word changed, ids offset by 100000."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    dups = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(dups)
+
+
+def test_minhash_identical_docs_identical_sigs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    two = docs.select(
+        minhash_signature(tokenize_col("text"), 16).alias("s1"),
+        minhash_signature(tokenize_col("text"), 16).alias("s2"),
+    )
+    assert two.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark, sf_dir):
+    corpus = _with_planted_dups(spark, sf_dir)
+    exact = {
+        (r.a, r.b)
+        for r in shingle_pairs_jaccard(corpus, n=3, threshold=0.8).collect()
+    }
+    assert exact, "planted dups must create high-Jaccard pairs"
+    candidates = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(
+            corpus, shingle_n=3, num_hashes=64, bands=16
+        ).collect()
+    }
+    recall = len(exact & candidates) / len(exact)
+    # 16 bands × 4 rows: P(collide | J=0.8) ≈ 1-(1-0.8^4)^16 ≈ 0.9997
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} truths)"
+
+
+def test_minhash_est_jaccard_tracks_true_jaccard(spark, sf_dir):
+    corpus = _with_planted_dups(spark, sf_dir)
+    est = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=64, bands=16)
+    true = shingle_pairs_jaccard(corpus, n=3, threshold=0.0)
+    joined = est.join(true, ["a", "b"]).select("est_jaccard", "jaccard")
+    rows = joined.collect()
+    assert rows
+    mae = sum(abs(r.est_jaccard - r.jaccard) for r in rows) / len(rows)
+    assert mae < 0.15, f"MinHash estimate MAE {mae} too high"
+
+
+def test_simhash_rowexpr_and_agg_variants_agree(spark, sf_dir):
+    from vspace_spark.operators.dedup import simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    rowexpr = docs.select(
+        "doc_id", simhash_col(tokenize_col("text")).alias("sig")
+    )
+    agg = simhash_signatures(docs, "doc_id", tokenize_col("text")).select(
+        F.col("_id").alias("doc_id"), "sig"
+    )
+    got = {r.doc_id: r.sig for r in rowexpr.collect()}
+    want = {r.doc_id: r.sig for r in agg.collect()}
+    assert got == want
+
+
+def test_simhash_identical_and_near(spark, sf_dir):
+    from vspace_spark.operators.dedup import simhash_signatures
+
+    corpus = _with_planted_dups(spark, sf_dir)
+    sigs = simhash_signatures(corpus, "doc_id", tokenize_col("text")).select(
+        F.col("_id").alias("doc_id"), "sig"
+    )
+    orig = sigs.filter(F.col("doc_id") < 100000).alias("o")
+    dup = sigs.filter(F.col("doc_id") >= 100000).alias("d")
+    paired = orig.join(
+        dup, F.col("d.doc_id") == F.col("o.doc_id") + 100000
+    ).select(
+        F.bit_count(F.col("o.sig").bitwiseXOR(F.col("d.sig"))).alias("ham")
+    )
+    rows = paired.collect()
+    assert rows
+    # one-word edits should stay within a small Hamming radius
+    avg = sum(r.ham for r in rows) / len(rows)
+    assert avg <= 12, f"avg hamming {avg} too high for near-dups"
+
+
+def test_simhash_near_pairs_finds_planted(spark, sf_dir):
+    corpus = _with_planted_dups(spark, sf_dir)
+    pairs = simhash_near_pairs(corpus, max_hamming=12, n_chunks=8)
+    found = {(r.a, r.b) for r in pairs.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in corpus.filter(F.col("doc_id") < 100000).collect()
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"simhash blocking recall {recall}"
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    kept = exact_dedup(doubled.select("doc_id", "text"), ["text"], "doc_id")
+    assert kept.count() == 20
+    assert kept.filter(F.col("doc_id") >= 500000).count() == 0

@@ -1,0 +1,43 @@
+"""Behavioral tests for ANN: LSH top-k recall against brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    random_hyperplanes,
+)
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = lsh_topk(q, emb, spark, k=5, bits=4, tables=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4-bit LSH on random 64-d gaussians is coarse; near-neighbors
+    # still land in the same half-spaces far above chance
+    assert recall >= 0.3, f"LSH recall {recall}"
+
+
+def test_lsh_planes_deterministic(spark):
+    p1 = random_hyperplanes(8, 4, spark).orderBy("bit").collect()
+    p2 = random_hyperplanes(8, 4, spark).orderBy("bit").collect()
+    assert [r.plane for r in p1] == [r.plane for r in p2]
+
+
+def test_bruteforce_self_excluded_and_k(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(q, emb, k=5)
+    rows = out.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

@@ -1,0 +1,377 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json north
+star) — exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design (the part that matters at 100 TB):
+- NOTHING here cross-joins two fact-sized inputs. Candidate pairs come
+  from inverted-index equi-joins (shingle → docs), LSH band buckets, or
+  a blocking key — all shuffle-on-key plans that AQE can skew-split.
+- Signatures (MinHash/SimHash) are computed with built-in ``xxhash64``
+  inside column expressions: JVM-side, no Python, one pass.
+- Pair outputs are canonicalized (a < b) so downstream connected-
+  components / keep-one logic is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vspace_spark.functions.text import ngrams_col, tokenize_col
+from vspace_spark.functions.vectors import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup keeping the smallest id per duplicate group — a
+    deterministic ``dropDuplicates`` (which keeps an arbitrary row).
+    One hash aggregation; no window needed."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return keep.join(df, [*key_cols, id_col], "inner")
+
+
+def shingle_pairs_jaccard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard similar pairs via an INVERTED INDEX join.
+
+    ``J(a,b) = |A∩B| / |A∪B|`` over distinct word n-gram shingle sets.
+    Any pair with J > 0 shares ≥1 shingle, so joining the exploded
+    (shingle → doc) index to itself enumerates exactly the candidate
+    pairs with nonzero similarity — never the O(N²) cross join. Common
+    shingles are counted per pair in the same aggregation; set sizes
+    join back in. ``block_col`` (e.g. source) further restricts pairs
+    and bounds the skew of hot shingles.
+
+    Returns ``[a, b, jaccard]`` with a < b and jaccard ≥ threshold.
+    """
+    block = [block_col] if block_col else []
+    shingles = docs.select(
+        F.col(id_col).alias("_id"),
+        *block,
+        F.explode(
+            F.array_distinct(ngrams_col(tokenize_col(text_col), n))
+        ).alias("shingle"),
+    )
+    sizes = shingles.groupBy("_id").agg(F.count("*").alias("_sz"))
+    left = shingles.select(
+        *block, F.col("_id").alias("a"), F.col("shingle")
+    )
+    right = shingles.select(
+        *[F.col(c).alias(f"_r_{c}") for c in block],
+        F.col("_id").alias("b"),
+        F.col("shingle").alias("_r_shingle"),
+    )
+    cond = (F.col("shingle") == F.col("_r_shingle")) & (F.col("a") < F.col("b"))
+    for c in block:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    common = (
+        left.join(right, cond)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_common"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("_sza"))
+    sz_b = sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("_szb"))
+    jac = (
+        common.join(sz_a, "a")
+        .join(sz_b, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("_common")
+                / (F.col("_sza") + F.col("_szb") - F.col("_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(tokens: F.Column, num_hashes: int = 64) -> F.Column:
+    """MinHash signature as ``array<bigint>``: for seed i, the min of
+    ``xxhash64(token, i)`` over the document's distinct shingles.
+    Pure column expression — no shuffle. NOTE: embeds the token array
+    num_hashes times in the expression tree (Catalyst does not CSE
+    across projection elements), so keep the input a plain column and
+    num_hashes modest; ``minhash_signatures`` (explode + min-agg) is
+    the fast path for full corpora."""
+    distinct = F.array_distinct(tokens)
+
+    def hash_with_seed(seed: int):
+        # factory, not a default-arg lambda: PySpark dispatches HOF
+        # lambdas on arity, and a 2-param lambda would receive the
+        # array INDEX as its second argument
+        return lambda t: F.xxhash64(t, F.lit(seed))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(distinct, hash_with_seed(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    tokens: F.Column,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Corpus → ``[_id, sig: array<bigint>]`` via explode + per-seed
+    MIN aggregation.
+
+    The per-row column-expression variant re-evaluates the shingle
+    array per hash seed (Catalyst performs no CSE across projection
+    elements — measured 80×+ slower); here each distinct shingle is
+    materialized once, hashed ``num_hashes`` times in one projection,
+    and min-aggregated. Map-side partial aggregation means the shuffle
+    carries num_hashes longs per document — at 100 TB corpus scale the
+    wire cost is signatures, not shingles.
+    """
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens)).alias("_sh"),
+    )
+    hashed = ex.select(
+        "_id",
+        *[
+            F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    mins = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs — the sub-quadratic near-dup path.
+
+    shingle → signature (num_hashes mins) → split into ``bands`` bands
+    of ``num_hashes/bands`` rows → hash each band → explode → groupBy
+    (band, band_hash) buckets → pairs within buckets. Two docs collide
+    iff some band matches exactly; P(candidate) ≈ 1-(1-J^r)^b. A pair
+    sharing several bands is emitted once (distinct).
+
+    Everything before the bucket self-join is narrow (no shuffle); the
+    join shuffles on (band, hash) — at 100 TB, bucket sizes stay small
+    because a hot bucket means genuinely near-identical docs.
+
+    Returns ``[a, b, est_jaccard]`` (signature agreement fraction,
+    a cheap estimate computed from the two signatures — no text rejoin).
+    """
+    rows = num_hashes // bands
+    tokens = ngrams_col(tokenize_col(text_col), shingle_n)
+    sigs = minhash_signatures(docs, id_col, tokens, num_hashes)
+    banded = sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows + r + 1)
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "sig", "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col("_id").alias("a"), F.col("sig").alias("_siga"))
+    right = banded.select(
+        "band", "bucket", F.col("_id").alias("b"), F.col("sig").alias("_sigb")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_siga", "_sigb")
+        .dropDuplicates(["a", "b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("_siga", "_sigb", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.select(
+        "a", "b", (agree / F.lit(len(range(num_hashes)))).alias("est_jaccard")
+    )
+
+
+def simhash_col(tokens: F.Column, bits: int = 64) -> F.Column:
+    """64-bit SimHash as bigint: per token, ``xxhash64`` supplies the
+    bit pattern; each bit position accumulates +1/-1 weighted votes and
+    the sign becomes the output bit. Column-expression only.
+
+    The vote for bit j is Σ over tokens of (bit j set ? 1 : -1); we
+    compute it with one aggregate per bit over the token array — O(64n)
+    bit tests per row, JVM-side.
+    """
+    h = F.transform(F.array_distinct(tokens), lambda t: F.xxhash64(t))
+
+    def vote_for_bit(bit: int):
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(h, F.lit(0), vote_for_bit(j))
+        bit_cols.append(
+            F.when(vote > 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            * F.lit(2 ** j).cast("bigint")
+            if j < 63
+            # avoid 2**63 bigint overflow: use the sign bit via negative
+            else F.when(vote > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str, tokens: F.Column, bits: int = 64
+) -> DataFrame:
+    """Corpus → ``[_id, sig: bigint]`` SimHash via explode + vote
+    aggregation (same rationale as ``minhash_signatures``: one hash per
+    distinct token, ``bits`` SUM aggregates, map-side combined)."""
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens)).alias("_t"),
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit = (
+            F.when(F.col(f"_v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            if j < 63
+            else F.when(F.col(f"_v{j}") > 0, F.lit(-(2**63))).otherwise(F.lit(0))
+        )
+        sig = sig + bit
+    return votes.select("_id", sig.alias("sig"))
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with PIGEONHOLE chunk blocking: the 64-bit
+    signature splits into ``n_chunks`` equal chunks; a pair within
+    Hamming distance < n_chunks must agree exactly on ≥1 chunk, so
+    joining on (chunk_index, chunk_value) enumerates ALL such pairs —
+    guaranteed recall for ham ≤ n_chunks - 1, no cross join. Exact
+    Hamming then filters to ``max_hamming``.
+
+    Candidate volume scales with 2^(64/n_chunks) bucket granularity;
+    8×8-bit chunks is the standard sweet spot (Manku et al.'s simhash
+    dedup uses the same pigeonhole construction).
+    """
+    width = 64 // n_chunks
+    tokens = tokenize_col(text_col)
+    sigs = simhash_signatures(docs, id_col, tokens)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("sig", c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    blocked = sigs.select(
+        "_id", "sig", F.explode(chunks).alias("ck")
+    ).select("_id", "sig", "ck.chunk", "ck.val")
+    left = blocked.select(
+        "chunk", "val", F.col("_id").alias("a"), F.col("sig").alias("_sa")
+    )
+    right = blocked.select(
+        "chunk", "val", F.col("_id").alias("b"), F.col("sig").alias("_sb")
+    )
+    return (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64(F.col("_sa"), F.col("_sb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (label,
+    cluster id from LSH/IVF, etc.). The block join bounds pair counts;
+    an unblocked variant at scale would first LSH-bucket the vectors
+    (see operators/similarity.py)."""
+    block = [block_col] if block_col else []
+    left = embeddings.select(
+        *block, F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
+    )
+    right = embeddings.select(
+        *[F.col(c).alias(f"_r_{c}") for c in block],
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    cond = F.col("a") < F.col("b")
+    for c in block:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    return (
+        left.join(right, cond)
+        .select(
+            "a",
+            "b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b")
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two paths, same contract:
+- brute-force top-k: exact, one broadcast of the (small) query set
+  against the full corpus — linear scan, embarrassingly parallel, the
+  correctness baseline and often the right answer when queries are few.
+- LSH-bucketed top-k: random-hyperplane signatures bucket the corpus;
+  each query probes only its bucket(s). Sub-linear per query; recall
+  traded via bands/bits. The 100 TB path (the corpus side is hashed
+  once and can be written out partitioned by bucket).
+
+No Python in either path — cosine is zip_with/aggregate (JVM), ranking
+is a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vspace_spark.functions.vectors import cosine_similarity, dot
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Broadcast the queries (small side) against the corpus scan; rank
+    with a window partitioned by query. Ties broken by neighbor id so
+    the result is deterministic. Self-matches excluded.
+
+    Returns ``[query_id, neighbor_id, rank]``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, spark) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: component (b, i) is
+    derived from xxhash64(b, i) scaled to [-1, 1]. Computed ONCE as a
+    tiny broadcastable table — reproducible across runs and engines
+    (no RNG state)."""
+    rows = spark.range(bits).select(
+        F.col("id").cast("int").alias("bit"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.xxhash64(F.col("id"), i).cast("double") / F.lit(float(2**63))
+            ),
+        ).alias("plane"),
+    )
+    return rows
+
+
+def lsh_signature(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-of-dot-product signature as a bigint bucket id (≤ 63 bits)."""
+    sig = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(v) for v in plane]))
+        sig = sig + F.when(d > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    spark,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k with OR-amplified LSH: ``tables`` independent
+    ``bits``-bit signatures; a corpus vector is a candidate if it shares
+    ANY table's bucket with the query (P ≈ 1-(1-p^bits)^tables for
+    per-hyperplane agreement p). Candidates per query ≈
+    tables × N / 2^bits, still ≪ N.
+
+    At 100 TB the corpus side is hashed once (narrow projection) and the
+    exploded (table, bucket) index can be persisted/partitioned; only
+    candidate buckets are ever scored.
+
+    Returns ``[query_id, neighbor_id, rank]`` (rank within candidates).
+    """
+    planes = [
+        r["plane"]
+        for r in random_hyperplanes(dim, bits * tables, spark)
+        .orderBy("bit")
+        .collect()
+    ]
+
+    def signatures(vec: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_signature(
+                        vec, planes[t * bits : (t + 1) * bits]
+                    ).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode(signatures(F.col(vec_col))).alias("sig"),
+    ).select("neighbor_id", "_cv", "sig.table", "sig.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(signatures(F.col(vec_col))).alias("sig"),
+    ).select("query_id", "_qv", "sig.table", "sig.bucket")
+    candidates = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,1 +1,141 @@
-"""Placeholder — filled in this round."""
+"""Deduplication queries over the documents/embeddings tables.
+
+Oracle strategy: exact and Jaccard dedup are fully SQL-expressible (the
+inverted-index formulation is plain relational algebra). MinHash/SimHash
+use Spark's xxhash64 (no DuckDB twin) → declared rows-only; their
+correctness is covered by recall/precision tests against the exact
+Jaccard pairs (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.dedup import (
+    embedding_near_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    shingle_pairs_jaccard,
+    simhash_near_pairs,
+)
+from vspace_spark.operators.textanalysis import fingerprint
+from vspace_spark.queries import query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one keeper (min id) per identical text + group
+    size. Single hash aggregation — the 100 TB shape (group keys are
+    content hashes, count is a by-product)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' '))
+           AS fp,
+       min(doc_id) AS doc_id,
+       count(*)::BIGINT AS n_copies
+FROM documents
+GROUP BY fp
+""",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the md5 fingerprint of NORMALIZED text — catches
+    case/punctuation variants; grouping by a 16-byte digest instead of
+    the full text keeps the shuffle narrow at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("fp", "doc_id", "n_copies")
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(t[i:i + 2], ' '))) AS shingle
+       FROM toks WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y
+    ON x.shingle = y.shingle AND x.source = y.source
+   AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE c / (sa.sz + sb.sz - c) >= 0.6
+""",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs (J ≥ 0.6) via the inverted-
+    index join, blocked by source — no O(N²) cross join anywhere
+    (operators/dedup.py:shingle_pairs_jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(
+        docs, n=3, threshold=0.6, block_col="source"
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_minhash_lsh")  # xxhash64 signatures — no SQL twin; see tests
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands) candidate pairs with estimated
+    Jaccard — the sub-quadratic near-dup path. Recall vs the exact
+    Jaccard pairs is asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, shingle_n=3, num_hashes=64, bands=16)
+    return pairs.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@query("dedup_simhash")  # xxhash64 bit votes — no SQL twin; see tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs (Hamming ≤ 7) with 8×8-bit
+    pigeonhole chunk blocking — guaranteed recall at this radius
+    (operators/dedup.py:simhash_near_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=7, n_chunks=8)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
+        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+         * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE))))
+      >= 0.8
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.8) blocked by label —
+    returns ids only (set membership, no float column to hash). The
+    Spark fold and the DuckDB list_sum accumulate in the same order, so
+    the boundary is deterministic (verified bit-exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, block_col="label", threshold=0.8)

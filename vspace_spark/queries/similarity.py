@@ -1,1 +1,77 @@
-"""Placeholder — filled in this round."""
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.similarity import brute_force_topk, lsh_topk
+from vspace_spark.queries import query
+
+_COS = """
+list_sum(list_transform(range(1, len({a}) + 1),
+         i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+/ (sqrt(list_sum(list_transform({a}, v -> v::DOUBLE * v::DOUBLE)))
+   * sqrt(list_sum(list_transform({b}, v -> v::DOUBLE * v::DOUBLE))))
+"""
+
+
+@query(
+    "ann_bruteforce_top5",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="q.embedding", b="e.embedding")} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         (row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT
+             AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries ×
+    linear corpus scan, window rank (operators/similarity.py). The
+    correctness baseline for every ANN variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query("ann_lsh_top5")  # hyperplanes derive from xxhash64 — no SQL twin
+def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via OR-amplified random-hyperplane LSH
+    (8 tables × 4 bits) — the scale path: each query scores only its
+    buckets (~8·N/16). Recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < 10), emb, spark, k=5, bits=4, tables=8
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding,
+             v -> v::DOUBLE * v::DOUBLE))), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array math shape check: per-vector L2 norm
+    (functions/vectors.py — zip_with/aggregate fold, bit-exact vs the
+    oracle's list_sum fold)."""
+    from vspace_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    )

@@ -1,1 +1,130 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis queries over the documents table: token counting,
+quality scoring, language ID, fingerprinting."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.textanalysis import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    quality_score,
+    whitespace_token_count,
+)
+from vspace_spark.queries import query
+
+
+@query(
+    "doc_token_counts",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::INT
+           AS bpe_tokens
+FROM documents
+""",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and BPE-ish regex pre-
+    tokenization (operators/textanalysis.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         len(string_split(text, ' ')) AS wc,
+         len(list_distinct(string_split(text, ' '))) AS distinct_wc,
+         len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+             AS stop
+  FROM documents
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, wc::INT AS wc,
+       distinct_wc::INT AS distinct_wc,
+       round(alpha / wc, 6) AS mean_word_len,
+       round(stop / wc, 6) AS stopword_ratio,
+       round(distinct_wc / wc, 6) AS type_token_ratio,
+       round(alpha / n_chars, 6) AS alpha_ratio,
+       round(0.4 * (CASE WHEN wc BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * least(round(distinct_wc / wc, 6) * 2, 1.0)
+           + 0.3 * (CASE WHEN round(stop / wc, 6) >= 0.05 THEN 1.0
+                         ELSE round(stop / wc, 6) * 20 END), 6) AS quality
+FROM f
+""",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score (Gopher/C4-style heuristics
+    on exact counts — one narrow projection, scan-speed at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_chars"].cast("bigint").alias("n_chars"),
+        f["wc"].alias("wc"),
+        f["distinct_wc"].alias("distinct_wc"),
+        f["mean_word_len"].alias("mean_word_len"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["type_token_ratio"].alias("type_token_ratio"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "doc_language_id",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> x IN ('der','die','und','ist','das'))) AS h_de,
+    len(list_filter(t, x -> x IN ('the','and','of','is','to')))    AS h_en,
+    len(list_filter(t, x -> x IN ('el','la','de','es','que')))     AS h_es,
+    len(list_filter(t, x -> x IN ('le','la','et','est','que')))    AS h_fr
+  FROM h
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM hits
+""",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic with deterministic
+    (lexicographic) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("pred_lang"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' '))
+           AS fp
+FROM documents
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprint (md5 of normalized text) —
+    engine-portable digests, the join key for exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
