@@ -1,0 +1,123 @@
+"""End-to-end test of the config-driven corpus job (FIXTURES.md §1-4):
+builds the reference's five input files in a tmpdir, runs the pipeline,
+and checks the stats outputs against hand-computable expectations —
+the golden-file test the reference never had (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from vspace_spark.io.sources import RECORD_DELIMITER
+from vspace_spark.pipelines.corpus_job import JobConfig, run_job
+
+DOCS = [
+    "the quick brown fox",             # doc 0
+    "the quick brown fox",             # doc 1 — exact dup
+    "machine learning rocks",          # doc 2 — bigram in vocab
+    "nferdoccount_7 the end",          # doc 3 — docid token must drop
+    "unknown multi gram here",         # doc 4 — bigrams NOT in vocab
+]
+
+INDEX_ROWS = [
+    # document_index, url, subsource, year, meta1, title, author, m2, m3, m4
+    (0, "u0", "subA", 2020), (1, "u1", "subA", 2020),
+    (2, "u2", "subB", 2021), (3, "u3", "subB", 2021),
+    (4, "u4", "subC", 2022),  # subC absent from src2sub → inner-join drop
+]
+
+SRC2SUB = ["src0 subA,subB", "src1 subB"]
+
+PHRASES = ["machine_learning extra ignored", "quick_brown x"]
+COLLECTIONS = ["machine_learning", "brown_fox"]
+
+
+@pytest.fixture(scope="module")
+def job_outputs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("vspace_job")
+    corpus = root / "corpus.txt"
+    corpus.write_text(f" {RECORD_DELIMITER} ".join(DOCS))
+    (root / "index.tsv").write_text(
+        "\n".join(
+            "\t".join(map(str, r + ("m1", "t", "a", "m2", "m3", "m4")))
+            for r in INDEX_ROWS
+        )
+    )
+    (root / "src2sub.txt").write_text("\n".join(SRC2SUB))
+    (root / "phrases.txt").write_text("\n".join(PHRASES))
+    (root / "collections.txt").write_text("\n".join(COLLECTIONS))
+    (root / "job.conf").write_text(
+        textwrap.dedent(
+            f"""\
+            [job]
+            stagingloc = {root}
+            corpus = corpus.txt
+            index2doc = index.tsv
+            src2sub = src2sub.txt
+            phrases = phrases.txt
+            collections = collections.txt
+            outputFolder = {root}/out
+            maxngrams = 2
+            """
+        )
+    )
+    config = JobConfig.from_ini(str(root / "job.conf"))
+    outputs = run_job(spark, config)
+    return spark, outputs
+
+
+def _read(spark, outputs, name):
+    return spark.read.parquet(outputs[name])
+
+
+def test_vocabulary_union_distinct_translate(job_outputs):
+    spark, outputs = job_outputs
+    vocab = {r.token: r.tokenid for r in _read(spark, outputs, "vocabulary").collect()}
+    # underscores→spaces, first-field-of-phrases, union+distinct
+    assert set(vocab) == {"machine learning", "quick brown", "brown fox"}
+    # deterministic dense ids in token order
+    assert [vocab[t] for t in sorted(vocab)] == [0, 1, 2]
+
+
+def test_global_stats_semantics(job_outputs):
+    spark, outputs = job_outputs
+    stats = {
+        r.token: (r.document_frequency, r.term_frequency, r.tdsum)
+        for r in _read(spark, outputs, "global_stats").collect()
+    }
+    # unigrams always pass the gate
+    assert stats["the"] == (3, 3, 11)  # docs 0,1 (wc 4) + doc 3 (wc 3)
+    # vocabulary-gated bigrams: present iff in vocab
+    assert stats["quick brown"] == (2, 2, 8)
+    assert stats["machine learning"] == (1, 1, 3)
+    assert "unknown multi" not in stats  # bigram not in vocab
+    # docid tokens dropped entirely
+    assert not any("nferdoccount" in t for t in stats)
+    # exact n-gram bounds: maxngrams=2 → no trigrams
+    assert all(t.count(" ") <= 1 for t in stats)
+
+
+def test_source_stats_fanout_and_drop(job_outputs):
+    spark, outputs = job_outputs
+    stats = _read(spark, outputs, "source_stats")
+    by_src = {
+        (r.token, r.source): r.document_frequency for r in stats.collect()
+    }
+    # subA docs (0,1) reach src0 only; subB docs (2,3) reach src0 AND src1
+    assert by_src[("quick", "src0")] == 2
+    assert by_src[("machine learning", "src0")] == 1
+    assert by_src[("machine learning", "src1")] == 1
+    # doc 4 (subC) dropped by the inner join
+    assert ("unknown", "src0") not in by_src
+    # Hive-style partitioning on disk (K3)
+    parts = os.listdir(outputs["source_stats"])
+    assert any(p.startswith("source=") for p in parts)
+
+
+def test_normalized_corpus_written(job_outputs):
+    spark, outputs = job_outputs
+    lines = spark.read.text(outputs["normalized_corpus"]).count()
+    assert lines == len(DOCS)

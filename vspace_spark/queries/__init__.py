@@ -44,6 +44,7 @@ def load_all() -> None:
     """Import every query module (side effect: registration)."""
     from vspace_spark.queries import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         streaming,

@@ -1,1 +1,109 @@
-"""Placeholder — filled in this round."""
+"""Streaming queries (events as a replayed file stream) with batch-
+equivalent DuckDB oracles — the driver sees a normal DataFrame; under
+the hood each query runs a Structured Streaming job to completion
+against a memory sink (streaming/events.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vspace_spark.queries import query
+from vspace_spark.streaming.events import (
+    dedup_stream,
+    hourly_type_counts,
+    read_events_stream,
+    run_stream_to_memory,
+    sliding_type_counts,
+    user_session_windows,
+)
+
+
+@query(
+    "stream_hourly_counts",
+    oracle="""
+WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value
+FROM e GROUP BY 1, 2, 3
+""",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation (1 h × event_type) with a
+    10-min watermark, run to completion on the replayed file stream.
+    Complete output mode → every window emitted, matching the batch
+    GROUP BY exactly."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(hourly_type_counts(events), "complete")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+w AS (
+  SELECT event_type, ts,
+         date_trunc('hour', ts - to_microseconds(offs * 1800000000))
+           + to_microseconds(offs * 1800000000) AS window_start
+  FROM e, (SELECT unnest([0, 1]) AS offs)
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*)::BIGINT AS n
+FROM w
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY 1, 2, 3
+""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (1 h window, 30 min slide —
+    each event in 2 windows). The oracle enumerates both candidate
+    window starts per event and filters to containment."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(sliding_type_counts(events), "complete")
+
+
+@query(
+    "stream_user_sessions",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) >= 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` streaming sessionization (30-min gap).
+    The oracle is the relational lag/cumsum formulation with the
+    session_window gap convention (new session at gap ≥ threshold)."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(user_session_windows(events), "complete")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on
+    event_id). event_ids are unique in the fixture, so the oracle is
+    the identity projection — the operator's value is the bounded state
+    semantics, exercised here end-to-end."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(dedup_stream(events), "append")

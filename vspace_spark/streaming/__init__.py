@@ -1,0 +1,4 @@
+from vspace_spark.streaming.events import (  # noqa: F401
+    read_events_stream,
+    run_stream_to_memory,
+)

@@ -1,0 +1,137 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming at all (SURVEY.md §2.12); this module
+provides the standard set — tumbling/sliding windows with watermarks,
+session windows, streaming dedup — with BATCH-EQUIVALENT semantics so
+every streaming query keeps a DuckDB oracle (the driver replays the
+parquet file as a one-batch stream; the oracle computes the same
+aggregation relationally).
+
+Scale notes: in production these read Kafka/file streams; state stores
+(window aggs, dedup sets) are partitioned by grouping key across
+executors, and watermarks bound state size — the same code runs there,
+only ``readStream`` options change.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see io/tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (the local stand-in for a
+    Kafka topic). Timestamps floor ns → µs exactly like the batch
+    loader so streaming and batch results are comparable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources want a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion against the finite
+    file source via a memory sink; returns the materialized result.
+
+    ``processAllAvailable`` drains every batch (plus the no-data batch
+    that advances the watermark), so append-mode queries emit all
+    closed windows deterministically.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return streaming_df.sparkSession.table(name)
+
+
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window × event_type counts + value sum, with a
+    10-minute watermark bounding state."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_type_counts(events: DataFrame) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide): each event lands in 2
+    windows."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def user_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming sessionization: ``session_window`` merges events
+    whose windows [ts, ts+gap) overlap — i.e. a new session starts when
+    the gap is ≥ the threshold (note: the batch twin in
+    operators/relational.py:sessionize uses strictly-greater; they agree
+    everywhere except a gap of exactly the threshold)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state
+    (``dropDuplicatesWithinWatermark`` — late duplicates beyond the
+    watermark age out of the state store, the only way dedup state
+    stays bounded on an unbounded stream)."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    ).select("event_id", "user_id", "event_type")
