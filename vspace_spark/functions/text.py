@@ -70,19 +70,27 @@ def tokenize_col(col: Column | str) -> Column:
 def ngrams_col(tokens: Column, n: int) -> Column:
     """All n-grams of length exactly ``n`` as space-joined strings.
 
-    JVM-side: ``transform`` over an index ``sequence`` + ``slice`` +
-    ``array_join``. Empty result (not a descending sequence) when the
-    document is shorter than ``n``.
+    Built by chaining ``zip_with(grams, tokens[k:], concat_ws)`` — one
+    linear pass per extra gram word. The obvious alternative
+    (``transform`` over an index ``sequence`` with per-position
+    ``slice`` + ``array_join``) is O(n²) per row AND interpreted
+    (higher-order functions are CodegenFallback); measured 6× slower on
+    the bench corpus. zip_with pads the shorter side with nulls, which
+    ``concat_ws`` silently skips, so the padded tail holds short grams —
+    the final ``slice`` drops them. Empty array when the document is
+    shorter than ``n``.
     """
     if n == 1:
         return tokens
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
-    return F.when(F.size(tokens) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    g = tokens
+    for k in range(1, n):
+        shifted = F.slice(
+            tokens, k + 1, F.greatest(F.size(tokens) - k, F.lit(0))
+        )
+        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(
+        F.size(tokens) >= n, F.slice(g, 1, F.size(tokens) - n + 1)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def everygrams_col(tokens: Column, min_n: int = 1, max_n: int = 3) -> Column:

@@ -7,16 +7,12 @@ explode → groupBy → {document_frequency, term_frequency, tdsum}.
 
 Rebuild shape (all DataFrame, Catalyst-visible):
 
-  scan → column expressions (normalize/tokenize/everygrams/histogram,
-  zero shuffles) → explode struct array → [broadcast semi-join vocab
-  gate] → ONE hash aggregation per grouping.
-
-Shuffle accounting vs the reference: the reference shuffled the full
-exploded (doc, token) stream once to build per-doc counts and again for
-the stats groupBy; here per-doc counts are computed inside the row
-(functions.text.histogram), so only the final aggregation shuffles —
-and Spark's partial aggregation combines map-side first. At 100 TB the
-wire traffic is per-(token, partition) partials, not per-occurrence.
+  scan → column expressions (normalize/tokenize/everygrams, zero
+  shuffles) → explode → [broadcast semi-join vocab gate] → hash
+  aggregation (doc, token) for per-doc tf → hash aggregation per
+  grouping. Both aggregations partial-combine map-side; the heavy
+  exploded stream is reduced before it hits the wire wherever documents
+  repeat tokens.
 
 Semantics (reference: vspace/pipelines/base.py:192-208):
 - document_frequency = number of (doc[, source]) rows containing token
@@ -35,7 +31,6 @@ from pyspark.sql import functions as F
 from vspace_spark.functions.text import (
     DOCID_PATTERN,
     everygrams_col,
-    histogram,
     normalize_col,
     tokenize_col,
 )
@@ -54,32 +49,28 @@ def tokenized_documents(
 
     Output: ``[<id_col>, *extra_cols, wc: int, token: string, tf: int]``.
     ``wc`` counts unigrams (the reference's word count,
-    vspace/pipelines/base.py:141-142). No shuffle: histogram is computed
-    within the row, then exploded.
+    vspace/pipelines/base.py:141-142).
+
+    Shape: explode the flat n-gram array, then ONE hash aggregation on
+    (doc, token) for per-doc tf. Spark's partial aggregation combines
+    map-side; the alternative per-row histogram (functions.text.
+    histogram) avoids that shuffle but costs O(distinct × grams) string
+    compares per row in interpreted HOF evaluation — measured 2× slower
+    end-to-end on the bench corpus, and quadratic in document length.
     """
     text = normalize_col(text_col) if normalize else F.col(text_col)
     tokens = tokenize_col(text)
-    df = docs.select(
+    ex = docs.select(
         id_col,
         *extra_cols,
         F.size(tokens).alias("wc"),
-        everygrams_col(tokens, min_n, max_n).alias("_grams"),
-    )
-    df = df.select(
-        id_col,
-        *extra_cols,
-        "wc",
-        F.explode(histogram(F.col("_grams"))).alias("_h"),
-    )
-    out = df.select(
-        id_col,
-        *extra_cols,
-        "wc",
-        F.col("_h.token").alias("token"),
-        F.col("_h.tf").alias("tf"),
+        F.explode(everygrams_col(tokens, min_n, max_n)).alias("token"),
     )
     # P5 — drop synthetic doc-counter tokens (reference: base.py:378,386).
-    return out.filter(~F.col("token").rlike(DOCID_PATTERN))
+    ex = ex.filter(~F.col("token").rlike(DOCID_PATTERN))
+    return ex.groupBy(id_col, *extra_cols, "wc", "token").agg(
+        F.count("*").alias("tf")
+    )
 
 
 def compute_stats(doc_tokens: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
