@@ -1,0 +1,100 @@
+"""Property-based tests (FIXTURES.md §7): invariants of the term-
+statistics pipeline over hypothesis-generated corpora."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vspace_spark.operators.stats import term_stats, tokenized_documents
+
+WORDS = st.sampled_from(
+    ["the", "a", "data", "spark", "nferdoccount_1", "x", "query", "join"]
+)
+DOC = st.lists(WORDS, min_size=0, max_size=12).map(" ".join)
+CORPUS = st.lists(DOC, min_size=1, max_size=8)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_stats_invariants(spark, corpus):
+    docs = _docs_df(spark, corpus)
+    stats = term_stats(docs, min_n=1, max_n=2).collect()
+    for r in stats:
+        # 1. tf ≥ df for every token
+        assert r.term_frequency >= r.document_frequency
+        # 4. no token MATCHES the anchored docid pattern (the reference
+        # gate is a full-match on the gram string — a bigram containing
+        # a docid token legitimately survives, base.py:378,386)
+        import re
+
+        assert not re.fullmatch(r"nferdoccount_[0-9]+", r.token)
+        # 5. n-gram bound is exact
+        assert r.token.count(" ") <= 1
+        # tdsum ≥ df (every containing doc has wc ≥ 1)
+        assert r.tdsum >= r.document_frequency
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_unigram_conservation(spark, corpus):
+    """2. Σ tf over a doc's unigrams = that doc's wc (minus dropped
+    docid tokens)."""
+    docs = _docs_df(spark, corpus)
+    perdoc = tokenized_documents(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in perdoc:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        text = corpus[doc_id]
+        kept = [
+            w
+            for w in text.split()
+            if w and not w.startswith("nferdoccount_")
+        ]
+        assert sum(r.tf for r in rows) == len(kept)
+        # wc counts ALL unigrams pre-filter (reference semantics)
+        assert all(r.wc == len([w for w in text.split() if w]) for r in rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_per_source_vs_global_df(spark, corpus):
+    """3. Global document_frequency = Σ per-source df when each doc has
+    exactly one source."""
+    docs = _docs_df(spark, corpus).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string"))
+    )
+    global_stats = {
+        r.token: r.document_frequency
+        for r in term_stats(docs, min_n=1, max_n=1).collect()
+    }
+    per_source = term_stats(docs, group_cols=["source"], min_n=1, max_n=1)
+    summed = {
+        r.token: r.total
+        for r in per_source.groupBy("token")
+        .agg(F.sum("document_frequency").alias("total"))
+        .collect()
+    }
+    assert summed == global_stats

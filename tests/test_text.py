@@ -1,0 +1,79 @@
+"""Unit tests for the text column expressions — including the
+reference-semantics quirks SURVEY.md §1.4 says to get right."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vspace_spark.functions.text import (
+    everygrams_col,
+    histogram,
+    ngrams_col,
+    normalize_col,
+    normalize_nfc_udf,
+    tokenize_col,
+)
+
+
+def _one(spark, text: str, col):
+    return spark.createDataFrame([Row(t=text)]).select(col.alias("out")).first().out
+
+
+def test_ngram_bounds_exact_inclusive(spark):
+    """The reference emitted n-grams one LONGER than configured
+    (max_len+1, vspace/pipelines/base.py:143); ours are exact."""
+    toks = tokenize_col(F.col("t"))
+    grams = _one(spark, "a b c d", everygrams_col(toks, 1, 3))
+    assert max(g.count(" ") for g in grams) == 2  # trigrams, nothing longer
+    assert set(grams) == {
+        "a", "b", "c", "d",
+        "a b", "b c", "c d",
+        "a b c", "b c d",
+    }
+
+
+@pytest.mark.parametrize(
+    "text,n,expected",
+    [
+        ("a b c", 2, ["a b", "b c"]),
+        ("a b", 3, []),          # shorter than n → empty, no descending-seq error
+        ("a", 1, ["a"]),
+        ("", 2, []),
+        ("a b c d", 4, ["a b c d"]),
+    ],
+)
+def test_ngrams_edge_cases(spark, text, n, expected):
+    toks = tokenize_col(F.col("t"))
+    assert _one(spark, text, ngrams_col(toks, n)) == expected
+
+
+def test_tokenize_drops_empty_tokens(spark):
+    assert _one(spark, "", tokenize_col(F.col("t"))) == []
+    assert _one(spark, "  a   b  ", tokenize_col(F.col("t"))) == ["a", "b"]
+
+
+def test_normalize_ascii_fast_path(spark):
+    out = _one(spark, "Hello, World! 123_abc", normalize_col(F.col("t")))
+    assert out == "hello world 123_abc"
+
+
+def test_normalize_nfc_udf_full_parity(spark):
+    """NFC + unicode-aware \\w — the case the ASCII fast path can't do
+    (reference: vspace/utils/text.py:8-17). é as e+combining-accent NFC-
+    composes to a single \\w-matching char."""
+    decomposed = "Café ÜBER straße"
+    out = _one(spark, decomposed, normalize_nfc_udf(F.col("t")))
+    assert out == "café über straße"
+
+
+def test_histogram_counts_within_row(spark):
+    toks = tokenize_col(F.col("t"))
+    h = _one(spark, "a b a c a b", histogram(toks))
+    assert {(r.token, r.tf) for r in h} == {("a", 3), ("b", 2), ("c", 1)}
+
+
+def test_everygram_rejects_bad_bounds():
+    with pytest.raises(ValueError):
+        everygrams_col(F.col("x"), 2, 1)

@@ -46,6 +46,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         streaming,
         textanalysis,
