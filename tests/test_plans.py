@@ -1,0 +1,94 @@
+"""Plan-quality gates: the physical plans we'd want at 100 TB, asserted
+at test scale. A regression here (a filter that stops pushing down, a
+dimension join that stops broadcasting) is a scale bug even when the
+small-SF answer stays correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregation,
+    pushed_filters,
+    read_schema_columns,
+)
+from vspace_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed:\n{pushed}"
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    # 16-column table, 7 needed — the scan must not read the rest
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert {"l_quantity", "l_extendedprice", "l_shipdate"} <= cols
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    df = QUERIES["q5_nation_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q5_region_filter_pushed(spark, sf_dir):
+    df = QUERIES["q5_nation_revenue"](spark, sf_dir)
+    assert "r_name" in pushed_filters(df)
+
+
+def test_term_stats_partial_aggregation(spark, sf_dir):
+    df = QUERIES["term_stats_unigram"](spark, sf_dir)
+    assert has_partial_aggregation(df)
+
+
+def test_term_stats_scan_reads_only_needed_columns(spark, sf_dir):
+    df = QUERIES["term_stats_unigram"](spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert "lang" not in cols and "n_chars" not in cols, cols
+
+
+def test_vocab_gate_is_broadcast_semi_join(spark, sf_dir):
+    df = QUERIES["vocab_gated_stats"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_price_band_join_is_broadcast_not_cartesian(spark, sf_dir):
+    df = QUERIES["part_price_bands"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    df = QUERIES["ann_bruteforce_top5"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_semi_anti_joins_planned_as_such(spark, sf_dir):
+    semi = QUERIES["customers_with_high_value_order"](spark, sf_dir)
+    anti = QUERIES["customers_without_orders"](spark, sf_dir)
+    assert "LeftSemi" in formatted_plan(semi)
+    assert "LeftAnti" in formatted_plan(anti)
+
+
+def test_flagship_scan_is_columnar(spark, sf_dir):
+    # AQE's pre-execution formatted plan omits WholeStageCodegen
+    # annotations; the vectorized parquet reader ("Batched: true") is
+    # the part worth guarding — it's what keeps the scan off the
+    # row-at-a-time path.
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert "Batched: true" in formatted_plan(df)
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

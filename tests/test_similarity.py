@@ -41,3 +41,27 @@ def test_bruteforce_self_excluded_and_k(spark, sf_dir):
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from vspace_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = ivf_topk(q, emb, k=5, n_cells=16, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 1/4 of cells on near-uniform data still concentrates
+    # true neighbors far above the 25% chance floor
+    assert recall >= 0.4, f"IVF recall {recall}"
+
+
+def test_ivf_deterministic_across_runs(spark, sf_dir):
+    from vspace_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    r1 = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
+    r2 = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
+    assert r1 == r2

@@ -86,6 +86,89 @@ def lsh_signature(vec: F.Column, planes: list[list[float]]) -> F.Column:
     return sig
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans partitions the corpus into cells; each
+    query scores only its ``n_probe`` nearest cells. The inverted-file
+    structure every vector database uses, expressed relationally:
+    train on a sample, assign = broadcast-centroid argmin, probe =
+    equi-join on cell id.
+
+    At 100 TB: training samples a fraction, assignment is a narrow map,
+    and the cell-partitioned corpus can be written out bucketed by cell
+    so probes become partition-pruned scans.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(F.col(vec_col)).alias("_features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features")
+    model = km.fit(with_vec.select("_features"))
+    assigned = model.transform(with_vec).select(
+        "neighbor_id", "_cv", F.col("prediction").alias("cell")
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def cell_dists(vec: F.Column) -> F.Column:
+        # squared L2 to each centroid, as (dist, cell) structs
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.slice(F.array_sort(cell_dists(F.col(vec_col))), 1, n_probe)
+        ).alias("probe"),
+    ).select("query_id", "_qv", F.col("probe.cell").alias("cell"))
+
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -75,3 +75,14 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm")
     )
+
+
+@query("ann_ivf_top5")  # KMeans centroids — engine-specific, rows-only
+def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans cells (16) with 4-cell probing — the vector-DB
+    index structure relationally (operators/similarity.py:ivf_topk).
+    Recall vs brute force asserted in tests/test_similarity.py."""
+    from vspace_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)

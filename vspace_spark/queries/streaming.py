@@ -107,3 +107,22 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, exercised here end-to-end."""
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_memory(dedup_stream(events), "append")
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals in explicit per-key state. One replayed
+    batch → one emission per user → the batch GROUP BY is an exact
+    oracle (streaming/events.py:stateful_user_totals)."""
+    from vspace_spark.streaming.events import stateful_user_totals
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(stateful_user_totals(events), "update")

@@ -127,6 +127,54 @@ def user_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals held in explicit state (the escape hatch for logic
+    windowed aggregations can't express — e.g. conditional counters,
+    decaying scores, per-key ML state).
+
+    State is one (n, total) pair per user, partitioned across executors
+    by the grouping key; each micro-batch updates state and emits the
+    new totals. On the finite replay (one batch) every user emits
+    exactly once → deterministic, batch-oracle-checkable output.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state
     (``dropDuplicatesWithinWatermark`` — late duplicates beyond the
