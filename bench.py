@@ -31,10 +31,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_nation_revenue",
+    "q19_disjunctive_predicates",
     "tfidf_top3_per_doc",
     "user_sessions",
+    "cohort_daily_retention",
     "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
     "ann_bruteforce_top5",
+    "doc_quality",
+    "stream_hourly_counts",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Scale-operator tests: salting preserves results; bucketed joins
+drop the exchange from the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.scale import (
+    salted_aggregate,
+    salted_broadcast_left_join,
+    write_bucketed,
+)
+from vspace_spark.plans.explain import formatted_plan
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag): (r.n, r.qty)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.n, r.qty)
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {"n": ("l_quantity", "count"), "qty": ("l_quantity", "sum")},
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey", "left")
+    salted = salted_broadcast_left_join(orders, cust, "o_custkey")
+    assert salted.count() == plain.count()
+    a = {(r.o_orderkey, r.c_mktsegment) for r in plain.collect()}
+    b = {(r.o_orderkey, r.c_mktsegment) for r in salted.collect()}
+    assert a == b
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        write_bucketed(
+            orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey"
+        )
+        write_bucketed(
+            li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+            "b_lineitem",
+            "o_orderkey",
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:3000]
+        # and it still computes the right thing
+        expected = orders.join(
+            li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+            "o_orderkey",
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

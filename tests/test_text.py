@@ -77,3 +77,18 @@ def test_histogram_counts_within_row(spark):
 def test_everygram_rejects_bad_bounds():
     with pytest.raises(ValueError):
         everygrams_col(F.col("x"), 2, 1)
+
+
+def test_corpus_histograms_map_shape(spark):
+    from pyspark.sql import Row
+
+    from vspace_spark.operators.stats import corpus_histograms
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="a b a"), Row(doc_id=1, text="c c c c")]
+    )
+    rows = {r.doc_id: r for r in corpus_histograms(docs).collect()}
+    assert rows[0].token_counts == {"a": 2, "b": 1} and rows[0].wc == 3
+    assert rows[1].token_counts == {"c": 4} and rows[1].wc == 4
+    out = corpus_histograms(docs)
+    assert dict(out.dtypes)["token_counts"] == "map<string,bigint>"

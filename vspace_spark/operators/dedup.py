@@ -48,6 +48,8 @@ def shingle_pairs_jaccard(
 
     Returns ``[a, b, jaccard]`` with a < b and jaccard ≥ threshold.
     """
+    from pyspark import StorageLevel
+
     block = [block_col] if block_col else []
     shingles = docs.select(
         F.col(id_col).alias("_id"),
@@ -55,7 +57,10 @@ def shingle_pairs_jaccard(
         F.explode(
             F.array_distinct(ngrams_col(tokenize_col(text_col), n))
         ).alias("shingle"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: consumed three times (sizes + both sides of the
+    # self-join) — without it the tokenize/shingle pipeline re-runs per
+    # consumer
     sizes = shingles.groupBy("_id").agg(F.count("*").alias("_sz"))
     left = shingles.select(
         *block, F.col("_id").alias("a"), F.col("shingle")
@@ -173,9 +178,15 @@ def minhash_lsh_pairs(
     Returns ``[a, b, est_jaccard]`` (signature agreement fraction,
     a cheap estimate computed from the two signatures — no text rejoin).
     """
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
     tokens = ngrams_col(tokenize_col(text_col), shingle_n)
-    sigs = minhash_signatures(docs, id_col, tokens, num_hashes)
+    # compact (num_hashes longs per doc) and consumed by both sides of
+    # the bucket self-join — persist so hashing runs once
+    sigs = minhash_signatures(docs, id_col, tokens, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sigs.select(
         "_id",
         "sig",
@@ -310,9 +321,13 @@ def simhash_near_pairs(
     8×8-bit chunks is the standard sweet spot (Manku et al.'s simhash
     dedup uses the same pigeonhole construction).
     """
+    from pyspark import StorageLevel
+
     width = 64 // n_chunks
     tokens = tokenize_col(text_col)
-    sigs = simhash_signatures(docs, id_col, tokens)
+    sigs = simhash_signatures(docs, id_col, tokens).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = F.array(
         *[
             F.struct(

@@ -1,0 +1,89 @@
+"""Scale techniques as reusable operators: salted aggregation/joins for
+skewed keys, bucketed tables for shuffle-free joins.
+
+AQE handles *detected* skew at runtime (skewJoin splits oversized
+partitions); salting is the static answer when a key's skew is known
+and extreme (one token in half the corpus, one user generating half
+the events) — exactly the shape a 100 TB term-statistics corpus has
+(Zipfian tokens).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt: groupBy(keys, salt)
+    pre-aggregates (splitting any hot key across ``salt_buckets``
+    reducers), then the salt is dropped and partials merge.
+
+    ``aggs`` maps output column → (input column, fn) where fn ∈
+    {sum, count, min, max} (the partial-mergeable aggregates; avg =
+    sum+count composed by the caller).
+
+    Correctness is invariant to salting (sum/count/min/max are
+    associative); the win is that no single reducer owns a hot key.
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[
+            getattr(F, fn)(col).alias(out)
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            getattr(F, merge_fn[fn])(out).alias(out)
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_broadcast_left_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof join: broadcast the small side (replicated to every
+    task), leaving the skewed side un-shuffled entirely. When the small
+    side exceeds broadcast size, the classic alternative is explode-
+    replicate: salt the big side, cross the small side with the salt
+    range, equi-join on (key, salt) — provided here for the pattern's
+    sake via ``salt_buckets``."""
+    salted_big = skewed.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_big.join(replicated_small, [key, "_salt"], "left").drop(
+        "_salt"
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 8
+) -> None:
+    """Persist bucketed+sorted by join key: subsequent equi-joins /
+    aggregations on ``key`` between tables bucketed the same way run
+    WITHOUT an exchange — the physical layout pre-pays the shuffle
+    once. The 100 TB pattern for repeatedly-joined fact tables."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

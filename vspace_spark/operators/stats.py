@@ -132,6 +132,27 @@ def doc_term_frequencies(
     )
 
 
+def corpus_histograms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_n: int = 1,
+    max_n: int = 1,
+) -> DataFrame:
+    """The reference's tokenized-corpus shape: one row per document with
+    the n-gram histogram as a MapType column
+    ``[<id_col>, wc: int, token_counts: map<string,int>]``
+    (reference: vspace/pipelines/base.py:163-189). Kept as the internal/
+    interchange form (FIXTURES.md §5 keeps the exploded form for oracle
+    checks — map columns don't hash portably)."""
+    toks = tokenized_documents(docs, text_col, id_col, min_n=min_n, max_n=max_n)
+    return toks.groupBy(id_col, "wc").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "tf"))
+        ).alias("token_counts")
+    )
+
+
 def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
     """Vocabulary pipeline: union → trim/empty-filter → distinct → id
     (reference: vspace/pipelines/base.py:343-355; filters from

@@ -43,6 +43,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query module (side effect: registration)."""
     from vspace_spark.queries import (  # noqa: F401
+        analytics,
         dedup,
         multimodal,
         relational,

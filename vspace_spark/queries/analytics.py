@@ -1,0 +1,288 @@
+"""Log-analytics queries over events + documents — funnel, cohort
+retention, per-source rollups, TF-IDF retrieval, promo/disjunctive
+TPC-H shapes. The reference's domain is log/corpus analytics
+(BASELINE.json category), so these are first-class surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.relational import dec, money
+from vspace_spark.operators.stats import tokenized_documents
+from vspace_spark.queries import query
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, event_id,
+                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (SELECT user_id, min(ts) AS first_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT user_id, min(ts) AS first_click FROM e
+      WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, min(ts) AS first_purchase FROM e
+      WHERE event_type = 'purchase' GROUP BY user_id),
+funnel AS (
+  SELECT v.user_id,
+         1 AS viewed,
+         CASE WHEN c.first_click > v.first_view THEN 1 ELSE 0 END AS clicked,
+         CASE WHEN c.first_click > v.first_view
+               AND p.first_purchase > c.first_click THEN 1 ELSE 0 END
+             AS purchased
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+)
+SELECT sum(viewed)::BIGINT    AS n_viewed,
+       sum(clicked)::BIGINT   AS n_clicked,
+       sum(purchased)::BIGINT AS n_purchased
+FROM funnel
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes first click
+    precedes first purchase. One conditional aggregation per stage +
+    two left joins on user_id — no per-user window materialization, so
+    the shuffle carries one row per user per stage at any scale."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str, name: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(name))
+        )
+
+    v = first_ts("view", "first_view")
+    c = first_ts("click", "first_click")
+    p = first_ts("purchase", "first_purchase")
+    funnel = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.lit(1).alias("viewed"),
+            F.when(F.col("first_click") > F.col("first_view"), 1)
+            .otherwise(0)
+            .alias("clicked"),
+            F.when(
+                (F.col("first_click") > F.col("first_view"))
+                & (F.col("first_purchase") > F.col("first_click")),
+                1,
+            )
+            .otherwise(0)
+            .alias("purchased"),
+        )
+    )
+    return funnel.agg(
+        F.sum("viewed").alias("n_viewed"),
+        F.sum("clicked").alias("n_clicked"),
+        F.sum("purchased").alias("n_purchased"),
+    )
+
+
+@query(
+    "cohort_daily_retention",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+           FROM events),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, day FROM e)
+SELECT cohort_day,
+       date_diff('day', cohort_day, day)::INT AS day_offset,
+       count(*)::BIGINT AS active_users
+FROM activity JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day,
+    counted on each subsequent active day. Cohort assignment is an
+    aggregation re-joined (broadcastable — one row per user), not a
+    window over the event stream."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = e.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(
+         100.00 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(1 - l_discount AS DECIMAL(8,4))
+                           ELSE 0 END)
+         / sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-02-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join
+    with a LIKE predicate; part is broadcast. The division of two exact
+    decimal sums is one double op → deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice", 2) * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(8,4)"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2)::DOUBLE
+           AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column predicates spanning
+    both join sides. Catalyst extracts the common l_partkey equi-key so
+    the plan is a broadcast hash join with a residual OR filter — not a
+    nested loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = dec("l_extendedprice", 2) * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(8,4)"
+    )
+    return joined.filter(cond).agg(
+        money(F.sum(rev)).alias("revenue"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+SELECT l_partkey, l_suppkey, min_price FROM (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price,
+         l_extendedprice,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_suppkey) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-per-group with the argmin row): window min +
+    row_number in one shuffle, instead of the correlated subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    wo = w.orderBy("l_extendedprice", "l_suppkey")
+    return (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.min("l_extendedprice").over(w).alias("min_price"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "min_price")
+    )
+
+
+@query(
+    "tfidf_search",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+perdoc AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY ALL),
+df AS (SELECT token, count(*) AS df FROM perdoc GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+q(token) AS (VALUES ('spark'), ('join'), ('window')),
+scored AS (
+  SELECT p.doc_id,
+         sum(p.tf * ln((SELECT n FROM n) / df.df)) AS score
+  FROM perdoc p JOIN df USING (token) JOIN q USING (token)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, rank FROM (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY score DESC, doc_id))::INT AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval: rank documents for a query term set using the
+    engine's own term statistics (§2.11 — the scoring query the
+    reference's stats exist to serve but never implemented). Query
+    terms broadcast; one aggregation per doc."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # consumed twice (df build + scoring join) — persist the exploded form
+    perdoc = tokenized_documents(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    df = perdoc.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    terms = spark.createDataFrame(
+        [("spark",), ("join",), ("window",)], "token string"
+    )
+    scored = (
+        perdoc.join(F.broadcast(terms), "token")
+        .join(df, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rank")
+    )

@@ -168,8 +168,13 @@ def vocab_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vspace/pipelines/base.py:385-389 + vspace/lookups/dawg.py:179-193).
     Vocabulary here = bigrams with document_frequency ≥ 20, derived from
     the corpus itself so the query is self-contained."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenized_documents(docs, min_n=1, max_n=2)
+    # consumed three times (vocab build + both gate branches)
+    toks = tokenized_documents(docs, min_n=1, max_n=2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     vocab = (
         toks.filter(F.col("token").contains(" "))
         .groupBy("token")
@@ -228,8 +233,11 @@ def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring on the engine's own term statistics (§2.11 — the
     reference stores the sufficient statistics but never scores; this
     closes the loop) + top-k-per-group window."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    perdoc = tokenized_documents(docs)  # doc_id, wc, token, tf
+    # consumed twice (df build + scoring join) — persist the exploded form
+    perdoc = tokenized_documents(docs).persist(StorageLevel.MEMORY_AND_DISK)
     df = perdoc.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.count()
     scored = perdoc.join(df, "token").select(
