@@ -1,0 +1,96 @@
+"""Iterative graph operators — connected components for duplicate
+clustering (pairs → groups → one keeper per group).
+
+Spark has no built-in CC; the standard shape is iterative min-label
+propagation (what GraphX/GraphFrames do under the hood) driven by a
+small driver loop with convergence checks. Each iteration is two
+shuffle joins; rounds needed = graph diameter (near-dup clusters are
+shallow — a handful of rounds). At 100 TB the edge list is the
+(already sub-quadratic) candidate-pair output, orders of magnitude
+smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every node with the smallest node id reachable from it.
+
+    ``nodes``: one column ``node_col``; ``edges``: undirected pairs
+    (``src_col``, ``dst_col``). Returns ``[<node_col>, component]``.
+    Deterministic (min-label fixpoint is order-independent).
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("u"), F.col(node_col).alias("component")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    "component", F.coalesce("nmin", "component")
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "u"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias(node_col), "component")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup clustering: candidate pairs → connected components →
+    ``[doc_id, component, is_keeper]`` (keeper = smallest id in its
+    component, the canonical representative to retain)."""
+    comps = connected_components(
+        docs.select(id_col), pairs, node_col=id_col
+    )
+    return comps.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_keeper"),
+    )

@@ -139,3 +139,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary is deterministic (verified bit-exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs(emb, block_col="label", threshold=0.8)
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(t[i:i + 2], ' '))) AS shingle
+       FROM toks WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y
+    ON x.shingle = y.shingle AND x.source = y.source
+   AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE c / (sa.sz + sb.sz - c) >= 0.6
+),
+sym AS (SELECT a AS u, b AS v FROM edges
+        UNION SELECT b, a FROM edges
+        UNION SELECT doc_id, doc_id FROM documents),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, min(v) AS component,
+       (u = min(v)) AS is_keeper
+FROM reach GROUP BY u
+""",
+)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative near-dup clustering: exact Jaccard pairs (≥ 0.6,
+    source-blocked) → connected components by min-label propagation →
+    keeper per cluster. The oracle computes the same fixpoint with a
+    recursive transitive-closure CTE (operators/graph.py)."""
+    from vspace_spark.operators.dedup import shingle_pairs_jaccard
+    from vspace_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(
+        docs, n=3, threshold=0.6, block_col="source"
+    ).select("a", "b")
+    return dedup_clusters(docs, pairs)

@@ -127,6 +127,27 @@ def user_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def run_stream_foreach_batch_parquet(
+    streaming_df: DataFrame, out_dir: str
+) -> list[int]:
+    """``foreachBatch`` sink: per-micro-batch exactly-once parquet
+    writes (batch id in the path → idempotent replay, the standard
+    recipe for sinks without native streaming support). Returns the
+    processed batch ids."""
+    seen: list[int] = []
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = streaming_df.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return seen
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running totals held in explicit state (the escape hatch for logic
