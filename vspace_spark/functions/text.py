@@ -15,8 +15,6 @@ vspace/pipelines/base.py:143, SURVEY.md §1.4); the rebuild fixes this.
 
 from __future__ import annotations
 
-import unicodedata
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -43,21 +41,32 @@ def normalize_col(col: Column | str) -> Column:
     )
 
 
-@F.pandas_udf(T.StringType())
-def normalize_nfc_udf(s: pd.Series) -> pd.Series:
-    """P1 (full parity) — NFC → lower → ``\\w+`` runs → space-join,
-    exactly the reference semantics (vspace/utils/text.py:8-17), Arrow-
-    vectorized. Only needed for non-ASCII corpora."""
-    import re
+def _make_normalize_nfc_udf():
+    # Nested so cloudpickle serializes the UDF BY VALUE: a module-level
+    # function pickles as a reference to vspace_spark, which executor
+    # Python workers cannot import when the driver runs from another
+    # cwd. All imports live inside the function for the same reason.
+    @F.pandas_udf(T.StringType())
+    def normalize_nfc(s: pd.Series) -> pd.Series:
+        """P1 (full parity) — NFC → lower → ``\\w+`` runs → space-join,
+        exactly the reference semantics (vspace/utils/text.py:8-17),
+        Arrow-vectorized. Only needed for non-ASCII corpora."""
+        import re
+        import unicodedata as ud
 
-    word = re.compile(r"\w+")
+        word = re.compile(r"\w+")
 
-    def norm(x: str | None) -> str | None:
-        if x is None:
-            return None
-        return " ".join(word.findall(unicodedata.normalize("NFC", x).lower()))
+        def norm(x: str | None) -> str | None:
+            if x is None:
+                return None
+            return " ".join(word.findall(ud.normalize("NFC", x).lower()))
 
-    return s.map(norm)
+        return s.map(norm)
+
+    return normalize_nfc
+
+
+normalize_nfc_udf = _make_normalize_nfc_udf()
 
 
 def tokenize_col(col: Column | str) -> Column:

@@ -53,11 +53,21 @@ def decode_image_meta(
     here the fake keeps the pipeline testable end-to-end.
     """
 
+    # NOTE: the closure must be SELF-CONTAINED (no references to
+    # vspace_spark module globals): cloudpickle serializes module-level
+    # helpers by reference, and executor Python workers do not have
+    # this repo on sys.path when the driver runs from elsewhere.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def fake_meta(payload: bytes) -> tuple[int, int, str]:
+            n = len(payload)
+            return 64 + n % 512, 64 + (7 * n) % 512, "RGB"
+
         for pdf in batches:
             payloads = pdf[bin_col]
-            meta = [_fake_image_meta(p) for p in payloads]
-            yield pd.DataFrame(
+            meta = [fake_meta(p) for p in payloads]
+            yield _pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": [len(p) for p in payloads],
