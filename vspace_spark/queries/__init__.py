@@ -51,5 +51,6 @@ def load_all() -> None:
         similarity,
         streaming,
         textanalysis,
+        udfshapes,
         vspace,
     )
