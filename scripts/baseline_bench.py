@@ -77,24 +77,24 @@ def main() -> None:
     )
     n_vocab = vocab.count()
 
-    # Dictionary-encoded path (term_stats_hashed): the exploded stream
-    # carries 64-bit gram ids, strings late-materialize from a broadcast
-    # dictionary; equivalence with the string path is proven in
-    # tests/test_stats_hashed.py. Per-(doc, gram) counts are computed
-    # once; both stats groupings aggregate the persisted encoded form —
-    # the reference likewise persisted the processed corpus across its
-    # two compute_stats shuffles (base.py:391, 422-423).
+    # Fastest path (term_stats_pandas): tokenize + hash + per-doc
+    # histogram fully vectorized inside the Python worker from raw
+    # text; equivalence with the string path is proven in
+    # tests/test_stats_hashed.py. Both stats groupings come from one
+    # corpus pass — the reference likewise persisted the processed
+    # corpus across its two compute_stats shuffles (base.py:391,
+    # 422-423).
     from pyspark import StorageLevel
 
     from vspace_spark.operators.stats import (
-        term_stats_arrow,
+        term_stats_pandas,
         unigram_dictionary,
     )
 
     dictionary = unigram_dictionary(base, extra_vocab=vocab).persist()
     dictionary.count()
 
-    stats_by_source = term_stats_arrow(
+    stats_by_source = term_stats_pandas(
         corpus,
         dictionary,
         id_col="document_index",
