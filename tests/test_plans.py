@@ -92,3 +92,24 @@ def test_flagship_scan_is_columnar(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """K3 layout as a scale feature: a source-partitioned parquet write
+    must let a source-filtered read prune directories (PartitionFilters
+    in the scan, not a full-data filter)."""
+    from vspace_spark.io.sinks import write_parquet
+    from vspace_spark.io.tables import load_table as lt
+
+    out = str(tmp_path / "by_source")
+    write_parquet(
+        lt(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        out,
+        partition_by=["source"],
+    )
+    back = spark.read.parquet(out).filter(F.col("source") == "src0")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "src0" in plan
+    import os
+
+    assert any(d.startswith("source=") for d in os.listdir(out))

@@ -65,3 +65,38 @@ def test_ivf_deterministic_across_runs(spark, sf_dir):
     r1 = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
     r2 = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
     assert r1 == r2
+
+
+def test_ml_idf_agrees_with_exact_df(spark, sf_dir):
+    """Spark-ML IDF vs the engine's exact document frequencies: for
+    single-bucket tokens, ML's idf = ln((N+1)/(df+1)) must match the
+    df from term_stats."""
+    import math
+
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    from vspace_spark.operators.stats import term_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    stats = {
+        r.token: r.document_frequency
+        for r in term_stats(docs).collect()
+    }
+
+    tokenized = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    htf = HashingTF(inputCol="words", outputCol="raw", numFeatures=1 << 18)
+    tf = htf.transform(tokenized)
+    model = IDF(inputCol="raw", outputCol="feat").fit(tf)
+    idf = model.idf.toArray()
+
+    # map each known token to its hash bucket; with 2^18 buckets and a
+    # tiny vocabulary, collisions are unlikely — check agreement on
+    # tokens whose bucket holds exactly that token's df
+    checked = 0
+    for token, df in stats.items():
+        bucket = htf.indexOf(token)
+        expect = math.log((n_docs + 1) / (df + 1))
+        if abs(idf[bucket] - expect) < 1e-9:
+            checked += 1
+    assert checked >= len(stats) * 0.9, (checked, len(stats))

@@ -35,3 +35,41 @@ def test_delta_connector_gated(spark):
 def test_iceberg_connector_gated(spark):
     with pytest.raises(ConnectorUnavailable, match="iceberg-spark-runtime"):
         read_iceberg(spark, "db.tbl")
+
+
+def test_stream_dedup_drops_late_duplicates(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark with REAL duplicates: replay the
+    events file twice into a watched directory; second batch's rows are
+    duplicates within the watermark window and must be dropped."""
+    import shutil
+
+    src = str(tmp_path / "stream_src")
+    out_rows = []
+    import os
+
+    os.makedirs(src)
+    from vspace_spark.streaming.events import EVENTS_SCHEMA, dedup_stream
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_late")
+        .start()
+    )
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
+        q.processAllAvailable()
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n = spark.sql("SELECT count(*) FROM dedup_late").first()[0]
+    distinct = spark.sql(
+        "SELECT count(DISTINCT event_id) FROM dedup_late"
+    ).first()[0]
+    assert n == 1000 and distinct == 1000, (n, distinct)

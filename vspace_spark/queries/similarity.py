@@ -86,3 +86,25 @@ def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query("ml_tfidf_features")  # hashed feature vectors — engine-specific
+def ml_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-ML HashingTF + IDF over the corpus (SURVEY.md §2.12 parity
+    hook): the ML-pipeline route to the same TF-IDF statistics the
+    engine computes exactly via term_stats. Rows-only (hashed vector
+    contents are engine-specific); tests/test_similarity.py checks IDF
+    agreement against the exact document frequencies."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokenized = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    tf = HashingTF(
+        inputCol="words", outputCol="rawFeatures", numFeatures=4096
+    ).transform(tokenized)
+    idf_model = IDF(inputCol="rawFeatures", outputCol="features").fit(tf)
+    out = idf_model.transform(tf)
+    return out.select(
+        "doc_id",
+        F.expr("size(words)").alias("n_words"),
+    )

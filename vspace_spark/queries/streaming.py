@@ -126,3 +126,25 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_memory(stateful_user_totals(events), "update")
+
+
+@query(
+    "stream_purchase_view_join",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+FROM e p JOIN e v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+""",
+)
+def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases × same-user views in the
+    trailing hour) with watermark-bounded state; the batch interval
+    join is the exact oracle (streaming/events.py)."""
+    from vspace_spark.streaming.events import purchases_with_recent_views
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(purchases_with_recent_views(events), "append")

@@ -79,3 +79,41 @@ def grouped_map_source_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").applyInPandas(
         rank_group, "doc_id long, source string, size_rank int"
     )
+
+
+@query(
+    "map_functions_suite",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+hist AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY ALL),
+agg AS (SELECT doc_id,
+               count(*) AS n_keys,
+               sum(CASE WHEN tf >= 3 THEN 1 ELSE 0 END) AS n_frequent,
+               max(len(tok) * tf) AS max_weight
+        FROM hist GROUP BY doc_id)
+SELECT doc_id, n_keys::INT AS n_keys, n_frequent::INT AS n_frequent,
+       max_weight::INT AS max_weight
+FROM agg
+""",
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions over the per-doc histogram map
+    (corpus_histograms): map_keys / map_filter / transform_values /
+    map_zip-style weighting — the MapType surface the reference's
+    token_counts column implies (SURVEY.md §1.1)."""
+    from vspace_spark.operators.stats import corpus_histograms
+
+    hist = corpus_histograms(load_table(spark, sf_dir, "documents"))
+    m = F.col("token_counts")
+    weights = F.transform_values(
+        m, lambda k, v: F.length(k) * v.cast("int")
+    )
+    return hist.select(
+        "doc_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.size(
+            F.map_keys(F.map_filter(m, lambda k, v: v >= 3))
+        ).alias("n_frequent"),
+        F.array_max(F.map_values(weights)).cast("int").alias("max_weight"),
+    )

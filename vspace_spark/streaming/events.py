@@ -127,6 +127,40 @@ def user_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def purchases_with_recent_views(events: DataFrame) -> DataFrame:
+    """Stream-stream INTERVAL JOIN: each purchase joined to the same
+    user's views from the preceding hour. Both sides carry watermarks
+    and the join condition bounds event-time distance — the two
+    ingredients Spark needs to age join state out of the store (without
+    them a stream-stream join buffers forever)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "inner",
+    )
+    return joined.select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+
+
 def run_stream_foreach_batch_parquet(
     streaming_df: DataFrame, out_dir: str
 ) -> list[int]:
