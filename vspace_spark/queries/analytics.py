@@ -286,3 +286,103 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "rank")
     )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey,
+         round(CAST(o_totalprice AS DECIMAL(18,2))
+               * CAST(1.1 AS DECIMAL(3,2)), 2)::DOUBLE AS o_totalprice,
+         'P' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+untouched AS (
+  SELECT o_orderkey, o_custkey,
+         round(CAST(o_totalprice AS DECIMAL(18,2)), 2)::DOUBLE
+             AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 10 != 0
+)
+SELECT * FROM untouched UNION ALL SELECT * FROM updates
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (no Delta in this image): target anti-join
+    updates ∪ updates — the upsert plan lakehouses run under the hood.
+    The updates side is derived deterministically from orders (every
+    10th key gets a 10% price bump and status P)."""
+    from vspace_spark.operators.relational import dec, money
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        money(dec("o_totalprice", 2)).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            money(
+                dec("o_totalprice", 2) * F.lit("1.1").cast("decimal(3,2)")
+            ).alias("o_totalprice"),
+            F.lit("P").alias("o_orderstatus"),
+        )
+    )
+    untouched = orders.join(updates, "o_orderkey", "left_anti")
+    return untouched.unionByName(updates)
+
+
+@query(
+    "daily_revenue_gapfilled",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+         CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01'
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1
+)
+SELECT spine.day, coalesce(daily.revenue, 0.0) AS revenue,
+       (daily.day IS NULL) AS gap_filled
+FROM spine LEFT JOIN daily USING (day)
+""",
+)
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a `sequence()` date spine left-joined
+    onto daily aggregates (missing days → 0, flagged). The spine is
+    generated, not scanned — no shuffle beyond the daily aggregate."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")
+    )
+    from vspace_spark.operators.relational import dec, money
+
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        money(F.sum(dec("o_totalprice", 2))).alias("revenue")
+    )
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.col("revenue").isNull().alias("gap_filled"),
+    )
