@@ -9,7 +9,6 @@ import os
 import textwrap
 
 import pytest
-from pyspark.sql import functions as F
 
 from vspace_spark.io.sources import RECORD_DELIMITER
 from vspace_spark.pipelines.corpus_job import JobConfig, run_job

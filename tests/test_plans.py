@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from vspace_spark.io.tables import load_table
 from vspace_spark.plans.explain import (
     formatted_plan,
     has_broadcast_join,

@@ -3,7 +3,6 @@ statistics pipeline over hypothesis-generated corpora."""
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row

@@ -107,7 +107,7 @@ def ivf_topk(
     so probes become partition-pruned scans.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     with_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from vspace_spark.io.tables import load_table
 from vspace_spark.operators.dedup import (
     embedding_near_pairs,
-    exact_dedup,
     minhash_lsh_pairs,
     shingle_pairs_jaccard,
     simhash_near_pairs,

@@ -4,7 +4,6 @@ quality scoring, language ID, fingerprinting."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from vspace_spark.io.tables import load_table
 from vspace_spark.operators.textanalysis import (

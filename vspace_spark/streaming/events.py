@@ -15,7 +15,6 @@ only ``readStream`` options change.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
