@@ -1,0 +1,82 @@
+"""Driver-contract stability: entry() shape and the registry surface.
+A rename or accidental drop of a query is a silent correctness-gate
+shrink — pin the inventory."""
+
+from __future__ import annotations
+
+from vspace_spark.queries import ORACLES, QUERIES, load_all
+
+load_all()
+
+EXPECTED_QUERIES = {
+    # vspace surface
+    "term_stats_unigram", "term_stats_ngram", "term_stats_by_source",
+    "doc_term_frequencies", "doc_wordcount", "normalize_corpus",
+    "vocabulary", "vocab_gated_stats", "source_language_map",
+    "tfidf_top3_per_doc",
+    # relational
+    "q1_pricing_summary", "q3_top_unshipped_orders", "q5_nation_revenue",
+    "top3_orders_per_customer", "customer_running_spend",
+    "rollup_order_totals", "cube_lineitem_counts",
+    "customers_without_orders", "customers_with_high_value_order",
+    "part_price_bands", "asof_purchase_prior_view",
+    "repeat_customers_both_years", "churned_customers_1995",
+    "monthly_revenue", "events_json_stats", "user_sessions",
+    "daily_event_pivot", "distinct_users_per_type",
+    "approx_distinct_users", "customer_order_full_outer",
+    "order_rank_suite", "trailing_30d_spend", "grouping_sets_revenue",
+    "part_brand_intersect_all", "part_brand_except_all",
+    "price_percentiles", "string_functions_suite",
+    "math_functions_suite", "doc_token_arrays",
+    "orders_above_segment_avg",
+    # analytics
+    "funnel_view_click_purchase", "cohort_daily_retention",
+    "q14_promo_revenue", "q19_disjunctive_predicates",
+    "min_cost_supplier_per_part", "tfidf_search",
+    "merge_upsert_orders", "daily_revenue_gapfilled",
+    # dedup
+    "dedup_exact", "dedup_exact_normalized", "dedup_jaccard_pairs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_clusters",
+    # similarity
+    "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
+    "embedding_norms", "ml_tfidf_features",
+    # text analysis
+    "doc_token_counts", "doc_quality", "doc_language_id",
+    "doc_fingerprints",
+    # streaming
+    "stream_hourly_counts", "stream_sliding_counts",
+    "stream_user_sessions", "stream_dedup_events",
+    "stream_stateful_user_totals", "stream_purchase_view_join",
+    # multimodal + UDF shapes
+    "multimodal_image_meta", "multimodal_frame_sample",
+    "udtf_token_chunks", "grouped_map_source_ranks",
+    "map_functions_suite",
+}
+
+ROWS_ONLY = {
+    "approx_distinct_users", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_lsh_top5", "ann_ivf_top5", "ml_tfidf_features",
+}
+
+
+def test_registry_inventory_stable():
+    assert set(QUERIES) == EXPECTED_QUERIES, (
+        set(QUERIES) ^ EXPECTED_QUERIES
+    )
+
+
+def test_every_query_oracled_unless_declared_rows_only():
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as ep
+
+    df = ep.entry(spark)
+    assert df.count() > 0
+    assert df.schema.simpleString() == (
+        "struct<token:string,document_frequency:bigint,"
+        "term_frequency:bigint,tdsum:bigint>"
+    )
+    assert set(ep.queries()) == EXPECTED_QUERIES
