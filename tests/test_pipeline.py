@@ -120,3 +120,31 @@ def test_normalized_corpus_written(job_outputs):
     spark, outputs = job_outputs
     lines = spark.read.text(outputs["normalized_corpus"]).count()
     assert lines == len(DOCS)
+
+
+def test_lenient_decode_strips_control_chars(spark, tmp_path):
+    """S4 (reference: vspace/pipelines/base.py:234-266): \\x00, \\x01
+    and tabs are stripped from decoded lines."""
+    from vspace_spark.io.sources import load_and_decode
+
+    p = tmp_path / "dirty.txt"
+    p.write_bytes(b"clean line\na\x00b\x01c\td\nlast\n")
+    lines = [r.line for r in load_and_decode(spark, str(p)).collect()]
+    assert "clean line" in lines
+    assert "abcd" in lines  # control chars + tab removed
+    assert all("\x00" not in x and "\t" not in x for x in lines)
+
+
+def test_job_config_splits_honored(spark, tmp_path):
+    """O5 (reference: vspace/pipelines/base.py:418-420): the INI
+    `splits` key still tunes spark.sql.shuffle.partitions."""
+    from vspace_spark.pipelines.corpus_job import JobConfig
+
+    conf = tmp_path / "j.conf"
+    conf.write_text(
+        "[job]\nstagingloc = /tmp\ncorpus = c\nindex2doc = i\n"
+        "src2sub = s\nphrases = p\ncollections = k\n"
+        "outputFolder = /tmp/o\nsplits = 7\n"
+    )
+    jc = JobConfig.from_ini(str(conf))
+    assert jc.splits == 7
