@@ -43,6 +43,83 @@ HEADLINE = [
 ]
 
 
+def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
+    """BASELINE.md-comparable throughput: the reference's 6-gram
+    vocabulary-gated corpus-statistics pipeline on a corpus replicated
+    to ``target_gb`` of text (see scripts/baseline_bench.py for the
+    full-size variant). The corpus is cached in /tmp across runs; its
+    materialization is untimed (the reference's clock also starts from
+    on-disk input)."""
+    import os as _os
+    import shutil
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from vspace_spark.io.tables import load_table
+    from vspace_spark.operators.stats import (
+        term_stats,
+        term_stats_pandas,
+        unigram_dictionary,
+    )
+
+    work = "/tmp/bench_baseline_corpus"
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    stats = base.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("bytes")
+    ).first()
+    replicas = max(1, int(target_gb * 1e9 / stats.bytes))
+    corpus_path = _os.path.join(work, f"corpus_{target_gb}gb.parquet")
+    if not _os.path.exists(corpus_path):
+        shutil.rmtree(work, ignore_errors=True)
+        base.crossJoin(
+            spark.range(replicas).select(F.col("id").alias("replica"))
+        ).select(
+            (F.col("doc_id") * replicas + F.col("replica")).alias(
+                "document_index"
+            ),
+            "text",
+            "source",
+        ).repartition(64).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    n_docs = corpus.count()
+    text_gb = n_docs / stats.n * stats.bytes / 1e9
+
+    t0 = time.perf_counter()
+    vocab = (
+        term_stats(base, min_n=1, max_n=2)
+        .filter(F.col("document_frequency") >= 5)
+        .select("token")
+    )
+    dictionary = unigram_dictionary(base, extra_vocab=vocab).persist()
+    dictionary.count()
+    by_source = term_stats_pandas(
+        corpus,
+        dictionary,
+        id_col="document_index",
+        group_cols=["source"],
+        min_n=1,
+        max_n=6,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    by_source.count()
+    by_source.groupBy("token").agg(
+        F.sum("document_frequency").alias("document_frequency"),
+        F.sum("term_frequency").alias("term_frequency"),
+        F.sum("tdsum").alias("tdsum"),
+    ).count()
+    elapsed = time.perf_counter() - t0
+    by_source.unpersist()
+    dictionary.unpersist()
+    return {
+        "gb_per_hour": round(text_gb / (elapsed / 3600), 2),
+        "corpus_gb": round(text_gb, 3),
+        "elapsed_sec": round(elapsed, 1),
+        "reference_1gb_6gram": 6.7,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -61,6 +138,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
+    baseline = baseline_gb_per_hour(
+        spark,
+        sf_dir,
+        float(os.environ.get("SPARK_GRAFT_BASELINE_GB", "0.25")),
+    )
     print(
         json.dumps(
             {
@@ -69,6 +151,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "baseline_pipeline": baseline,
             }
         )
     )
