@@ -26,7 +26,8 @@ EXPECTED_QUERIES = {
     "approx_distinct_users", "customer_order_full_outer",
     "order_rank_suite", "trailing_30d_spend", "grouping_sets_revenue",
     "part_brand_intersect_all", "part_brand_except_all",
-    "price_percentiles", "string_functions_suite",
+    "price_percentiles", "string_functions_suite", "q7_nation_volume",
+    "token_positions",
     "math_functions_suite", "doc_token_arrays",
     "orders_above_segment_avg",
     # analytics

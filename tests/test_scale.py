@@ -79,3 +79,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_max_records_per_file_controls_layout(spark, sf_dir, tmp_path):
+    """Writer file-size control: maxRecordsPerFile splits output so no
+    file exceeds the bound — the knob that keeps 100 TB outputs from
+    producing unreadable multi-GB files."""
+    import os
+
+    out = str(tmp_path / "bounded")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    n = li.count()
+    (
+        li.coalesce(1)
+        .write.option("maxRecordsPerFile", 1000)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= n // 1000, files
+    assert spark.read.parquet(out).count() == n

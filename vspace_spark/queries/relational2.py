@@ -306,3 +306,80 @@ def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       year(o_orderdate)::INT AS yr,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2)::DOUBLE
+           AS volume
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey != n2.n_nationkey
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume — the same dimension
+    (nation) joined twice under different roles, with an inequality
+    between the two role keys. Both nation joins broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = dec("l_extendedprice", 2) * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(8,4)"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("c_nk") != F.col("s_nk"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("o_orderdate").alias("yr")
+        )
+        .agg(money(F.sum(vol)).alias("volume"))
+    )
+
+
+@query(
+    "token_positions",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE doc_id < 50)
+SELECT doc_id,
+       (unnest(range(len(toks))))::INT AS pos,
+       toks[unnest(range(len(toks))) + 1] AS token
+FROM t
+""",
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: position-preserving flattening (the arrays_zip/
+    posexplode surface) — token order matters for n-gram provenance."""
+    from vspace_spark.functions.text import tokenize_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(tokenize_col("text")).alias("pos", "token"),
+    )
