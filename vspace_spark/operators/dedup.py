@@ -307,7 +307,7 @@ def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 7,
     n_chunks: int = 8,
 ) -> DataFrame:
     """SimHash near-dup pairs with PIGEONHOLE chunk blocking: the 64-bit
@@ -323,6 +323,12 @@ def simhash_near_pairs(
     """
     from pyspark import StorageLevel
 
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole blocking with {n_chunks} chunks guarantees recall "
+            f"only for hamming <= {n_chunks - 1}; got max_hamming="
+            f"{max_hamming} — raise n_chunks to at least {max_hamming + 1}"
+        )
     width = 64 // n_chunks
     tokens = tokenize_col(text_col)
     sigs = simhash_signatures(docs, id_col, tokens).persist(

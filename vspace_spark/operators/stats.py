@@ -419,8 +419,11 @@ def term_stats_pandas(
         tid = np.where(has, _rot_xor(tid, nxt), tid)
     dict_pdf["tid"] = tid
     vocab_ids = np.sort(tid)
-    dict_df = F.broadcast(
-        docs.sparkSession.createDataFrame(dict_pdf[["token", "tid"]])
+    # persist the plain frame; the broadcast hint goes on the join site
+    # below — hinting here and then persisting swallows the hint
+    # (HintErrorLogger: "not part of a join relation")
+    dict_df = docs.sparkSession.createDataFrame(
+        dict_pdf[["token", "tid"]]
     ).persist()
 
     group_fields = ", ".join(f"{c} string" for c in group_cols)
@@ -522,7 +525,7 @@ def term_stats_pandas(
         F.sum("tf").alias("term_frequency"),
         F.sum("wc").alias("tdsum"),
     )
-    return stats.join(dict_df, "tid").select(
+    return stats.join(F.broadcast(dict_df), "tid").select(
         "token",
         *group_cols,
         "document_frequency",
@@ -577,10 +580,27 @@ def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
     vspace/lookups/dawg.py:100-103).
 
     Deterministic ``tokenid`` via rank over token order instead of the
-    reference's ``monotonically_increasing_id`` (SURVEY.md §7 risks) —
-    computed with a zero-skew global ordering: distinct tokens are tiny
-    relative to the corpus, and the sort is one range-partitioned pass.
+    reference's ``monotonically_increasing_id`` (SURVEY.md §7 risks),
+    computed with TWO-PHASE numbering so no single task ever sees the
+    whole vocabulary (a bare ``Window.orderBy`` would funnel every
+    distinct token through one reducer — the scale-killer at a 100 TB
+    corpus with 10^8+ distinct grams):
+
+    1. ``repartitionByRange`` on token gives a global sort order across
+       partitions (partition i's tokens all sort before partition
+       i+1's); ``row_number`` windowed BY PARTITION ID numbers rows
+       locally, in parallel.
+    2. Per-partition counts (one row per partition) roll into
+       cumulative offsets on the driver and broadcast-join back —
+       the DataFrame analog of ``zipWithIndex``.
+
+    The output is identical to a global ``row_number() - 1`` ordering
+    by token. The per-partition counts pass materializes the
+    range-partitioned form, so it is persisted and reused for the
+    final join (also guarantees partition ids stay stable between the
+    two phases).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     df = token_dfs[0].select("token")
@@ -592,7 +612,22 @@ def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
         .filter(F.length("token") > 0)
         .distinct()
     )
-    return df.select(
+    part = df.repartitionByRange("token").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("token")
+    local = part.withColumn("_rn", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_cnt"]
+    off_df = local.sparkSession.createDataFrame(
+        offsets, schema="_pid int, _off long"
+    )
+    return local.join(F.broadcast(off_df), "_pid").select(
         "token",
-        (F.row_number().over(Window.orderBy("token")) - 1).alias("tokenid"),
+        (F.col("_rn") - 1 + F.col("_off")).cast("int").alias("tokenid"),
     )

@@ -128,16 +128,19 @@ WHERE list_sum(list_transform(range(1, len(x.embedding) + 1),
         i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
       / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
          * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE))))
-      >= 0.8
+      >= 0.4
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.8) blocked by label —
+    """Embedding near-dup pairs (cosine ≥ 0.4) blocked by label —
     returns ids only (set membership, no float column to hash). The
     Spark fold and the DuckDB list_sum accumulate in the same order, so
-    the boundary is deterministic (verified bit-exact)."""
+    the boundary is deterministic (verified bit-exact). Threshold 0.4
+    chosen so the synthetic fixtures actually exercise the math: the
+    sf0.01 table's max in-label cosine is ~0.475, so a production-style
+    0.8+ cut returns 0 == 0 rows and proves nothing (VERDICT r1)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(emb, block_col="label", threshold=0.8)
+    return embedding_near_pairs(emb, block_col="label", threshold=0.4)
 
 
 @query(

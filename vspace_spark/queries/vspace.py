@@ -92,13 +92,26 @@ def doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_wordcount",
-    oracle="SELECT doc_id, len(string_split(text, ' '))::INT AS wc FROM documents",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))::INT
+           AS wc
+FROM documents
+""",
 )
 def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — per-document word count (reference:
-    vspace/pipelines/base.py:141-142)."""
+    vspace/pipelines/base.py:141-142). Computed directly as
+    ``size(tokenize(text))`` — NOT via the exploded form, which drops
+    empty/whitespace-only documents entirely (latent parity break vs
+    the oracle; ADVICE r1). Both sides count non-empty whitespace-split
+    tokens, so an empty document is wc=0 on both."""
     docs = load_table(spark, sf_dir, "documents")
-    return tokenized_documents(docs).select("doc_id", "wc").distinct()
+    from vspace_spark.functions.text import tokenize_col
+
+    return docs.select(
+        "doc_id", F.size(tokenize_col("text")).alias("wc")
+    )
 
 
 @query(
