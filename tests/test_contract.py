@@ -13,7 +13,7 @@ EXPECTED_QUERIES = {
     "term_stats_unigram", "term_stats_ngram", "term_stats_by_source",
     "doc_term_frequencies", "doc_wordcount", "normalize_corpus",
     "vocabulary", "vocab_gated_stats", "source_language_map",
-    "tfidf_top3_per_doc",
+    "tfidf_top3_per_doc", "corpus_job_ini",
     # relational
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_nation_revenue",
     "top3_orders_per_customer", "customer_running_spend",
@@ -49,6 +49,7 @@ EXPECTED_QUERIES = {
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",
     "stream_stateful_user_totals", "stream_purchase_view_join",
+    "stream_purchase_view_left_join",
     # multimodal + UDF shapes
     "multimodal_image_meta", "multimodal_frame_sample",
     "udtf_token_chunks", "grouped_map_source_ranks",

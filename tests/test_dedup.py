@@ -109,7 +109,10 @@ def test_simhash_identical_and_near(spark, sf_dir):
 
 def test_simhash_near_pairs_finds_planted(spark, sf_dir):
     corpus = _with_planted_dups(spark, sf_dir)
-    pairs = simhash_near_pairs(corpus, max_hamming=12, n_chunks=8)
+    # radius 12 needs ≥13 chunks for the pigeonhole guarantee; 16 is the
+    # next divisor of 64 (4-bit chunks — coarser buckets, more
+    # candidates, acceptable at test scale)
+    pairs = simhash_near_pairs(corpus, max_hamming=12, n_chunks=16)
     found = {(r.a, r.b) for r in pairs.collect()}
     planted = {
         (r.doc_id, r.doc_id + 100000)

@@ -17,7 +17,10 @@ DOCS = [
     "the quick brown fox",             # doc 0
     "the quick brown fox",             # doc 1 — exact dup
     "machine learning rocks",          # doc 2 — bigram in vocab
-    "nferdoccount_7 the end",          # doc 3 — docid token must drop
+    "nferdoccount_7 the\nend",         # doc 3 — docid token must drop;
+    #                                    spans a newline (the sentinel is
+    #                                    the record delimiter, so multi-
+    #                                    line documents must NOT fragment)
     "unknown multi gram here",         # doc 4 — bigrams NOT in vocab
 ]
 
@@ -38,7 +41,10 @@ COLLECTIONS = ["machine_learning", "brown_fox"]
 def job_outputs(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("vspace_job")
     corpus = root / "corpus.txt"
-    corpus.write_text(f" {RECORD_DELIMITER} ".join(DOCS))
+    # documents separated by the sentinel on its own line — the layout
+    # the reference's Hadoop record-delimiter reader handles and the
+    # line-split fast path cannot (fragments doc 3 at its newline)
+    corpus.write_text(f"\n{RECORD_DELIMITER}\n".join(DOCS))
     (root / "index.tsv").write_text(
         "\n".join(
             "\t".join(map(str, r + ("m1", "t", "a", "m2", "m3", "m4")))

@@ -92,3 +92,49 @@ def test_corpus_histograms_map_shape(spark):
     assert rows[1].token_counts == {"c": 4} and rows[1].wc == 4
     out = corpus_histograms(docs)
     assert dict(out.dtypes)["token_counts"] == "map<string,bigint>"
+
+
+def test_injectable_normalizer_end_to_end(spark):
+    """EP2 parity (reference: vspace/pipelines/base.py:155-157): a
+    custom normalizer threads through term_stats. The NFC pandas-UDF
+    path folds composed/decomposed Unicode that the ASCII default
+    would mangle — proving the injected stage actually runs."""
+    from vspace_spark.functions.text import normalize_nfc_udf
+    from vspace_spark.operators.stats import term_stats
+
+    docs = spark.createDataFrame(
+        [(0, "Café CAFÉ"), (1, "naïve café")],
+        "doc_id long, text string",
+    )
+    stats = term_stats(docs, normalizer=normalize_nfc_udf)
+    got = {r.token: (r.document_frequency, r.term_frequency) for r in stats.collect()}
+    # NFC unifies e+combining-acute with precomposed é; lower folds case:
+    # doc 0 has café twice, doc 1 once
+    assert got["café"] == (2, 3)
+    assert got["naïve"] == (1, 1)
+
+
+def test_injectable_tokenizer_end_to_end(spark):
+    """The tokenizer parameter the reference declared but silently
+    ignored (SURVEY.md §1.4 quirk 2) is honored here."""
+    from pyspark.sql import functions as F
+    from vspace_spark.operators.stats import term_stats
+
+    docs = spark.createDataFrame([(0, "a,b,a")], "doc_id long, text string")
+    stats = term_stats(docs, tokenizer=lambda c: F.split(c, ","))
+    got = {r.token: r.term_frequency for r in stats.collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_process_corpus_ep2_composition(spark):
+    """load_raw_corpus → process_corpus → compute_stats composes like
+    the reference's library API (EP2, SURVEY.md §3)."""
+    from vspace_spark.operators.stats import compute_stats, process_corpus
+
+    corpus = spark.createDataFrame(
+        [(0, "The quick FOX"), (1, "quick fox runs")],
+        "document_index long, text string",
+    )
+    toks = process_corpus(corpus, min_n=1, max_n=2)
+    stats = {r.token: r.document_frequency for r in compute_stats(toks).collect()}
+    assert stats["quick"] == 2 and stats["quick fox"] == 2 and stats["the"] == 1

@@ -36,19 +36,52 @@ INDEX_SCHEMA = T.StructType(
 def load_raw_corpus(
     spark: SparkSession, path: str, record_delimiter: str = RECORD_DELIMITER
 ) -> DataFrame:
-    """S1 — corpus scan with a custom record delimiter.
+    """S1 — corpus scan with the sentinel as the Hadoop record delimiter.
 
-    Returns ``[document_index: bigint, text: string]``.
+    Returns ``[document_index: bigint, text: string]`` with POSITIONAL
+    ids: document i in file order gets index i, exactly aligning with
+    the index2doc TSV's ``document_index`` column that ``run_job``
+    inner-joins on.
 
-    Spark's text source caps ``lineSep`` at 128 bytes and the sentinel is
-    239 bytes, so we read line-wise (splittable, scales with file size),
-    re-split on the sentinel inside each line, and explode. Documents are
-    numbered with a deterministic global order: ``zipWithIndex`` over the
-    line RDD is the reference's approach
-    (reference: vspace/pipelines/base.py:56-73); we avoid the RDD and use
-    a window-free two-level id: stable within Spark's input order is not
-    guaranteed across scans, so callers needing stable ids should persist
-    the numbered corpus once (the pipeline does).
+    This is the faithful compat path and the repo's ONE sanctioned RDD
+    touchpoint (SURVEY.md §7): Spark's DataFrame text source caps
+    ``lineSep`` at 128 bytes while the sentinel is 239 bytes, and
+    documents may span newlines, so splitting lines on the sentinel
+    fragments multi-line documents (the round-1 bug). Hadoop
+    ``TextInputFormat`` with ``textinputformat.record.delimiter`` splits
+    records in the JVM regardless of newlines — files stay splittable,
+    records are reassembled across input-split boundaries — and
+    ``zipWithIndex`` assigns the positional ids
+    (reference: vspace/pipelines/base.py:56-73). ``zipWithIndex``
+    triggers one extra job to count per-partition records, the same
+    cost the reference paid. Record text is kept verbatim (no trim, no
+    empty-record filter) so ids stay aligned even for empty documents.
+    """
+    raw = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf={"textinputformat.record.delimiter": record_delimiter},
+    )
+    numbered = raw.values().zipWithIndex().map(lambda kv: (kv[1], kv[0]))
+    return spark.createDataFrame(
+        numbered, schema="document_index long, text string"
+    )
+
+
+def load_raw_corpus_lines(
+    spark: SparkSession, path: str, record_delimiter: str = RECORD_DELIMITER
+) -> DataFrame:
+    """S1 fast path — pure-DataFrame sentinel split, for corpora known
+    to keep each document on a single line.
+
+    Reads line-wise and splits each line on the sentinel. LIMITATIONS
+    (why ``load_raw_corpus`` is the default): a document containing a
+    newline fragments into multiple rows, empty documents are dropped,
+    and ``monotonically_increasing_id`` is NOT positional (ids jump at
+    partition boundaries) — do not join these ids against index2doc.
+    Use for ad-hoc scans where ids only need to be distinct.
     """
     lines = spark.read.text(path)
     docs = lines.select(

@@ -23,9 +23,9 @@ Semantics (reference: vspace/pipelines/base.py:192-208):
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vspace_spark.functions.text import (
@@ -34,6 +34,12 @@ from vspace_spark.functions.text import (
     normalize_col,
     tokenize_col,
 )
+
+# Injectable text-processing stages (EP2 parity — the reference's
+# process_corpus(normalizer=, tokenizer=) API, vspace/pipelines/
+# base.py:155-157; the reference declared but ignored the tokenizer
+# parameter, SURVEY.md §1.4 quirk 2 — honored here).
+ColumnFn = Callable[[Column], Column]
 
 
 def tokenized_documents(
@@ -45,12 +51,20 @@ def tokenized_documents(
     max_n: int = 1,
     normalize: bool = False,
     vocabulary: DataFrame | None = None,
+    normalizer: ColumnFn | None = None,
+    tokenizer: ColumnFn | None = None,
 ) -> DataFrame:
     """Corpus → one row per (doc, n-gram) with per-doc tf and wc.
 
     Output: ``[<id_col>, *extra_cols, wc: int, token: string, tf: int]``.
     ``wc`` counts unigrams (the reference's word count,
     vspace/pipelines/base.py:141-142).
+
+    ``normalizer`` / ``tokenizer`` inject alternative Column → Column
+    stages (e.g. ``normalize_nfc_udf`` for non-ASCII corpora); defaults
+    are the built-in codegen'd ``normalize_col`` / ``tokenize_col``.
+    Passing ``normalizer`` implies normalization regardless of the
+    ``normalize`` flag.
 
     Shape: explode the flat n-gram array, then ONE hash aggregation on
     (doc, token) for per-doc tf. Spark's partial aggregation combines
@@ -59,8 +73,13 @@ def tokenized_documents(
     compares per row in interpreted HOF evaluation — measured 2× slower
     end-to-end on the bench corpus, and quadratic in document length.
     """
-    text = normalize_col(text_col) if normalize else F.col(text_col)
-    tokens = tokenize_col(text)
+    if normalizer is not None:
+        text = normalizer(F.col(text_col))
+    elif normalize:
+        text = normalize_col(text_col)
+    else:
+        text = F.col(text_col)
+    tokens = (tokenizer or tokenize_col)(text)
     ex = docs.select(
         id_col,
         *extra_cols,
@@ -106,6 +125,8 @@ def term_stats(
     min_n: int = 1,
     max_n: int = 1,
     vocabulary: DataFrame | None = None,
+    normalizer: ColumnFn | None = None,
+    tokenizer: ColumnFn | None = None,
 ) -> DataFrame:
     """End-to-end: corpus → [vocab-gated] n-gram term statistics.
 
@@ -116,6 +137,9 @@ def term_stats(
     Catalyst instead of collected to the driver. This removes the
     reference's 64 GB driver.maxResultSize requirement
     (reference: conf/spark-defaults.conf:38).
+
+    ``normalizer``/``tokenizer`` are the reference's injectable
+    ``process_corpus`` stages (vspace/pipelines/base.py:155-157).
     """
     toks = tokenized_documents(
         docs,
@@ -125,8 +149,43 @@ def term_stats(
         min_n=min_n,
         max_n=max_n,
         vocabulary=vocabulary,
+        normalizer=normalizer,
+        tokenizer=tokenizer,
     )
     return compute_stats(toks, group_cols)
+
+
+def process_corpus(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "document_index",
+    min_n: int = 1,
+    max_n: int = 1,
+    normalizer: ColumnFn | None = None,
+    tokenizer: ColumnFn | None = None,
+    vocabulary: DataFrame | None = None,
+) -> DataFrame:
+    """EP2 composition entry point — the reference's de-facto library
+    API ``process_corpus(corpus, normalizer=, tokenizer=, ngram_counter=)``
+    (vspace/pipelines/base.py:155-189), re-expressed over DataFrames:
+    ``load_raw_corpus → process_corpus → combine_corpus_with_sources →
+    compute_stats``. The n-gram counting stage is the exploded
+    (doc, token, tf, wc) form rather than an injectable Counter — the
+    part whose physical shape Catalyst must own (SURVEY.md §7); custom
+    normalization/tokenization inject as Column functions, defaulting
+    to the reference's semantics.
+    """
+    return tokenized_documents(
+        corpus,
+        text_col=text_col,
+        id_col=id_col,
+        min_n=min_n,
+        max_n=max_n,
+        normalize=normalizer is None,
+        vocabulary=vocabulary,
+        normalizer=normalizer,
+        tokenizer=tokenizer,
+    )
 
 
 def doc_term_frequencies(

@@ -6,6 +6,7 @@ against a memory sink (streaming/events.py)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from vspace_spark.queries import query
 from vspace_spark.streaming.events import (
@@ -148,3 +149,55 @@ def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_memory(purchases_with_recent_views(events), "append")
+
+
+@query(
+    "stream_purchase_view_left_join",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+horizon AS (
+  SELECT least(
+           (SELECT max(ts) FROM e WHERE event_type = 'purchase'),
+           (SELECT max(ts) FROM e WHERE event_type = 'view')
+         ) - INTERVAL 10 MINUTE AS h
+)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+FROM e p LEFT JOIN e v
+  ON v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+WHERE p.event_type = 'purchase' AND p.ts < (SELECT h FROM horizon)
+""",
+)
+def stream_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-driven
+    null padding (streaming/events.py:purchases_with_optional_views).
+
+    A purchase's null row emits only once the GLOBAL watermark passes
+    its timestamp, and the global watermark is the MIN across both
+    watermark operators of (that side's max observed event time −
+    delay) — with sparse purchases the purchase side is the binding
+    one (verified empirically at sf0.01: an unmatched purchase 22 min
+    before stream end emitted nothing because the purchase-side
+    watermark lagged). So BOTH the streaming result and the batch
+    oracle trim to ``least(max purchase ts, max view ts) − 10 min``
+    for an exact comparison."""
+    import datetime
+
+    from vspace_spark.io.tables import load_table
+    from vspace_spark.streaming.events import purchases_with_optional_views
+
+    events = read_events_stream(spark, sf_dir)
+    res = run_stream_to_memory(purchases_with_optional_views(events), "append")
+    ev = load_table(spark, sf_dir, "events")
+    side_max = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    )
+    horizon = min(r["m"] for r in side_max) - datetime.timedelta(minutes=10)
+    return res.filter(F.col("p_ts") < F.lit(horizon)).select(
+        "purchase_id", "view_id", "user_id"
+    )

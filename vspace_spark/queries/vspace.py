@@ -204,6 +204,97 @@ def vocab_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_job_ini",
+    oracle=f"""
+WITH {_NGRAM_CTE.format(max_n=2)},
+vocab AS (
+  SELECT token FROM perdoc WHERE contains(token, ' ')
+  GROUP BY token HAVING count(*) >= 20
+),
+gated AS (
+  SELECT * FROM perdoc
+  WHERE NOT contains(token, ' ')
+     OR token IN (SELECT token FROM vocab)
+)
+SELECT token,
+       count(*)::BIGINT AS document_frequency,
+       sum(tf)::BIGINT  AS term_frequency,
+       sum(wc)::BIGINT  AS tdsum
+FROM gated GROUP BY token
+""",
+)
+def corpus_job_ini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 — the full INI-driven corpus job under the correctness gate:
+    materialize the reference's five input files from the documents
+    table, run ``run_job`` (sentinel corpus → vocabulary → normalize →
+    gated stats → parquet sinks), read ``global_stats`` back
+    (reference: vspace/pipelines/base.py:306-441).
+
+    Fixture materialization is a test-scale shim (at production scale
+    the corpus/index/src2sub files already exist on storage): the
+    corpus file is the documents joined by the 239-byte sentinel with
+    embedded newlines, so this also exercises the Hadoop
+    record-delimiter reader and positional id alignment end-to-end.
+    The vocabulary (phrases file) is the corpus's own bigrams with
+    document_frequency ≥ 20, so the oracle is self-contained — same
+    gate semantics as ``vocab_gated_stats`` but through the composite
+    job's file → INI → run_job → parquet path."""
+    import tempfile
+    import textwrap
+
+    from vspace_spark.io.sources import RECORD_DELIMITER
+    from vspace_spark.pipelines.corpus_job import JobConfig, run_job
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "source", "text").orderBy("doc_id").collect()
+    bigram_df = (
+        tokenized_documents(docs, min_n=2, max_n=2)
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 20)
+        .select("token")
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="vspace_job_")
+    with open(f"{root}/corpus.txt", "w") as fh:
+        fh.write(f"\n{RECORD_DELIMITER}\n".join(r.text for r in rows))
+    with open(f"{root}/index.tsv", "w") as fh:
+        fh.write(
+            "\n".join(
+                f"{r.doc_id}\tu{r.doc_id}\t{r.source}\t2020\tm1\tt\ta\tm2\tm3\tm4"
+                for r in rows
+            )
+        )
+    srcs = sorted({r.source for r in rows})
+    with open(f"{root}/src2sub.txt", "w") as fh:
+        fh.write("\n".join(f"{s} {s}" for s in srcs))
+    with open(f"{root}/phrases.txt", "w") as fh:
+        fh.write(
+            "\n".join(r.token.replace(" ", "_") for r in bigram_df) or "\n"
+        )
+    with open(f"{root}/collections.txt", "w") as fh:
+        fh.write("zzzz_never_matches")
+    with open(f"{root}/job.conf", "w") as fh:
+        fh.write(
+            textwrap.dedent(
+                f"""\
+                [job]
+                stagingloc = {root}
+                corpus = corpus.txt
+                index2doc = index.tsv
+                src2sub = src2sub.txt
+                phrases = phrases.txt
+                collections = collections.txt
+                outputFolder = {root}/out
+                maxngrams = 2
+                """
+            )
+        )
+    outputs = run_job(spark, JobConfig.from_ini(f"{root}/job.conf"))
+    return spark.read.parquet(outputs["global_stats"])
+
+
+@query(
     "source_language_map",
     oracle="""
 SELECT source,

@@ -160,6 +160,47 @@ def purchases_with_recent_views(events: DataFrame) -> DataFrame:
     return joined.select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
 
 
+def purchases_with_optional_views(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, padded
+    with null view_ids when no same-user view precedes it within an
+    hour. Outer semantics on streams are watermark-driven: a purchase
+    row sits in the join state until the VIEW-side watermark passes its
+    timestamp (no future view can match), and only then emits its
+    null-padded row. Consequence: purchases newer than
+    ``max(event time) - watermark delay`` never emit if unmatched —
+    callers comparing against a batch oracle must trim both sides to
+    that horizon (queries/streaming.py does). Completes the streaming
+    join matrix next to the inner variant above."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "left_outer",
+    )
+    return joined.select(
+        "purchase_id", "view_id", F.col("p_user").alias("user_id"), "p_ts"
+    )
+
+
 def run_stream_foreach_batch_parquet(
     streaming_df: DataFrame, out_dir: str
 ) -> list[int]:
