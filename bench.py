@@ -71,7 +71,13 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
         F.count("*").alias("n"), F.sum(F.length("text")).alias("bytes")
     ).first()
     replicas = max(1, int(target_gb * 1e9 / stats.bytes))
-    corpus_path = _os.path.join(work, f"corpus_{target_gb}gb.parquet")
+    # cache key includes the base-corpus identity (sf tag + doc count),
+    # not just the size — a corpus replicated from a DIFFERENT sf dir
+    # would otherwise be silently reused
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    corpus_path = _os.path.join(
+        work, f"corpus_{sf_tag}_{stats.n}_{target_gb}gb.parquet"
+    )
     if not _os.path.exists(corpus_path):
         shutil.rmtree(work, ignore_errors=True)
         base.crossJoin(

@@ -48,7 +48,10 @@ def main() -> None:
     ).first()
     replicas = max(1, int(target_gb * 1e9 / stats.bytes))
 
-    corpus_path = os.path.join(work, f"corpus_{target_gb}gb.parquet")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    corpus_path = os.path.join(
+        work, f"corpus_{sf_tag}_{stats.n}_{target_gb}gb.parquet"
+    )
     if not os.path.exists(corpus_path):
         shutil.rmtree(work, ignore_errors=True)
         replicated = base.crossJoin(

@@ -44,12 +44,12 @@ EXPECTED_QUERIES = {
     "embedding_norms", "ml_tfidf_features",
     # text analysis
     "doc_token_counts", "doc_quality", "doc_language_id",
-    "doc_fingerprints",
+    "doc_fingerprints", "doc_repetition",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",
     "stream_stateful_user_totals", "stream_purchase_view_join",
-    "stream_purchase_view_left_join",
+    "stream_purchase_view_left_join", "stream_category_counts",
     # multimodal + UDF shapes
     "multimodal_image_meta", "multimodal_frame_sample",
     "udtf_token_chunks", "grouped_map_source_ranks",

@@ -94,6 +94,43 @@ def test_corpus_histograms_map_shape(spark):
     assert dict(out.dtypes)["token_counts"] == "map<string,bigint>"
 
 
+def test_repetition_features_hand_computed(spark):
+    """dup-n-gram fractions and top-token share against hand counts."""
+    from vspace_spark.operators.textanalysis import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # bigrams: [a b, b a, a b] → 3 total, 2 distinct → 1/3
+            # trigrams: [a b a, b a b] → 2 total, 2 distinct → 0
+            # top token: a ×2 of 4 → 0.5
+            (0, "a b a b"),
+            # all unique → 0, 0; top share 1/3
+            (1, "x y z"),
+            # shorter than 2 → both 0; top share 1.0
+            (2, "solo"),
+            # spam: [buy buy ×4] → 4 total 1 distinct → 0.75;
+            # trigrams 3 total 1 distinct → 2/3; top share 1.0
+            (3, "buy buy buy buy buy"),
+        ],
+        "doc_id long, text string",
+    )
+    feats = repetition_features("text")
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", *[c.alias(k) for k, c in feats.items()]
+        ).collect()
+    }
+    assert rows[0].dup_2gram_frac == round(1 - 2 / 3, 6)
+    assert rows[0].dup_3gram_frac == 0.0
+    assert rows[0].top_token_share == 0.5
+    assert rows[1].dup_2gram_frac == 0.0 and rows[1].top_token_share == round(1 / 3, 6)
+    assert rows[2].dup_2gram_frac == 0.0 and rows[2].top_token_share == 1.0
+    assert rows[3].dup_2gram_frac == 0.75
+    assert rows[3].dup_3gram_frac == round(1 - 1 / 3, 6)
+    assert rows[3].top_token_share == 1.0
+
+
 def test_injectable_normalizer_end_to_end(spark):
     """EP2 parity (reference: vspace/pipelines/base.py:155-157): a
     custom normalizer threads through term_stats. The NFC pandas-UDF

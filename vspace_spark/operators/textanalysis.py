@@ -61,6 +61,46 @@ def quality_features(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def repetition_features(text_col: str = "text") -> dict[str, Column]:
+    """Repetition filters (Gopher/RefinedWeb-style): the fraction of
+    duplicated n-grams and the share of the single most frequent token
+    — high values flag boilerplate/spam documents a training pipeline
+    drops.
+
+    ``dup_{2,3}gram_frac`` = 1 − distinct/total n-grams, pure codegen'd
+    array ops over the ``zip_with``-built gram arrays (functions/
+    text.py:ngrams_col) — scan speed. ``top_token_share`` scans the
+    distinct-token histogram (O(distinct × length) per row, JVM-side —
+    same tradeoff as functions.text.histogram, fine for documents up to
+    a few thousand tokens). All ratios are single divisions of exact
+    integer counts rounded to 6 places → deterministic across engines.
+    """
+    from vspace_spark.functions.text import ngrams_col
+
+    tokens = tokenize_col(text_col)
+    wc = F.size(tokens)
+    out: dict[str, Column] = {}
+    for n in (2, 3):
+        grams = ngrams_col(tokens, n)
+        total = F.size(grams)
+        out[f"dup_{n}gram_frac"] = F.when(
+            total > 0,
+            F.round(
+                1 - F.size(F.array_distinct(grams)).cast("double") / total, 6
+            ),
+        ).otherwise(F.lit(0.0))
+    tf_max = F.array_max(
+        F.transform(
+            F.array_distinct(tokens),
+            lambda t: F.size(F.filter(tokens, lambda x: x == t)),
+        )
+    )
+    out["top_token_share"] = F.when(
+        wc > 0, F.round(tf_max.cast("double") / wc, 6)
+    ).otherwise(F.lit(0.0))
+    return out
+
+
 def quality_score(text_col: str = "text") -> Column:
     """Composite quality score in [0, 1]: weighted blend of bounded
     features (Gopher/C4-style heuristics, simplified). Deterministic

@@ -152,6 +152,33 @@ def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_category_counts",
+    oracle="""
+WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+d AS (SELECT * FROM (VALUES ('view','engagement'), ('click','engagement'),
+                            ('purchase','conversion'), ('signup','conversion'),
+                            ('error','ops')) AS t(event_type, category))
+SELECT date_trunc('hour', e.ts) AS window_start,
+       date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS window_end,
+       d.category,
+       count(*)::BIGINT AS n,
+       round(sum(e.value), 6) AS sum_value
+FROM e JOIN d USING (event_type)
+GROUP BY 1, 2, 3
+""",
+)
+def stream_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (events stream ⋈ broadcast category dim) +
+    tumbling hourly rollup (streaming/events.py:hourly_category_counts).
+    Complete mode → every window emitted; the oracle is the batch join
+    + GROUP BY with the dim inlined as VALUES."""
+    from vspace_spark.streaming.events import hourly_category_counts
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(hourly_category_counts(events), "complete")
+
+
+@query(
     "stream_purchase_view_left_join",
     oracle="""
 WITH e AS (SELECT event_id, user_id, event_type,

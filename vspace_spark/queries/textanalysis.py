@@ -12,6 +12,7 @@ from vspace_spark.operators.textanalysis import (
     language_id,
     quality_features,
     quality_score,
+    repetition_features,
     whitespace_token_count,
 )
 from vspace_spark.queries import query
@@ -36,6 +37,43 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitespace_token_count("text").alias("ws_tokens"),
         bpe_ish_token_count("text").alias("bpe_tokens"),
     )
+
+
+@query(
+    "doc_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+g AS (
+  SELECT doc_id, tok,
+         list_transform(range(1, len(tok)),
+                        i -> tok[i] || ' ' || tok[i + 1]) AS g2,
+         list_transform(range(1, len(tok) - 1),
+                        i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])
+             AS g3
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(g2) > 0
+            THEN round(1 - len(list_distinct(g2)) / len(g2), 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN round(1 - len(list_distinct(g3)) / len(g3), 6)
+            ELSE 0.0 END AS dup_3gram_frac,
+       CASE WHEN len(tok) > 0
+            THEN round(list_max(list_transform(list_distinct(tok),
+                       x -> len(list_filter(tok, y -> y = x))))
+                       / len(tok), 6)
+            ELSE 0.0 END AS top_token_share
+FROM g
+""",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (duplicated n-gram fractions + top-token
+    share) — the boilerplate/spam signal a training-data pipeline
+    filters on (operators/textanalysis.py:repetition_features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = repetition_features("text")
+    return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
 
 
 @query(

@@ -92,6 +92,49 @@ def hourly_type_counts(events: DataFrame) -> DataFrame:
     )
 
 
+# Static dimension for the stream-static join demo: event_type →
+# category. In production this is a dimension table on storage,
+# re-read (and re-broadcast) each micro-batch so slowly-changing dims
+# stay fresh without restarting the query.
+EVENT_CATEGORY_DIM = [
+    ("view", "engagement"),
+    ("click", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+
+def hourly_category_counts(events: DataFrame) -> DataFrame:
+    """Stream-STATIC join + windowed aggregation: the event stream is
+    enriched against a static dimension (broadcast per micro-batch —
+    no stream-side state, no watermark needed for the join itself),
+    then rolled up per tumbling hour × category. The remaining shape
+    in the streaming join matrix next to stream-stream inner/left
+    (``purchases_with_recent_views`` / ``purchases_with_optional_views``).
+    """
+    spark = events.sparkSession
+    dim = spark.createDataFrame(
+        EVENT_CATEGORY_DIM, "event_type string, category string"
+    )
+    return (
+        events.join(F.broadcast(dim), "event_type")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "category")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "category",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sliding_type_counts(events: DataFrame) -> DataFrame:
     """Sliding window (1 hour, 30-minute slide): each event lands in 2
     windows."""
