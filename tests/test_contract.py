@@ -50,8 +50,10 @@ EXPECTED_QUERIES = {
     "stream_user_sessions", "stream_dedup_events",
     "stream_stateful_user_totals", "stream_purchase_view_join",
     "stream_purchase_view_left_join", "stream_category_counts",
+    "stream_term_stats",
     # multimodal + UDF shapes
     "multimodal_image_meta", "multimodal_frame_sample",
+    "multimodal_resize_plan", "multimodal_features",
     "udtf_token_chunks", "grouped_map_source_ranks",
     "map_functions_suite",
 }
@@ -59,6 +61,7 @@ EXPECTED_QUERIES = {
 ROWS_ONLY = {
     "approx_distinct_users", "dedup_minhash_lsh", "dedup_simhash",
     "ann_lsh_top5", "ann_ivf_top5", "ml_tfidf_features",
+    "multimodal_features",
 }
 
 

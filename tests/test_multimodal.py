@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from vspace_spark.io.tables import load_table
 from vspace_spark.operators.multimodal import (
     decode_image_meta,
+    extract_features_fake,
     extract_features_stub,
+    resize_plan,
     sample_frames,
     with_binary_payload,
 )
@@ -37,6 +39,47 @@ def test_frame_sample_fan_out(spark, sf_dir):
     bad = per_doc.filter(F.col("n") != F.col("mx") + 1).count()
     assert bad == 0  # frame_idx is dense 0..n-1
     assert frames.count() >= 20  # ≥1 frame per doc
+
+
+def test_fake_features_exact_and_deterministic(spark):
+    """The fake model's output is exactly md5-derived: verify against
+    an independently computed digest, and that dim caps at 16."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.features
+        for r in extract_features_fake(
+            with_binary_payload(docs), dim=8
+        ).collect()
+    }
+    for doc_id, text in [(1, "hello"), (2, "")]:
+        want = [
+            b / 255.0
+            for b in hashlib.md5(text.encode()).digest()[:8]
+        ]
+        assert out[doc_id] == pytest.approx(want, abs=1e-7)
+    with pytest.raises(ValueError, match="at most 16"):
+        extract_features_fake(with_binary_payload(docs), dim=17)
+
+
+def test_resize_plan_aspect_and_bounds(spark, sf_dir):
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    plan = resize_plan(docs)
+    rows = plan.collect()
+    for r in rows:
+        assert 0 < r.out_w <= 224 and 0 < r.out_h <= 224
+        if not r.needs_resize:
+            assert (r.out_w, r.out_h) == (r.width, r.height)
+        else:
+            # exact fixed-point contract, recomputed independently
+            ppm = min(
+                224_000_000 // r.width, 224_000_000 // r.height, 1_000_000
+            )
+            assert r.out_w == r.width * ppm // 1_000_000
+            assert r.out_h == r.height * ppm // 1_000_000
 
 
 def test_feature_stub_raises_cleanly(spark, sf_dir):

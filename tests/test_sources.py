@@ -47,6 +47,31 @@ def test_empty_records_keep_positional_slots(spark, tmp_path):
     assert got[2] == "doc two"
 
 
+def test_cross_split_reassembly_and_positional_ids(spark, tmp_path):
+    """The hard case behind the round-1 bug (ADVICE r1, high): records
+    spanning INPUT-SPLIT boundaries. With split.maxsize forced to 8 KB
+    a ~400 KB corpus reads as ~50 splits, so dozens of documents (and
+    239-byte sentinels) straddle split boundaries. TextInputFormat must
+    reassemble each record in the split that owns its start, and
+    zipWithIndex must number partitions in file-offset order — ids
+    positional, text intact, for every document."""
+    docs = [f"document {i} " + ("x" * (50 + i % 97)) + f"\nline2 of {i}" for i in range(2000)]
+    p = tmp_path / "corpus.txt"
+    p.write_text(RECORD_DELIMITER.join(docs))
+    got = {
+        r.document_index: r.text
+        for r in load_raw_corpus(
+            spark,
+            str(p),
+            hadoop_conf={
+                "mapreduce.input.fileinputformat.split.maxsize": "8192"
+            },
+        ).collect()
+    }
+    assert len(got) == len(docs)
+    assert got == dict(enumerate(docs))
+
+
 def test_lines_fast_path_fragments_multiline_by_design(spark, tmp_path):
     """The documented limitation that makes load_raw_corpus the default:
     the pure-DataFrame fast path splits a multi-line document."""

@@ -34,7 +34,10 @@ INDEX_SCHEMA = T.StructType(
 
 
 def load_raw_corpus(
-    spark: SparkSession, path: str, record_delimiter: str = RECORD_DELIMITER
+    spark: SparkSession,
+    path: str,
+    record_delimiter: str = RECORD_DELIMITER,
+    hadoop_conf: dict[str, str] | None = None,
 ) -> DataFrame:
     """S1 — corpus scan with the sentinel as the Hadoop record delimiter.
 
@@ -57,12 +60,18 @@ def load_raw_corpus(
     cost the reference paid. Record text is kept verbatim (no trim, no
     empty-record filter) so ids stay aligned even for empty documents.
     """
+    conf = {"textinputformat.record.delimiter": record_delimiter}
+    if hadoop_conf:
+        # e.g. mapreduce.input.fileinputformat.split.maxsize — tests
+        # force multiple input splits to exercise cross-split record
+        # reassembly; production tunes scan parallelism the same way
+        conf.update(hadoop_conf)
     raw = spark.sparkContext.newAPIHadoopFile(
         path,
         "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
         "org.apache.hadoop.io.LongWritable",
         "org.apache.hadoop.io.Text",
-        conf={"textinputformat.record.delimiter": record_delimiter},
+        conf=conf,
     )
     numbered = raw.values().zipWithIndex().map(lambda kv: (kv[1], kv[0]))
     return spark.createDataFrame(

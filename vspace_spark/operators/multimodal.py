@@ -112,6 +112,85 @@ def sample_frames(
     return df.select(id_col, bin_col).mapInPandas(sample, FRAME_SCHEMA)
 
 
+def extract_features_fake(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 8
+) -> DataFrame:
+    """Feature extraction with a DETERMINISTIC FAKE model: the feature
+    vector is the first ``dim`` bytes of md5(payload), scaled to
+    [0, 1] float32. Content-derived (not just length-derived), stable
+    across runs/engines, and exercises the REAL model-inference batch
+    shape — Arrow batches in, one fixed-dim vector row out per input,
+    float32 columns — so swapping in an ONNX/torch session changes only
+    the body of ``featurize``. Like the MinHash/SimHash signatures,
+    the output is hash-derived, so the driver's check is rows-only
+    (no portable SQL twin); exact vectors are unit-tested."""
+    if dim > 16:
+        raise ValueError("md5 fake provides at most 16 feature bytes")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            feats = [
+                (
+                    _np.frombuffer(
+                        hashlib.md5(p).digest()[:dim], dtype=_np.uint8
+                    ).astype(_np.float32)
+                    / 255.0
+                )
+                for p in pdf[bin_col]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        extract, "doc_id long, features array<float>"
+    )
+
+
+def resize_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    max_w: int = 224,
+    max_h: int = 224,
+) -> DataFrame:
+    """Aspect-preserving resize PLAN: (width, height) → target box,
+    computed from the (fake) decoded metadata entirely in column
+    expressions — integer arithmetic, so the DuckDB oracle mirrors it
+    exactly. The actual pixel resample belongs in the decode worker
+    (Pillow's ``thumbnail``); planning the target dims relationally
+    means the expensive Python stage only runs on images that NEED
+    resizing (``needs_resize`` pushes down as a filter)."""
+    meta = decode_image_meta(df, id_col=id_col, bin_col=bin_col)
+    # fixed-point: scale ppm = floor(min(max_w/w, max_h/h, 1) * 1e6).
+    # floor() (not cast) on both engines — CAST(double AS BIGINT)
+    # truncates in Spark but ROUNDS in DuckDB; explicit floor is the
+    # portable form. Products stay < 2^53, exact in doubles.
+    scale_ppm = F.least(
+        F.floor(F.lit(max_w * 1000000) / F.col("width")),
+        F.floor(F.lit(max_h * 1000000) / F.col("height")),
+        F.lit(1000000).cast("bigint"),
+    )
+    return meta.select(
+        id_col,
+        "width",
+        "height",
+        F.floor(F.col("width") * scale_ppm / 1000000).cast("int").alias("out_w"),
+        F.floor(F.col("height") * scale_ppm / 1000000).cast("int").alias("out_h"),
+        ((F.col("width") > max_w) | (F.col("height") > max_h)).alias(
+            "needs_resize"
+        ),
+    )
+
+
 def extract_features_stub(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 8
 ) -> DataFrame:

@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from vspace_spark.io.tables import load_table
 from vspace_spark.operators.multimodal import (
     decode_image_meta,
+    extract_features_fake,
+    resize_plan,
     sample_frames,
     with_binary_payload,
 )
@@ -31,6 +33,47 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode stubbed deterministically (operators/multimodal.py)."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return decode_image_meta(docs)
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         (64 + octet_length(encode(text)) % 512) AS width,
+         (64 + (7 * octet_length(encode(text))) % 512) AS height
+  FROM documents
+),
+s AS (
+  SELECT *, least(floor(224000000.0 / width),
+                  floor(224000000.0 / height),
+                  1000000) AS ppm
+  FROM m
+)
+SELECT doc_id, width::INT AS width, height::INT AS height,
+       floor(width * ppm / 1000000.0)::INT AS out_w,
+       floor(height * ppm / 1000000.0)::INT AS out_h,
+       (width > 224 OR height > 224) AS needs_resize
+FROM s
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over decoded metadata —
+    fixed-point integer arithmetic so the oracle mirrors it exactly;
+    the pixel resample itself stays in the (stubbed) decode worker
+    (operators/multimodal.py:resize_plan)."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_plan(docs)
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference batch shape with a deterministic fake model
+    (md5-derived float32 vectors). Hash-derived output → rows-only
+    driver check, exact vectors unit-tested (tests/test_multimodal.py).
+    """
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features_fake(docs)
 
 
 @query(

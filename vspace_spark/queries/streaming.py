@@ -152,6 +152,36 @@ def stream_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_term_stats",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+flat AS (SELECT doc_id, len(t) AS wc, unnest(t) AS token FROM toks),
+perdoc AS (
+  SELECT doc_id, wc, token, count(*) AS tf FROM flat GROUP BY ALL
+)
+SELECT token,
+       count(*)::BIGINT AS document_frequency,
+       sum(tf)::BIGINT  AS term_frequency,
+       sum(wc)::BIGINT  AS tdsum
+FROM perdoc GROUP BY token
+""",
+)
+def stream_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP aggregate (A1 unigram term stats) maintained
+    incrementally over a document stream — the capability the batch
+    reference recomputes per run (streaming/corpus.py). Run to
+    completion on the finite fixture, the result is batch-identical,
+    so it shares the term_stats_unigram oracle semantics."""
+    from vspace_spark.streaming.corpus import (
+        read_documents_stream,
+        streaming_term_stats,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_stream_to_memory(streaming_term_stats(docs), "complete")
+
+
+@query(
     "stream_category_counts",
     oracle="""
 WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),

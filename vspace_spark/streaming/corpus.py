@@ -1,0 +1,66 @@
+"""Incremental term statistics: the reference's flagship A1 aggregate
+(document_frequency / term_frequency / tdsum per token,
+vspace/pipelines/base.py:192-208) maintained over a DOCUMENT STREAM.
+
+The batch reference recomputes stats from scratch per run; here the
+same semantics run as one Structured Streaming aggregation, so a
+corpus that grows (crawl output, ingestion feed) keeps its term
+statistics current without reprocessing history.
+
+Shape: the per-document token histogram is computed INSIDE the row
+(functions.text.histogram — no per-(doc, token) shuffle and, more
+importantly, no second streaming aggregation, which Spark restricts),
+then exploded, leaving exactly ONE stateful aggregation keyed by
+token. State size = vocabulary size, not corpus size — bounded the
+same way the batch pipeline's final shuffle is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vspace_spark.functions.text import histogram, tokenize_col
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (stand-in for an
+    ingestion feed)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def streaming_term_stats(docs: DataFrame) -> DataFrame:
+    """Unigram term stats as a single streaming aggregation.
+
+    All token work (tokenize, distinct, per-doc tf) is row-local
+    column expression — Catalyst, not Python — so the only stateful
+    operator is the final groupBy(token). Complete/update output modes
+    both work; callers running on a finite source use complete for
+    batch-identical results.
+    """
+    tokens = tokenize_col("text")
+    ex = docs.select(
+        F.size(tokens).alias("wc"),
+        F.explode(histogram(tokens)).alias("h"),
+    )
+    return ex.groupBy(F.col("h.token").alias("token")).agg(
+        F.count("*").alias("document_frequency"),
+        F.sum("h.tf").alias("term_frequency"),
+        F.sum("wc").alias("tdsum"),
+    )
