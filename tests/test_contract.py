@@ -44,13 +44,13 @@ EXPECTED_QUERIES = {
     "embedding_norms", "ml_tfidf_features",
     # text analysis
     "doc_token_counts", "doc_quality", "doc_language_id",
-    "doc_fingerprints", "doc_repetition",
+    "doc_fingerprints", "doc_repetition", "doc_train_test_split",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",
     "stream_stateful_user_totals", "stream_purchase_view_join",
     "stream_purchase_view_left_join", "stream_category_counts",
-    "stream_term_stats",
+    "stream_term_stats", "stream_term_stats_ngram",
     # multimodal + UDF shapes
     "multimodal_image_meta", "multimodal_frame_sample",
     "multimodal_resize_plan", "multimodal_features",

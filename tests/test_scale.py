@@ -101,3 +101,39 @@ def test_max_records_per_file_controls_layout(spark, sf_dir, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) >= n // 1000, files
     assert spark.read.parquet(out).count() == n
+
+
+def test_deterministic_sample_stable_under_repartition(spark, sf_dir):
+    """The property rand(seed) lacks: membership is content-addressed,
+    so repartitioning (or a different cluster size) yields the SAME
+    sample. Splits are disjoint+exhaustive and roughly sized."""
+    from vspace_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {
+        r.doc_id
+        for r in deterministic_sample(
+            docs.repartition(17), "doc_id", 0.2
+        ).collect()
+    }
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # independent draw under a different salt
+    s3 = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.2, salt="v2").collect()
+    }
+    assert s3 != s1
+
+    split = docs.select(
+        "doc_id", train_test_split_col("doc_id").alias("split")
+    )
+    counts = {r.split: r.n for r in split.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.8) < 0.1

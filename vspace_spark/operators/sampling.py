@@ -1,0 +1,57 @@
+"""Deterministic, content-addressed sampling for training-data
+pipelines: train/test splits and downsampling that are REPRODUCIBLE
+across runs, engines, and cluster sizes.
+
+``rand(seed)``-based sampling is seed-stable only for a fixed
+partitioning — repartition the input (or move engines) and membership
+changes. Hashing a stable key instead gives every row a permanent
+position in [0, 1): the same document lands in the same split on any
+engine that computes the same digest (md5 here — portable to the
+DuckDB oracle, unlike xxhash64/rand).
+
+Scale: a pure column expression — no shuffle, no state; the filter
+pushes into the scan stage and composes with partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# basis points of the hash space: 32 hash bits → bucket in [0, 10000)
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from md5 of the key (+ optional
+    salt, for drawing independent samples from the same keys)."""
+    c = F.col(key) if isinstance(key, str) else key
+    digest = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % _BUCKETS
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership decided solely by
+    md5(key, salt) — reproducible anywhere, stable under repartition."""
+    return df.filter(hash_bucket(key, salt) < int(fraction * _BUCKETS))
+
+
+def train_test_split_col(
+    key: Column | str,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "",
+) -> Column:
+    """Split label ('train' | 'val' | 'test') from the hash bucket —
+    disjoint, exhaustive, and stable: adding documents never moves an
+    existing one between splits."""
+    b = hash_bucket(key, salt)
+    t_hi = int(train * _BUCKETS)
+    v_hi = t_hi + int(val * _BUCKETS)
+    return (
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test")
+    )

@@ -182,6 +182,38 @@ def stream_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_term_stats_ngram",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, t, len(t) AS wc, unnest(range(1, len(t) + 1)) AS i
+        FROM toks),
+ng AS (SELECT doc_id, wc, array_to_string(t[i:i + n - 1], ' ') AS token
+       FROM pos, (SELECT unnest(range(1, 3)) AS n) AS gn
+       WHERE i + n - 1 <= wc),
+perdoc AS (SELECT doc_id, wc, token, count(*) AS tf FROM ng GROUP BY ALL)
+SELECT token,
+       count(*)::BIGINT AS document_frequency,
+       sum(tf)::BIGINT  AS term_frequency,
+       sum(wc)::BIGINT  AS tdsum
+FROM perdoc GROUP BY token
+""",
+)
+def stream_term_stats_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental 1..2-gram term stats — the flagship's parametric
+    gram range maintained over the document stream, same row-local
+    histogram shape as stream_term_stats."""
+    from vspace_spark.streaming.corpus import (
+        read_documents_stream,
+        streaming_term_stats,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        streaming_term_stats(docs, min_n=1, max_n=2), "complete"
+    )
+
+
+@query(
     "stream_category_counts",
     oracle="""
 WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),

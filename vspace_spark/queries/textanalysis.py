@@ -77,6 +77,34 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_train_test_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bkt
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed 80/10/10 split: membership from
+    md5(doc_id), reproducible across engines/partitionings — the
+    training-pipeline splitter (operators/sampling.py). rand(seed) is
+    NOT stable under repartition; hashes are."""
+    from vspace_spark.operators.sampling import train_test_split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", train_test_split_col("doc_id").alias("split")
+    )
+
+
+@query(
     "doc_quality",
     oracle="""
 WITH f AS (

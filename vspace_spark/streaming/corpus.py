@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from vspace_spark.functions.text import histogram, tokenize_col
+from vspace_spark.functions.text import (
+    everygrams_col,
+    histogram,
+    tokenize_col,
+)
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -45,19 +49,24 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_term_stats(docs: DataFrame) -> DataFrame:
-    """Unigram term stats as a single streaming aggregation.
+def streaming_term_stats(
+    docs: DataFrame, min_n: int = 1, max_n: int = 1
+) -> DataFrame:
+    """N-gram term stats as a single streaming aggregation.
 
-    All token work (tokenize, distinct, per-doc tf) is row-local
-    column expression — Catalyst, not Python — so the only stateful
-    operator is the final groupBy(token). Complete/update output modes
-    both work; callers running on a finite source use complete for
-    batch-identical results.
+    All token work (tokenize, n-gram build, per-doc tf histogram) is
+    row-local column expression — Catalyst, not Python — so the only
+    stateful operator is the final groupBy(token). Complete/update
+    output modes both work; callers running on a finite source use
+    complete for batch-identical results. ``wc`` counts unigrams (the
+    reference's word count) regardless of the gram range, matching
+    operators/stats.py:tokenized_documents.
     """
     tokens = tokenize_col("text")
+    grams = everygrams_col(tokens, min_n, max_n)
     ex = docs.select(
         F.size(tokens).alias("wc"),
-        F.explode(histogram(tokens)).alias("h"),
+        F.explode(histogram(grams)).alias("h"),
     )
     return ex.groupBy(F.col("h.token").alias("token")).agg(
         F.count("*").alias("document_frequency"),
