@@ -134,14 +134,23 @@ def main() -> None:
     # JIT/IO warmup on a trivial action so q1 doesn't pay session costs.
     spark.range(1000).count()
 
+    # min over REPS runs per query: the first execution pays codegen
+    # JIT + page-cache warming, and single-run wall-clock wobbles
+    # ±20% with machine noise (observed r1→r2 on identical plans).
+    # min isolates the plan's steady-state cost, which is the thing
+    # plan changes actually move.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        start = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     baseline = baseline_gb_per_hour(
@@ -155,6 +164,7 @@ def main() -> None:
                 "metric": "headline_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "agg": f"min_of_{reps}",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "baseline_pipeline": baseline,

@@ -5,7 +5,11 @@ import pytest
 
 from vspace_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 keeps CI fast; override to sweep a larger scale:
+#   SPARK_GRAFT_TEST_SF=/root/testdata/sf0.1 pytest tests/test_oracle_parity.py
+import os as _os  # noqa: E402
+
+SF_DIR = _os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

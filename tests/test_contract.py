@@ -50,10 +50,11 @@ EXPECTED_QUERIES = {
     "stream_user_sessions", "stream_dedup_events",
     "stream_stateful_user_totals", "stream_purchase_view_join",
     "stream_purchase_view_left_join", "stream_category_counts",
-    "stream_term_stats", "stream_term_stats_ngram",
+    "stream_term_stats", "stream_term_stats_ngram", "stream_dedup_docs",
     # multimodal + UDF shapes
     "multimodal_image_meta", "multimodal_frame_sample",
     "multimodal_resize_plan", "multimodal_features",
+    "multimodal_audio_chunks",
     "udtf_token_chunks", "grouped_map_source_ranks",
     "map_functions_suite",
 }

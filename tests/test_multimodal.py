@@ -82,6 +82,33 @@ def test_resize_plan_aspect_and_bounds(spark, sf_dir):
             assert r.out_h == r.height * ppm // 1_000_000
 
 
+def test_audio_chunks_cover_duration_exactly(spark):
+    from vspace_spark.operators.multimodal import audio_chunk_plan
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 20000), (1, "y" * 100), (2, "")],
+        "doc_id long, text string",
+    )
+    chunks = audio_chunk_plan(with_binary_payload(docs))
+    rows = sorted(chunks.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: 80000 ms → 3 chunks, last one partial
+    assert [(r.start_ms, r.end_ms) for r in by_doc[0]] == [
+        (0, 30000), (30000, 60000), (60000, 80000)
+    ]
+    # doc 1: 400 ms → one partial chunk
+    assert [(r.start_ms, r.end_ms) for r in by_doc[1]] == [(0, 400)]
+    # doc 2: empty payload → no chunks (sequence guard)
+    assert 2 not in by_doc
+    # chunks tile the duration: contiguous, gap-free
+    for rs in by_doc.values():
+        for a, b in zip(rs, rs[1:]):
+            assert a.end_ms == b.start_ms
+        assert rs[-1].end_ms == rs[0].duration_ms
+
+
 def test_feature_stub_raises_cleanly(spark, sf_dir):
     docs = with_binary_payload(load_table(spark, sf_dir, "documents")).limit(2)
     out = extract_features_stub(docs)

@@ -70,7 +70,9 @@ def job_outputs(spark, tmp_path_factory):
         )
     )
     config = JobConfig.from_ini(str(root / "job.conf"))
-    outputs = run_job(spark, config)
+    metrics: dict[str, float] = {}
+    outputs = run_job(spark, config, metrics_out=metrics)
+    outputs["_metrics"] = metrics
     return spark, outputs
 
 
@@ -85,6 +87,18 @@ def test_vocabulary_union_distinct_translate(job_outputs):
     assert set(vocab) == {"machine learning", "quick brown", "brown fox"}
     # deterministic dense ids in token order
     assert [vocab[t] for t in sorted(vocab)] == [0, 1, 2]
+
+
+def test_observe_metrics_ride_existing_actions(job_outputs):
+    """DataFrame.observe counters filled by run_job's own writes —
+    no extra count() jobs; values match the fixture exactly."""
+    spark, outputs = job_outputs
+    m = outputs["_metrics"]
+    assert m["n_docs"] == len(DOCS)
+    stats = _read(spark, outputs, "global_stats")
+    assert m["n_terms"] == stats.count()
+    assert m["normalized_chars"] > 0
+    assert m["total_term_occurrences"] > 0
 
 
 def test_global_stats_semantics(job_outputs):

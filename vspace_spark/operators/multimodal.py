@@ -112,6 +112,48 @@ def sample_frames(
     return df.select(id_col, bin_col).mapInPandas(sample, FRAME_SCHEMA)
 
 
+def audio_chunk_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    ms_per_byte: int = 4,
+    chunk_ms: int = 30_000,
+) -> DataFrame:
+    """'Audio' chunking plan: split each track into fixed-duration
+    windows (the ASR/embedding pre-step). Duration derives
+    deterministically from payload size (fake decode: ``ms_per_byte``
+    stands in for the container's sample-rate header).
+
+    Unlike frame sampling (mapInPandas fan-out, the Python-worker
+    shape), this is PURE column algebra — ``explode(sequence(...))``
+    fans out JVM-side at scan speed with whole-stage codegen, the
+    right tier when the per-item computation is arithmetic, not a
+    codec. The decode worker then processes (doc, chunk) rows in
+    parallel, which is the point: chunking BEFORE decode spreads one
+    long track across many tasks."""
+    n = F.octet_length(F.col(bin_col))
+    dur = n * ms_per_byte
+    n_chunks = F.ceil(dur / F.lit(chunk_ms)).cast("int")
+    # sequence(0, -1) would yield a DESCENDING [0, -1] for empty
+    # payloads; guard so zero-length tracks produce no chunks
+    idxs = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = df.select(
+        id_col,
+        dur.alias("duration_ms"),
+        F.explode(idxs).alias("chunk_idx"),
+    )
+    start = ex.chunk_idx.cast("long") * chunk_ms
+    return ex.select(
+        id_col,
+        "duration_ms",
+        "chunk_idx",
+        start.alias("start_ms"),
+        F.least(ex.duration_ms, start + chunk_ms).alias("end_ms"),
+    )
+
+
 def extract_features_fake(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 8
 ) -> DataFrame:

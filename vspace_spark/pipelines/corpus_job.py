@@ -87,8 +87,21 @@ def combine_corpus_with_sources(
     return corpus_stats_input.join(doc_source, "document_index")
 
 
-def run_job(spark: SparkSession, config: JobConfig) -> dict[str, str]:
-    """Execute the full job; returns the map of output name → path."""
+def run_job(
+    spark: SparkSession,
+    config: JobConfig,
+    metrics_out: dict[str, float] | None = None,
+) -> dict[str, str]:
+    """Execute the full job; returns the map of output name → path.
+
+    ``metrics_out``, if given, is filled with pipeline observability
+    counters (docs scanned, characters normalized, vocabulary size,
+    stats rows) collected via ``DataFrame.observe`` — they ride the
+    existing write actions, costing ZERO extra jobs, unlike the
+    reference's separate ``count()`` passes. The modern replacement
+    for C1-style job-group bookkeeping at 100 TB, where a stray
+    count() is a full corpus scan.
+    """
     if config.splits:
         spark.conf.set("spark.sql.shuffle.partitions", str(config.splits))
 
@@ -113,11 +126,22 @@ def run_job(spark: SparkSession, config: JobConfig) -> dict[str, str]:
     # --- corpus phase (reference: base.py:373-397) ---
     sc.setJobGroup("corpus", "sentinel-split corpus → normalize")
     corpus = sources.load_raw_corpus(spark, config.corpus)
+    from pyspark.sql import Observation
+
     from vspace_spark.functions.text import normalize_col
 
-    normalized = corpus.select(
-        "document_index", normalize_col("text").alias("text")
-    ).persist()
+    corpus_obs = Observation("corpus")
+    normalized = (
+        corpus.select(
+            "document_index", normalize_col("text").alias("text")
+        )
+        .observe(
+            corpus_obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("normalized_chars"),
+        )
+        .persist()
+    )
     sink(
         normalized.select(
             F.concat_ws("\t", "document_index", "text").alias("value")
@@ -132,6 +156,7 @@ def run_job(spark: SparkSession, config: JobConfig) -> dict[str, str]:
 
     # --- stats phase (reference: base.py:418-437) ---
     sc.setJobGroup("stats", "global + per-source term statistics")
+    stats_obs = Observation("global_stats")
     global_stats = term_stats(
         normalized,
         text_col="text",
@@ -139,6 +164,10 @@ def run_job(spark: SparkSession, config: JobConfig) -> dict[str, str]:
         min_n=1,
         max_n=config.maxngrams,
         vocabulary=vocabulary,
+    ).observe(
+        stats_obs,
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_frequency").alias("total_term_occurrences"),
     )
     sink(global_stats, "global_stats")
 
@@ -156,4 +185,7 @@ def run_job(spark: SparkSession, config: JobConfig) -> dict[str, str]:
 
     vocabulary.unpersist()
     normalized.unpersist()
+    if metrics_out is not None:
+        metrics_out.update(corpus_obs.get)
+        metrics_out.update(stats_obs.get)
     return out

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vspace_spark.io.tables import load_table
 from vspace_spark.operators.multimodal import (
+    audio_chunk_plan,
     decode_image_meta,
     extract_features_fake,
     resize_plan,
@@ -74,6 +75,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_features_fake(docs)
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, octet_length(encode(text)) * 4 AS duration_ms
+  FROM documents
+),
+c AS (
+  SELECT doc_id, duration_ms,
+         ceil(duration_ms / 30000.0)::INT AS n_chunks
+  FROM a
+)
+SELECT doc_id, duration_ms,
+       unnest(range(n_chunks))::INT AS chunk_idx,
+       (unnest(range(n_chunks)) * 30000)::BIGINT AS start_ms,
+       least(duration_ms, unnest(range(n_chunks)) * 30000 + 30000)::BIGINT
+           AS end_ms
+FROM c WHERE n_chunks > 0
+""",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan (fixed 30 s windows from fake-decoded
+    duration) — JVM-side explode(sequence) fan-out, no Python
+    (operators/multimodal.py:audio_chunk_plan)."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return audio_chunk_plan(docs)
 
 
 @query(

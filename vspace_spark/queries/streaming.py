@@ -182,6 +182,40 @@ def stream_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_docs",
+    oracle="""
+SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+           ' ')) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup over the DOCUMENT stream: content
+    fingerprint (md5 of normalized text) → keep the min doc_id per
+    fingerprint with a duplicate count. Aggregation form rather than
+    dropDuplicates so the kept row is DETERMINISTIC under any arrival
+    order — the batch dedup_exact semantics, maintained continuously
+    (state = one row per distinct document)."""
+    from vspace_spark.functions.text import normalize_col
+    from vspace_spark.streaming.corpus import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    dedup = (
+        docs.select(
+            F.md5(normalize_col("text")).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+    return run_stream_to_memory(dedup, "complete")
+
+
+@query(
     "stream_term_stats_ngram",
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
