@@ -93,31 +93,37 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
     n_docs = corpus.count()
     text_gb = n_docs / stats.n * stats.bytes / 1e9
 
-    t0 = time.perf_counter()
-    vocab = (
-        term_stats(base, min_n=1, max_n=2)
-        .filter(F.col("document_frequency") >= 5)
-        .select("token")
-    )
-    dictionary = unigram_dictionary(base, extra_vocab=vocab).persist()
-    dictionary.count()
-    by_source = term_stats_pandas(
-        corpus,
-        dictionary,
-        id_col="document_index",
-        group_cols=["source"],
-        min_n=1,
-        max_n=6,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    by_source.count()
-    by_source.groupBy("token").agg(
-        F.sum("document_frequency").alias("document_frequency"),
-        F.sum("term_frequency").alias("term_frequency"),
-        F.sum("tdsum").alias("tdsum"),
-    ).count()
-    elapsed = time.perf_counter() - t0
-    by_source.unpersist()
-    dictionary.unpersist()
+    # min-of-2 like the headline suite: the phase runs up to 2× slower
+    # inside a JVM that just executed the whole query suite (measured:
+    # 27-62 s for identical work); every rep does the FULL pipeline
+    # (unpersist between) so the timed work is identical.
+    elapsed = float("inf")
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+        t0 = time.perf_counter()
+        vocab = (
+            term_stats(base, min_n=1, max_n=2)
+            .filter(F.col("document_frequency") >= 5)
+            .select("token")
+        )
+        dictionary = unigram_dictionary(base, extra_vocab=vocab).persist()
+        dictionary.count()
+        by_source = term_stats_pandas(
+            corpus,
+            dictionary,
+            id_col="document_index",
+            group_cols=["source"],
+            min_n=1,
+            max_n=6,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        by_source.count()
+        by_source.groupBy("token").agg(
+            F.sum("document_frequency").alias("document_frequency"),
+            F.sum("term_frequency").alias("term_frequency"),
+            F.sum("tdsum").alias("tdsum"),
+        ).count()
+        elapsed = min(elapsed, time.perf_counter() - t0)
+        by_source.unpersist()
+        dictionary.unpersist()
     return {
         "gb_per_hour": round(text_gb / (elapsed / 3600), 2),
         "corpus_gb": round(text_gb, 3),
