@@ -128,3 +128,29 @@ def test_vocabulary_has_no_single_partition_window(spark, sf_dir):
         if "windowspecdefinition" in line and "], [], [" in line
     ]
     assert not offenders, offenders
+
+
+def test_repo_wide_plan_invariants(spark, sf_dir):
+    """Engine-wide physical-plan audit over EVERY registered batch
+    query: (1) no CartesianProduct anywhere — every non-equi join must
+    ride a broadcast (BroadcastNestedLoopJoin with a dimension-sized
+    side), never an all-pairs shuffle; (2) no BatchEvalPython — the
+    row-at-a-time Python UDF evaluator; every Python path must be
+    Arrow-vectorized (ArrowEvalPython / MapInPandas / FlatMapGroups).
+    Streaming queries are skipped (their plan is the memory-sink
+    batch read); a handful of queries run jobs at build time
+    (corpus_job_ini) and are audited via their result plans like the
+    rest."""
+    banned = {
+        "CartesianProduct": "all-pairs shuffle join",
+        "BatchEvalPython": "row-at-a-time Python UDF",
+    }
+    failures: list[str] = []
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_"):
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        for op, why in banned.items():
+            if op in plan:
+                failures.append(f"{name}: {op} ({why})")
+    assert not failures, failures

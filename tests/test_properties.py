@@ -97,3 +97,34 @@ def test_per_source_vs_global_df(spark, corpus):
         .collect()
     }
     assert summed == global_stats
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frac_lo=st.floats(min_value=0.05, max_value=0.45),
+    frac_hi=st.floats(min_value=0.5, max_value=0.95),
+    salt=st.sampled_from(["", "v2", "epoch3"]),
+)
+def test_sampling_invariants(spark, frac_lo, frac_hi, salt):
+    """deterministic_sample: (1) growing the fraction only ADDS rows
+    (monotone containment — a bigger sample of the same salt is a
+    superset, the property that makes staged experiments comparable);
+    (2) train/val/test partitions the keyspace exactly."""
+    from vspace_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split_col,
+    )
+
+    docs = _docs_df(spark, ["d"] * 200).select("doc_id")
+    lo = {r.doc_id for r in deterministic_sample(docs, "doc_id", frac_lo, salt).collect()}
+    hi = {r.doc_id for r in deterministic_sample(docs, "doc_id", frac_hi, salt).collect()}
+    assert lo <= hi
+    splits = docs.select(
+        "doc_id", train_test_split_col("doc_id", salt=salt).alias("s")
+    ).collect()
+    assert len(splits) == 200
+    assert {r.s for r in splits} <= {"train", "val", "test"}

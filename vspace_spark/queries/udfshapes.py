@@ -29,8 +29,14 @@ def udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (PySpark 3.5+ ``@udtf``): split each document into
     10-token chunks — one input row → many output rows, the
     table-function contract (the training-data chunking primitive).
-    Arrow-optimized when ``spark.sql.execution.pythonUDTF.arrow.enabled``
-    is on."""
+
+    Arrow evaluation is enabled explicitly: the default UDTF
+    evaluator is row-at-a-time BatchEvalPython (pickle per row — the
+    slow path the repo bans; tests/test_plans.py audits every plan
+    for it), Arrow batches it. Set here rather than in the session
+    factory so the query carries its requirement under any vanilla
+    session."""
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, chunk_idx int, chunk string")
