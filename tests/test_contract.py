@@ -45,6 +45,7 @@ EXPECTED_QUERIES = {
     # text analysis
     "doc_token_counts", "doc_quality", "doc_language_id",
     "doc_fingerprints", "doc_repetition", "doc_train_test_split",
+    "doc_oov_rate",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",

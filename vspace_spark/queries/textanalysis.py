@@ -4,6 +4,7 @@ quality scoring, language ID, fingerprinting."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from vspace_spark.io.tables import load_table
 from vspace_spark.operators.textanalysis import (
@@ -74,6 +75,54 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = repetition_features("text")
     return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+
+
+@query(
+    "doc_oov_rate",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+flat AS (SELECT doc_id, len(t) AS wc, unnest(t) AS token FROM toks),
+perdoc AS (SELECT doc_id, wc, token, count(*) AS tf
+           FROM flat GROUP BY ALL),
+stats AS (SELECT token, count(*) AS df FROM perdoc GROUP BY token)
+SELECT p.doc_id,
+       any_value(p.wc)::INT AS wc,
+       sum(CASE WHEN s.df <= 2 THEN p.tf ELSE 0 END)::BIGINT
+           AS rare_tokens,
+       round(sum(CASE WHEN s.df <= 2 THEN p.tf ELSE 0 END)
+             / any_value(p.wc), 6) AS oov_rate
+FROM perdoc p JOIN stats s USING (token)
+GROUP BY p.doc_id
+""",
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-as-model composite: the flagship term statistics serve as
+    the vocabulary model, and each document is scored by the fraction
+    of its token instances that are corpus-rare (document_frequency ≤
+    2) — gibberish/OCR-noise detection for training-data curation.
+    Integer counts + one division + round → deterministic across
+    engines (no log-likelihood float folds). The stats side is
+    vocabulary-sized → broadcast join; per-doc tf comes from the
+    exploded histogram, so the corpus passes the wire once."""
+    from vspace_spark.operators.stats import term_stats, tokenized_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = term_stats(docs).select("token", "document_frequency")
+    perdoc = tokenized_documents(docs)
+    joined = perdoc.join(F.broadcast(stats), "token")
+    return joined.groupBy("doc_id").agg(
+        F.first("wc").alias("wc"),
+        F.sum(
+            F.when(F.col("document_frequency") <= 2, F.col("tf")).otherwise(0)
+        ).alias("rare_tokens"),
+        F.round(
+            F.sum(
+                F.when(F.col("document_frequency") <= 2, F.col("tf")).otherwise(0)
+            ).cast("double")
+            / F.first("wc"),
+            6,
+        ).alias("oov_rate"),
+    )
 
 
 @query(
