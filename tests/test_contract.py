@@ -46,6 +46,8 @@ EXPECTED_QUERIES = {
     "doc_token_counts", "doc_quality", "doc_language_id",
     "doc_fingerprints", "doc_repetition", "doc_train_test_split",
     "doc_oov_rate",
+    # curation
+    "doc_decontamination", "doc_pack_sequences", "domain_mixture_weights",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",

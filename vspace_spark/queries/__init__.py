@@ -54,6 +54,7 @@ def load_all() -> None:
         vspace,
         streaming,
         textanalysis,
+        curation,
         udfshapes,
         similarity,
         dedup,

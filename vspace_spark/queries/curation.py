@@ -1,0 +1,166 @@
+"""Training-data curation queries: benchmark decontamination,
+sequence packing, and domain-mixture reweighting — the operations a
+pretraining pipeline runs between raw corpus and trainer input,
+expressed over the same ``documents`` table as the flagship stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vspace_spark.functions.text import ngrams_col, tokenize_col
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.sampling import train_test_split_col
+from vspace_spark.queries import query
+
+# Contamination gram width. Real pipelines use ~13-gram collision
+# (GPT-3/PaLM decontamination); 8 keeps the check non-vacuous on the
+# short synthetic fixture docs while exercising the identical plan.
+_DECON_N = 8
+
+
+@query(
+    "doc_decontamination",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+             AS bkt
+  FROM documents
+),
+g AS (
+  SELECT doc_id, bkt, unnest(range(len(t) - {_DECON_N} + 1)) AS i, t
+  FROM s WHERE len(t) >= {_DECON_N}
+),
+ng AS (
+  SELECT doc_id, bkt,
+         list_aggregate(t[i + 1:i + {_DECON_N}], 'string_agg', ' ')
+             AS gram
+  FROM g
+),
+ev AS (SELECT DISTINCT gram FROM ng WHERE bkt >= 9000)
+SELECT ng.doc_id, count(DISTINCT ng.gram)::BIGINT AS contaminated_ngrams
+FROM ng JOIN ev USING (gram)
+WHERE ng.bkt < 8000
+GROUP BY ng.doc_id
+""",
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training-split documents that
+    share any 8-gram with the held-out test split (the same
+    content-addressed md5 split as ``doc_train_test_split``), with the
+    count of distinct colliding grams. Train docs with no collision
+    are absent (nothing to scrub).
+
+    Scale shape: the eval side is benchmark-sized (a test suite, not a
+    corpus) — its distinct grams broadcast, so the training corpus is
+    scanned once with a map-side semi filter and the only shuffle is
+    the per-doc count aggregation. The train side's grams come from
+    the same linear zip_with pass as the flagship n-gram stats.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        train_test_split_col("doc_id").alias("split"),
+        tokenize_col("text").alias("t"),
+    ).filter(F.size("t") >= _DECON_N)
+    grams = toks.select(
+        "doc_id",
+        "split",
+        F.explode(ngrams_col(F.col("t"), _DECON_N)).alias("gram"),
+    )
+    ev = (
+        grams.filter(F.col("split") == "test").select("gram").distinct()
+    )
+    hits = grams.filter(F.col("split") == "train").join(
+        F.broadcast(ev), "gram"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("gram").alias("contaminated_ngrams")
+    )
+
+
+@query(
+    "doc_pack_sequences",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t != '')) AS wc
+  FROM documents
+),
+c AS (
+  SELECT doc_id, wc,
+         (sum(wc) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - wc)::BIGINT AS start_offset
+  FROM w WHERE wc > 0
+)
+SELECT doc_id, wc::INT AS wc, start_offset,
+       (start_offset // 512)::BIGINT AS first_seq,
+       ((start_offset + wc - 1) // 512 - start_offset // 512
+        + 1)::BIGINT AS n_seqs
+FROM c
+""",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing plan (budget 512 tokens): each
+    document's global token offset in doc_id order, the training
+    sequence its first token lands in, and how many sequences it spans.
+    The prefix sum is TWO-PHASE (``operators.packing.pack_plan``) — a
+    bare ``Window.orderBy`` would funnel the whole corpus through one
+    task, the exact single-reducer shape VERDICT r1 flagged on
+    vocabulary ids. All-BIGINT arithmetic (``div`` here, ``//`` in the
+    oracle — CAST would round vs truncate differently, NOTES.md)."""
+    from vspace_spark.operators.packing import pack_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = docs.select(
+        "doc_id", F.size(tokenize_col("text")).alias("wc")
+    ).filter(F.col("wc") > 0)
+    return pack_plan(wc, wc_col="wc", order_col="doc_id", budget=512)
+
+
+@query(
+    "domain_mixture_weights",
+    oracle="""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t != '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_tokens)::BIGINT AS tot, count(*)::BIGINT AS k FROM s)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot, 6) AS token_share,
+       round(tot / (k * n_tokens), 6) AS weight_uniform
+FROM s, t
+""",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per-source document/token counts,
+    each source's share of the token stream, and the resampling weight
+    that would flatten the mixture to uniform (weight > 1 ⇒ upsample).
+    The mixture table is #sources-sized, so the corpus-total scalar
+    rides a broadcast nested-loop join onto it (the asserted-correct
+    shape for scalar joins, tests/test_plans.py) — the corpus itself
+    is touched once, by the groupBy scan. Single exact-int division
+    then round(6) on each float column (cross-engine float
+    discipline, NOTES.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize_col("text"))).cast("long").alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("long").alias("_tot"),
+        F.count("*").cast("long").alias("_k"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+        F.round(
+            F.col("_tot") / (F.col("_k") * F.col("n_tokens")), 6
+        ).alias("weight_uniform"),
+    )

@@ -67,16 +67,6 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(docs)
 
 
-@query("multimodal_features")
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-inference batch shape with a deterministic fake model
-    (md5-derived float32 vectors). Hash-derived output → rows-only
-    driver check, exact vectors unit-tested (tests/test_multimodal.py).
-    """
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features_fake(docs)
-
-
 @query(
     "multimodal_audio_chunks",
     oracle="""
@@ -103,6 +93,20 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py:audio_chunk_plan)."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return audio_chunk_plan(docs)
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference batch shape with a deterministic fake model
+    (md5-derived float32 vectors). Hash-derived output → rows-only
+    driver check, exact vectors unit-tested (tests/test_multimodal.py).
+
+    Registered AFTER the oracle-backed multimodal queries: rows-only
+    evidence is the weakest driver signal, so it is first to rotate
+    out of the driver's 50-query checked window.
+    """
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features_fake(docs)
 
 
 @query(
