@@ -62,4 +62,5 @@ def load_all() -> None:
         analytics,
         relational,
         relational2,
+        relational3,
     )

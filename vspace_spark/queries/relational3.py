@@ -1,0 +1,265 @@
+"""Relational surface, part 3: the remaining classic TPC-H shapes the
+fixture schema can express — EXISTS semi-joins, single-scalar filtered
+aggregates, left-join distributions, HAVING top-k, group-share ratios.
+Predicates are adapted where the fixture lacks a TPC-H column (no
+l_commitdate/l_receiptdate/partsupp): the late-shipment EXISTS uses
+l_shipdate vs o_orderdate + 90 days instead of commit/receipt."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vspace_spark.io.tables import load_table
+from vspace_spark.operators.relational import dec, money
+from vspace_spark.queries import query
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(8,4))), 2)::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single filtered scalar aggregate — every predicate
+    pushes to the parquet scan (range + between + less-than), no join,
+    no shuffle beyond the final partial-agg merge. Exact decimal
+    product/sum per float discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        money(
+            F.sum(dec("l_extendedprice", 2) * dec("l_discount", 4))
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q4_priority_late_orders",
+    oracle="""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → LEFT SEMI join with a
+    non-equi residual (shipped > 90 days after order). The semi join
+    keeps each order once regardless of how many lineitems are late —
+    the distinguishing semantics vs an inner join + distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(8,4))), 2)::DOUBLE
+           AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue, top 20 customers. Fact scan
+    carries both pushed filters; customer and nation broadcast; the
+    only big shuffle is the per-customer aggregation. Deterministic
+    top-k tie-break on c_custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice", 2) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(money(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM co GROUP BY c_count
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count distribution including zero-order
+    customers (LEFT join + count of the nullable key — count(col)
+    skips nulls, so no-order customers land in bucket 0). Two
+    aggregations; the second is #distinct-counts-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    co = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q18_large_quantity_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_custkey, o_orderkey, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING on a pre-aggregate, then join back. The
+    filtered big-order list is tiny → broadcast into orders, so the
+    orders/customer side never shuffles. l_quantity values are whole
+    numbers ≤ 50 with short sums — double addition is exact here, and
+    the BIGINT cast happens after the exact sum on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 250)
+        .select(
+            "l_orderkey", F.col("_qty").cast("long").alias("total_qty")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.select("c_custkey", "o_orderkey", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT n_c.n_name AS market,
+         year(o_orderdate)::INT AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4)) AS volume,
+         n_s.n_name = 'NATION_3' AS from_n3
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+)
+SELECT market, o_year,
+       round(sum(CASE WHEN from_n3 THEN volume ELSE 0 END) / sum(volume),
+             6) AS n3_share
+FROM rev GROUP BY market, o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of each market's yearly revenue
+    (supplier nation NATION_3 within every customer-nation market).
+    Customer, supplier, and nation broadcast twice under distinct
+    aliases; the fact table shuffles once, for the (market, year)
+    aggregation. Share = one double division of exact decimal sums,
+    then round(6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("market")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = dec("l_extendedprice", 2) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("s_nkey"))
+        .select(
+            "market",
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            (F.col("supp_nation") == "NATION_3").alias("from_n3"),
+        )
+    )
+    return joined.groupBy("market", "o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("from_n3"), F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("n3_share")
+    )
