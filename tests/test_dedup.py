@@ -60,6 +60,28 @@ def test_minhash_lsh_recall_against_exact_jaccard(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} truths)"
 
 
+def test_minhash_portable_recall_against_exact_jaccard(spark, sf_dir):
+    """The md5-portable variant (the oracle-checked registered query)
+    keeps LSH recall at the planted-dup threshold: 8 bands × 4 rows →
+    P(collide | J=0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.982."""
+    from vspace_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    corpus = _with_planted_dups(spark, sf_dir)
+    exact = {
+        (r.a, r.b)
+        for r in shingle_pairs_jaccard(corpus, n=3, threshold=0.8).collect()
+    }
+    assert exact
+    candidates = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs_portable(
+            corpus, shingle_n=3, num_hashes=32, bands=8
+        ).collect()
+    }
+    recall = len(exact & candidates) / len(exact)
+    assert recall >= 0.9, f"portable LSH recall {recall} ({len(exact)} truths)"
+
+
 def test_minhash_est_jaccard_tracks_true_jaccard(spark, sf_dir):
     corpus = _with_planted_dups(spark, sf_dir)
     est = minhash_lsh_pairs(corpus, shingle_n=3, num_hashes=64, bands=16)

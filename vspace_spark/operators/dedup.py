@@ -231,6 +231,103 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash + LSH with PORTABLE hashing: md5-derived 60-bit ints
+    instead of ``xxhash64``, so an ANSI-SQL engine reproduces every
+    signature bit-for-bit and the whole operator sits under the
+    value-hash oracle gate (the xxhash64 path in
+    :func:`minhash_lsh_pairs` is the cheaper production hot path but
+    has no SQL twin — this variant trades ~2× hash cost for
+    end-to-end cross-engine verifiability).
+
+    Same scale shape as the fast path: distinct shingles materialized
+    once and hashed ``num_hashes`` times in one projection (no
+    re-evaluation of the shingle array per seed — the Catalyst no-CSE
+    trap), per-seed MIN with map-side partial aggregation, band bucket
+    key = the band's min-values joined as a string (no second-level
+    hash — fewer cross-engine moving parts; the extra bytes ride only
+    the bucket shuffle). Returns ``[a, b, est_jaccard]``.
+    """
+    from pyspark import StorageLevel
+
+    rows = num_hashes // bands
+    tokens = ngrams_col(tokenize_col(text_col), shingle_n)
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens)).alias("_sh"),
+    )
+
+    def h(i: int) -> F.Column:
+        # 15 hex chars = 60 bits → always a positive BIGINT; DuckDB
+        # twin: ('0x' || substr(md5(i || ':' || shingle), 1, 15))::BIGINT
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_sh"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    hashed = ex.select(
+        "_id", *[h(i).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    mins = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    sigs = mins.select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "sig", "bb.band", "bb.bucket")
+    left = banded.select(
+        "band", "bucket", F.col("_id").alias("a"), F.col("sig").alias("_siga")
+    )
+    right = banded.select(
+        "band", "bucket", F.col("_id").alias("b"), F.col("sig").alias("_sigb")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_siga", "_sigb")
+        .dropDuplicates(["a", "b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("_siga", "_sigb", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.select(
+        "a", "b", (agree / F.lit(num_hashes)).alias("est_jaccard")
+    )
+
+
 def simhash_col(tokens: F.Column, bits: int = 64) -> F.Column:
     """64-bit SimHash as bigint: per token, ``xxhash64`` supplies the
     bit pattern; each bit position accumulates +1/-1 weighted votes and

@@ -63,4 +63,5 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        extras,
     )

@@ -1,10 +1,13 @@
 """Deduplication queries over the documents/embeddings tables.
 
 Oracle strategy: exact and Jaccard dedup are fully SQL-expressible (the
-inverted-index formulation is plain relational algebra). MinHash/SimHash
-use Spark's xxhash64 (no DuckDB twin) → declared rows-only; their
-correctness is covered by recall/precision tests against the exact
-Jaccard pairs (tests/test_dedup.py).
+inverted-index formulation is plain relational algebra). The registered
+MinHash query uses PORTABLE md5-derived signatures so the full LSH
+pipeline sits under the value-hash oracle gate; the cheaper xxhash64
+production path stays registered as ``dedup_minhash_lsh_fast``
+(rows-only, queries/extras.py). SimHash uses xxhash64 bit votes (no
+DuckDB twin) → rows-only; recall/precision vs the exact Jaccard pairs
+is tested in tests/test_dedup.py for both.
 """
 
 from __future__ import annotations
@@ -15,7 +18,7 @@ from pyspark.sql import functions as F
 from vspace_spark.io.tables import load_table
 from vspace_spark.operators.dedup import (
     embedding_near_pairs,
-    minhash_lsh_pairs,
+    minhash_lsh_pairs_portable,
     shingle_pairs_jaccard,
     simhash_near_pairs,
 )
@@ -99,14 +102,60 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("dedup_minhash_lsh")  # xxhash64 signatures — no SQL twin; see tests
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(range(len(t) - 2)) AS i, t
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(t[i + 1:i + 3], 'string_agg', ' ') AS shingle
+  FROM g
+),
+seeds AS (SELECT unnest(range(32)) AS seed),
+h AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))
+             ::BIGINT) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh, ',' ORDER BY seed) AS bucket
+  FROM h GROUP BY doc_id, seed // 4
+),
+p AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+),
+agree AS (
+  SELECT p.a, p.b, sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS k
+  FROM p
+  JOIN h ha ON ha.doc_id = p.a
+  JOIN h hb ON hb.doc_id = p.b AND hb.seed = ha.seed
+  GROUP BY p.a, p.b
+)
+SELECT a, b, round(k / 32.0, 6) AS est_jaccard FROM agree
+""",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(16 bands) candidate pairs with estimated
-    Jaccard — the sub-quadratic near-dup path. Recall vs the exact
-    Jaccard pairs is asserted in tests/test_dedup.py."""
+    """MinHash(32, md5-portable) + LSH(8 bands × 4 rows) candidate
+    pairs with estimated Jaccard — the sub-quadratic near-dup path,
+    fully under the DuckDB oracle gate (every signature, bucket, and
+    estimate reproduced bit-for-bit cross-engine). The cheaper
+    xxhash64 hot path is ``dedup_minhash_lsh_fast``; recall vs exact
+    Jaccard pairs is asserted for both in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, shingle_n=3, num_hashes=64, bands=16)
-    return pairs.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    pairs = minhash_lsh_pairs_portable(
+        docs, shingle_n=3, num_hashes=32, bands=8
+    )
+    return pairs.select(
+        "a", "b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
 
 
 @query("dedup_simhash")  # xxhash64 bit votes — no SQL twin; see tests
