@@ -144,6 +144,24 @@ def test_simhash_near_pairs_finds_planted(spark, sf_dir):
     assert recall >= 0.9, f"simhash blocking recall {recall}"
 
 
+def test_simhash_portable_finds_planted(spark, sf_dir):
+    """The md5-portable 60-bit variant (the oracle-checked registered
+    query) finds planted near-dups at a pigeonhole-guaranteed radius:
+    one-word edits land within Hamming 9 of the original, so 10 × 6-bit
+    chunks guarantee their recall."""
+    from vspace_spark.operators.dedup import simhash_near_pairs_portable
+
+    corpus = _with_planted_dups(spark, sf_dir)
+    pairs = simhash_near_pairs_portable(corpus, max_hamming=9, n_chunks=10)
+    found = {(r.a, r.b) for r in pairs.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in corpus.filter(F.col("doc_id") < 100000).collect()
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"portable simhash recall {recall}"
+
+
 def test_exact_dedup_keeps_min_id(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     doubled = docs.unionByName(

@@ -460,6 +460,100 @@ def simhash_near_pairs(
     )
 
 
+def simhash_near_pairs_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 5,
+    n_chunks: int = 6,
+    bits: int = 60,
+) -> DataFrame:
+    """SimHash near-dup pairs with PORTABLE hashing: md5-derived
+    60-bit token patterns (15 hex chars → always-positive BIGINT, so
+    no sign-bit special case) instead of ``xxhash64``, making every
+    vote, signature, chunk key, and Hamming distance reproducible in
+    ANSI SQL — the whole operator sits under the value-hash oracle
+    gate. The 64-bit xxhash64 path (:func:`simhash_near_pairs`) stays
+    the production hot path.
+
+    Same pigeonhole construction: ``n_chunks`` equal chunks guarantee
+    recall for Hamming ≤ n_chunks - 1 (6 × 10-bit chunks → radius 5).
+    Same scale shape as :func:`simhash_signatures`: one md5 per
+    distinct token, ``bits`` SUM votes map-side combined, the only
+    shuffles being the vote aggregation and the (chunk, value) bucket
+    self-join.
+    """
+    from pyspark import StorageLevel
+
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole blocking with {n_chunks} chunks guarantees "
+            f"recall only for hamming <= {n_chunks - 1}; got "
+            f"max_hamming={max_hamming}"
+        )
+    width = bits // n_chunks
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokenize_col(text_col))).alias("_t"),
+    ).select(
+        "_id",
+        F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("_h", j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"_v{j}") > 0, F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    sigs = votes.select("_id", sig.alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("sig", c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    blocked = sigs.select(
+        "_id", "sig", F.explode(chunks).alias("ck")
+    ).select("_id", "sig", "ck.chunk", "ck.val")
+    left = blocked.select(
+        "chunk", "val", F.col("_id").alias("a"), F.col("sig").alias("_sa")
+    )
+    right = blocked.select(
+        "chunk", "val", F.col("_id").alias("b"), F.col("sig").alias("_sb")
+    )
+    return (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            hamming64(F.col("_sa"), F.col("_sb"))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def embedding_near_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

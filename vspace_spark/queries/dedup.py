@@ -20,7 +20,7 @@ from vspace_spark.operators.dedup import (
     embedding_near_pairs,
     minhash_lsh_pairs_portable,
     shingle_pairs_jaccard,
-    simhash_near_pairs,
+    simhash_near_pairs_portable,
 )
 from vspace_spark.operators.textanalysis import fingerprint
 from vspace_spark.queries import query
@@ -158,13 +158,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # xxhash64 bit votes — no SQL twin; see tests
+@query(
+    "dedup_simhash",
+    oracle="""
+WITH toks0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+toks AS (SELECT DISTINCT doc_id, token FROM toks0),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) j
+  GROUP BY doc_id, j.j
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+             AS sig
+  FROM bits GROUP BY doc_id
+),
+ck AS (
+  SELECT doc_id, sig, c.c, (sig >> (c.c * 10)) & 1023 AS val
+  FROM sig CROSS JOIN (SELECT unnest(range(6)) AS c) c
+),
+p AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+  FROM ck x JOIN ck y ON x.c = y.c AND x.val = y.val
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(sa, sb))::INT AS hamming
+FROM p WHERE bit_count(xor(sa, sb)) <= 5
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs (Hamming ≤ 7) with 8×8-bit
-    pigeonhole chunk blocking — guaranteed recall at this radius
-    (operators/dedup.py:simhash_near_pairs)."""
+    """SimHash(60-bit, md5-portable) near-dup pairs (Hamming ≤ 5) with
+    6×10-bit pigeonhole chunk blocking — guaranteed recall at this
+    radius, and every signature bit reproduced by the DuckDB oracle
+    (operators/dedup.py:simhash_near_pairs_portable). The 64-bit
+    xxhash64 hot path is ``dedup_simhash_fast``."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=7, n_chunks=8)
+    return simhash_near_pairs_portable(docs, max_hamming=5, n_chunks=6)
 
 
 @query(

@@ -9,7 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vspace_spark.io.tables import load_table
-from vspace_spark.operators.dedup import minhash_lsh_pairs
+from vspace_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
 from vspace_spark.queries import query
 
 
@@ -24,3 +27,12 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "a", "b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
+
+
+@query("dedup_simhash_fast")  # xxhash64 bit votes — no SQL twin
+def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit xxhash64) near-dup pairs (Hamming ≤ 7, 8×8-bit
+    pigeonhole blocking) — the 100 TB hot path; the md5-portable
+    oracle-checked twin holds the primary ``dedup_simhash`` name."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=7, n_chunks=8)
