@@ -53,7 +53,7 @@ EXPECTED_QUERIES = {
     "q13_customer_distribution", "q18_large_quantity_orders",
     "q8_market_share",
     # extras (out-of-window hot-path variants)
-    "dedup_minhash_lsh_fast", "dedup_simhash_fast",
+    "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",
@@ -70,7 +70,7 @@ EXPECTED_QUERIES = {
 
 ROWS_ONLY = {
     "approx_distinct_users", "dedup_minhash_lsh_fast", "dedup_simhash_fast",
-    "ann_lsh_top5", "ann_ivf_top5", "ml_tfidf_features",
+    "ann_lsh_top5_fast", "ann_ivf_top5", "ml_tfidf_features",
     "multimodal_features",
 }
 

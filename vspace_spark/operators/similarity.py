@@ -77,6 +77,28 @@ def random_hyperplanes(dim: int, bits: int, spark) -> DataFrame:
     return rows
 
 
+def portable_hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic hyperplanes an ANSI-SQL engine can reproduce:
+    component (b, i) = md5("b:i") first 13 hex chars → 52-bit int,
+    scaled to [-1, 1). Every step is EXACT in IEEE double (52-bit
+    mantissa, division by 2^51 is an exponent shift, the final -1
+    cannot round), so Python, the JVM, and DuckDB all hold the same
+    64 bits — the whole LSH bucket assignment becomes oracle-checkable.
+    Tiny (bits × dim floats), computed driver-side, embedded as
+    literals."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:13], 16)
+            / float(2**51)
+            - 1.0
+            for i in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
 def lsh_signature(vec: F.Column, planes: list[list[float]]) -> F.Column:
     """Sign-of-dot-product signature as a bigint bucket id (≤ 63 bits)."""
     sig = F.lit(0).cast("bigint")
@@ -179,6 +201,7 @@ def lsh_topk(
     bits: int = 4,
     tables: int = 8,
     dim: int = 64,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k with OR-amplified LSH: ``tables`` independent
     ``bits``-bit signatures; a corpus vector is a candidate if it shares
@@ -186,18 +209,23 @@ def lsh_topk(
     per-hyperplane agreement p). Candidates per query ≈
     tables × N / 2^bits, still ≪ N.
 
+    ``planes`` overrides the hyperplane source (pass
+    :func:`portable_hyperplanes` for the md5-derived oracle-checkable
+    set); the default stays the xxhash64-derived table.
+
     At 100 TB the corpus side is hashed once (narrow projection) and the
     exploded (table, bucket) index can be persisted/partitioned; only
     candidate buckets are ever scored.
 
     Returns ``[query_id, neighbor_id, rank]`` (rank within candidates).
     """
-    planes = [
-        r["plane"]
-        for r in random_hyperplanes(dim, bits * tables, spark)
-        .orderBy("bit")
-        .collect()
-    ]
+    if planes is None:
+        planes = [
+            r["plane"]
+            for r in random_hyperplanes(dim, bits * tables, spark)
+            .orderBy("bit")
+            .collect()
+        ]
 
     def signatures(vec: F.Column) -> F.Column:
         return F.array(

@@ -29,6 +29,19 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_lsh_top5_fast")  # xxhash64-derived hyperplanes — no SQL twin
+def ann_lsh_top5_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH top-5 with the xxhash64-derived hyperplane
+    table — kept for plane-source parity with the JVM hot path; the
+    md5-portable oracle-checked twin holds ``ann_lsh_top5``."""
+    from vspace_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < 10), emb, spark, k=5, bits=4, tables=8
+    )
+
+
 @query("dedup_simhash_fast")  # xxhash64 bit votes — no SQL twin
 def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit xxhash64) near-dup pairs (Hamming ≤ 7, 8×8-bit

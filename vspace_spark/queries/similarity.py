@@ -44,15 +44,65 @@ def ann_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
-@query("ann_lsh_top5")  # hyperplanes derive from xxhash64 — no SQL twin
+@query(
+    "ann_lsh_top5",
+    oracle=f"""
+WITH p AS (
+  SELECT b.b AS bit,
+         list_transform(range(0, 64),
+           i -> ('0x' || substr(md5(b.b::VARCHAR || ':' || i::VARCHAR),
+                 1, 13))::BIGINT / 2251799813685248.0 - 1) AS plane
+  FROM (SELECT unnest(range(32)) AS b) b
+),
+sigs AS (
+  SELECT e.vec_id, p.bit // 4 AS tbl,
+         sum(CASE WHEN list_sum(list_transform(
+                    range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
+             THEN 1 << (p.bit % 4) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e CROSS JOIN p
+  GROUP BY e.vec_id, p.bit // 4
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_COS.format(a="qe.embedding", b="ce.embedding")} AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         (row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT
+             AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
 def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via OR-amplified random-hyperplane LSH
     (8 tables × 4 bits) — the scale path: each query scores only its
-    buckets (~8·N/16). Recall vs brute force asserted in
-    tests/test_similarity.py."""
+    buckets (~8·N/16). PORTABLE md5-derived hyperplanes (exact in
+    IEEE double on every engine) put bucket assignment, candidate
+    set, and ranking all under the DuckDB oracle gate; the xxhash64
+    plane table remains as ``ann_lsh_top5_fast``. Recall vs brute
+    force asserted in tests/test_similarity.py."""
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
-        emb.filter(F.col("vec_id") < 10), emb, spark, k=5, bits=4, tables=8
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        spark,
+        k=5,
+        bits=4,
+        tables=8,
+        planes=portable_hyperplanes(64, 32),
     )
 
 
