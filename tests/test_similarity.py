@@ -31,6 +31,47 @@ def test_lsh_planes_deterministic(spark):
     assert [r.plane for r in p1] == [r.plane for r in p2]
 
 
+def test_portable_planes_bit_exact_across_engines():
+    """The ann_lsh_top5 oracle rests on every plane component being
+    the SAME 64 bits in Python, the JVM, and DuckDB: 13 md5 hex chars
+    (52 bits) divided by 2^51 minus 1 — each step exact in IEEE
+    double. Compare Python hashlib against DuckDB verbatim (==, no
+    tolerance); the JVM side is covered transitively by the oracle
+    parity test."""
+    import duckdb
+
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    py = portable_hyperplanes(8, 4)
+    rows = duckdb.sql(
+        """
+        SELECT b.b, list_transform(range(0, 8),
+          i -> ('0x' || substr(md5(b.b::VARCHAR || ':' || i::VARCHAR),
+                1, 13))::BIGINT / 2251799813685248.0 - 1) AS plane
+        FROM (SELECT unnest(range(4)) AS b) b ORDER BY b.b
+        """
+    ).fetchall()
+    duck = [list(r[1]) for r in rows]
+    assert py == duck
+
+
+def test_portable_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Same recall bar for the oracle-checked md5-plane variant."""
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = lsh_topk(
+        q, emb, spark, k=5, bits=4, tables=8,
+        planes=portable_hyperplanes(64, 32),
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"portable LSH recall {recall}"
+
+
 def test_bruteforce_self_excluded_and_k(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
