@@ -54,16 +54,29 @@ def main() -> None:
     )
     if not os.path.exists(corpus_path):
         shutil.rmtree(work, ignore_errors=True)
-        replicated = base.crossJoin(
-            spark.range(replicas).select(F.col("id").alias("replica"))
-        ).select(
-            (F.col("doc_id") * replicas + F.col("replica")).alias(
-                "document_index"
-            ),
-            "text",
-            "source",
+        # Repartition the TINY base (MBs) before the broadcast
+        # crossJoin so the fan-out runs as 64 parallel map tasks that
+        # write directly — repartitioning AFTER replication would
+        # funnel the full target_gb through a shuffle (observed: a
+        # single-task 52 GB shuffle write at 50 GB).
+        replicated = (
+            base.repartition(64)
+            .crossJoin(
+                F.broadcast(
+                    spark.range(replicas).select(
+                        F.col("id").alias("replica")
+                    )
+                )
+            )
+            .select(
+                (F.col("doc_id") * replicas + F.col("replica")).alias(
+                    "document_index"
+                ),
+                "text",
+                "source",
+            )
         )
-        replicated.repartition(64).write.parquet(corpus_path)
+        replicated.write.parquet(corpus_path)
 
     corpus = spark.read.parquet(corpus_path)
     n_docs = corpus.count()
