@@ -48,6 +48,7 @@ EXPECTED_QUERIES = {
     "doc_oov_rate",
     # curation
     "doc_decontamination", "doc_pack_sequences", "domain_mixture_weights",
+    "curated_corpus",
     # relational part 3 (TPC-H shapes)
     "q6_forecast_revenue", "q4_priority_late_orders", "q10_returned_revenue",
     "q13_customer_distribution", "q18_large_quantity_orders",

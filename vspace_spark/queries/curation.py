@@ -121,6 +121,114 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curated_corpus",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x != '')
+             AS toks,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+             AS bkt
+  FROM documents
+),
+f AS (
+  SELECT doc_id, len(toks) AS wc, bkt
+  FROM t
+  WHERE len(toks) >= 20
+    AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3
+),
+keeper AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+g AS (
+  SELECT doc_id, bkt, unnest(range(len(toks) - {_DECON_N} + 1)) AS i,
+         toks
+  FROM t WHERE len(toks) >= {_DECON_N}
+),
+ng AS (
+  SELECT doc_id, bkt,
+         list_aggregate(toks[i + 1:i + {_DECON_N}], 'string_agg', ' ')
+             AS gram
+  FROM g
+),
+ev AS (SELECT DISTINCT gram FROM ng WHERE bkt >= 9000),
+contaminated AS (
+  SELECT DISTINCT ng.doc_id FROM ng JOIN ev USING (gram)
+  WHERE ng.bkt < 8000
+),
+surv AS (
+  SELECT f.doc_id, f.wc
+  FROM f JOIN keeper USING (doc_id)
+  WHERE f.bkt < 8000
+    AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+packed AS (
+  SELECT doc_id, wc,
+         (sum(wc) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - wc)::BIGINT AS start_offset
+  FROM surv
+)
+SELECT doc_id, wc::INT AS wc, start_offset,
+       (start_offset // 512)::BIGINT AS first_seq
+FROM packed
+""",
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as one declarative plan:
+    length + lexical-diversity quality gate → exact-dedup keeper
+    (min-id per text) → train split (content-addressed md5 buckets) →
+    benchmark decontamination (drop any train doc sharing an 8-gram
+    with the test split) → concat-then-chunk pack offsets over the
+    survivors. What a pretraining data pipeline actually runs between
+    raw corpus and trainer input, composed from this repo's operators
+    with every stage under the same value-hash oracle.
+
+    Scale shape: the corpus is tokenized ONCE (shared subplan for the
+    quality gate and the gram explode); the dedup keeper is one hash
+    agg; eval grams broadcast; the anti-join is broadcast-sized (the
+    contaminated-id list); packing's prefix sum is the two-phase
+    shape. No stage reads the text twice.
+    """
+    from vspace_spark.operators.packing import pack_plan
+    from vspace_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        tokenize_col("text").alias("toks"),
+        hash_bucket("doc_id").alias("bkt"),
+    )
+    f = toks.withColumn("wc", F.size("toks")).filter(
+        (F.col("wc") >= 20)
+        & (
+            F.size(F.array_distinct("toks")).cast("double") / F.col("wc")
+            >= 0.3
+        )
+    )
+    keeper = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    grams = toks.filter(F.size("toks") >= _DECON_N).select(
+        "doc_id",
+        "bkt",
+        F.explode(ngrams_col(F.col("toks"), _DECON_N)).alias("gram"),
+    )
+    ev = grams.filter(F.col("bkt") >= 9000).select("gram").distinct()
+    contaminated = (
+        grams.filter(F.col("bkt") < 8000)
+        .join(F.broadcast(ev), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    surv = (
+        f.join(keeper.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("bkt") < 8000)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "wc")
+    )
+    return pack_plan(surv, wc_col="wc", order_col="doc_id").select(
+        "doc_id", "wc", "start_offset", "first_seq"
+    )
+
+
+@query(
     "domain_mixture_weights",
     oracle="""
 WITH s AS (
