@@ -52,7 +52,7 @@ EXPECTED_QUERIES = {
     # relational part 3 (TPC-H shapes)
     "q6_forecast_revenue", "q4_priority_late_orders", "q10_returned_revenue",
     "q13_customer_distribution", "q18_large_quantity_orders",
-    "q8_market_share",
+    "q8_market_share", "q17_small_quantity_revenue", "q15_top_supplier",
     # extras (out-of-window hot-path variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
     # streaming

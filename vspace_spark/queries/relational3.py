@@ -197,6 +197,83 @@ def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / 7.0,
+             2) AS avg_yearly
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < 0.2 * aq
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average threshold —
+    computed as a self-aggregate join (one pass builds per-part
+    averages, the fact scan filters against them). The per-part
+    average table is |parts|-sized → broadcast; quantities are
+    integer-valued doubles so avg = exact-sum / exact-count is
+    deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    joined = li.join(F.broadcast(pa), "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("aq")
+    )
+    return joined.agg(
+        F.round(
+            F.sum(dec("l_extendedprice", 2)).cast("double") / 7.0, 2
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH sr AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(8,4))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(rev, 2)::DOUBLE AS total_revenue
+FROM sr JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev = (SELECT max(rev) FROM sr)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier(s) by quarterly revenue — the
+    view-plus-scalar-subquery shape. The revenue table aggregates
+    once and is reused for both the max (one-row broadcast) and the
+    equality filter; EXACT decimal revenue makes the `rev = max(rev)`
+    tie semantics deterministic (double revenue could drop a true
+    co-maximum on either engine)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = dec("l_extendedprice", 2) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    sr = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev"))
+    mx = sr.agg(F.max("rev").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            money(F.col("rev")).alias("total_revenue"),
+        )
+    )
+
+
+@query(
     "q8_market_share",
     oracle="""
 WITH rev AS (
