@@ -73,3 +73,26 @@ def test_stream_dedup_drops_late_duplicates(spark, sf_dir, tmp_path):
         "SELECT count(DISTINCT event_id) FROM dedup_late"
     ).first()[0]
     assert n == 1000 and distinct == 1000, (n, distinct)
+
+
+def test_streaming_pandas_histogram_matches_hof(spark, sf_dir):
+    """The Arrow-vectorized streaming histogram (the measured ingest
+    hot path, scripts/streaming_bench.py) is row-for-row identical to
+    the interpreted-HOF formulation the registered query uses — and to
+    the same aggregation run in batch."""
+    from vspace_spark.io.tables import load_table
+    from vspace_spark.streaming.corpus import (
+        read_documents_stream,
+        streaming_term_stats,
+        streaming_term_stats_pandas,
+    )
+    from vspace_spark.streaming.events import run_stream_to_memory
+
+    stream = read_documents_stream(spark, sf_dir)
+    fast = run_stream_to_memory(
+        streaming_term_stats_pandas(stream), "complete"
+    )
+    batch = streaming_term_stats(load_table(spark, sf_dir, "documents"))
+    got = {tuple(r) for r in fast.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want

@@ -73,3 +73,68 @@ def streaming_term_stats(
         F.sum("h.tf").alias("term_frequency"),
         F.sum("wc").alias("tdsum"),
     )
+
+
+def streaming_term_stats_pandas(docs: DataFrame) -> DataFrame:
+    """Unigram streaming term stats with the per-doc histogram
+    VECTORIZED in an Arrow ``mapInPandas`` stage instead of the
+    interpreted ``histogram`` HOF — same single-stateful-agg shape
+    (mapInPandas is stateless, so streaming still sees exactly one
+    aggregation), same output, ~4× the ingest rate on the bench corpus
+    (scripts/streaming_bench.py; the HOF's O(distinct × tokens)
+    interpreted compares dominate the hot path, PERF.md).
+
+    The histogram batches: whitespace-split per row, flatten,
+    ``pd.factorize`` the flat token array into EXACT integer codes
+    (hash-table string equality, C speed, no collision semantics to
+    reason about), lexsort on (code, row), run lengths = per-doc tf.
+    The closure is self-contained (numpy/pandas imported inside) —
+    executor Python workers cannot import vspace_spark when the
+    driver runs elsewhere (NOTES.md seam 2).
+    """
+
+    def histogram_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            toks = pdf["text"].str.split()
+            wc = toks.map(len).to_numpy(np.int64)
+            keep = wc > 0
+            if not keep.any():
+                continue
+            toks, wck = toks[keep], wc[keep]
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]
+            )
+            row_idx = np.repeat(np.arange(len(wck)), wck)
+            codes, uniques = pd.factorize(flat)
+            order = np.lexsort((codes, row_idx))
+            codes, row_idx = codes[order], row_idx[order]
+            boundary = np.empty(codes.size, dtype=bool)
+            boundary[0] = True
+            np.logical_or(
+                row_idx[1:] != row_idx[:-1],
+                codes[1:] != codes[:-1],
+                out=boundary[1:],
+            )
+            starts = np.flatnonzero(boundary)
+            tf = np.diff(np.append(starts, codes.size)).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "token": uniques.take(codes[starts]),
+                    "tf": tf,
+                    "wc": wck[row_idx[starts]],
+                }
+            )
+
+    perdoc = docs.mapInPandas(
+        histogram_batches, "token string, tf long, wc long"
+    )
+    return perdoc.groupBy("token").agg(
+        F.count("*").alias("document_frequency"),
+        F.sum("tf").alias("term_frequency"),
+        F.sum("wc").alias("tdsum"),
+    )
