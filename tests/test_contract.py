@@ -53,8 +53,9 @@ EXPECTED_QUERIES = {
     "q6_forecast_revenue", "q4_priority_late_orders", "q10_returned_revenue",
     "q13_customer_distribution", "q18_large_quantity_orders",
     "q8_market_share", "q17_small_quantity_revenue", "q15_top_supplier",
-    # extras (out-of-window hot-path variants)
+    # extras (out-of-window variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
+    "ann_ivf_fixed_top5",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",

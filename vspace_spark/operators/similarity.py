@@ -77,7 +77,9 @@ def random_hyperplanes(dim: int, bits: int, spark) -> DataFrame:
     return rows
 
 
-def portable_hyperplanes(dim: int, bits: int) -> list[list[float]]:
+def portable_hyperplanes(
+    dim: int, bits: int, salt: str = ""
+) -> list[list[float]]:
     """Deterministic hyperplanes an ANSI-SQL engine can reproduce:
     component (b, i) = md5("b:i") first 13 hex chars → 52-bit int,
     scaled to [-1, 1). Every step is EXACT in IEEE double (52-bit
@@ -85,12 +87,16 @@ def portable_hyperplanes(dim: int, bits: int) -> list[list[float]]:
     cannot round), so Python, the JVM, and DuckDB all hold the same
     64 bits — the whole LSH bucket assignment becomes oracle-checkable.
     Tiny (bits × dim floats), computed driver-side, embedded as
-    literals."""
+    literals. ``salt`` draws an independent set from the same scheme
+    (e.g. "c" for the fixed-codebook IVF centroids)."""
     import hashlib
 
     return [
         [
-            int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:13], 16)
+            int(
+                hashlib.md5(f"{salt}{b}:{i}".encode()).hexdigest()[:13],
+                16,
+            )
             / float(2**51)
             - 1.0
             for i in range(dim)
@@ -117,31 +123,41 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: KMeans partitions the corpus into cells; each
-    query scores only its ``n_probe`` nearest cells. The inverted-file
+    """IVF-style ANN: partition the corpus into cells; each query
+    scores only its ``n_probe`` nearest cells. The inverted-file
     structure every vector database uses, expressed relationally:
-    train on a sample, assign = broadcast-centroid argmin, probe =
-    equi-join on cell id.
+    assign = broadcast-centroid argmin, probe = equi-join on cell id.
+
+    ``centers=None`` trains a KMeans codebook (the quality path —
+    engine-specific, rows-only under the driver gate); passing fixed
+    ``centers`` (e.g. ``portable_hyperplanes(dim, n_cells, salt="c")``)
+    makes assignment + probing + ranking fully deterministic and
+    SQL-reproducible — the oracle-checked path. Both use the same
+    argmin/probe/score plan.
 
     At 100 TB: training samples a fraction, assignment is a narrow map,
     and the cell-partitioned corpus can be written out bucketed by cell
     so probes become partition-pruned scans.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    with_vec = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        array_to_vector(F.col(vec_col)).alias("_features"),
-    )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_features")
-    model = km.fit(with_vec.select("_features"))
-    assigned = model.transform(with_vec).select(
-        "neighbor_id", "_cv", F.col("prediction").alias("cell")
-    )
-    centers = [c.tolist() for c in model.clusterCenters()]
+        with_vec = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            array_to_vector(F.col(vec_col)).alias("_features"),
+        )
+        km = KMeans(k=n_cells, seed=seed, featuresCol="_features")
+        model = km.fit(with_vec.select("_features"))
+        assigned = model.transform(with_vec).select(
+            "neighbor_id", "_cv", F.col("prediction").alias("cell")
+        )
+        centers = [c.tolist() for c in model.clusterCenters()]
+    else:
+        assigned = None  # built below once cell_dists exists
 
     def cell_dists(vec: F.Column) -> F.Column:
         # squared L2 to each centroid, as (dist, cell) structs
@@ -162,6 +178,19 @@ def ivf_topk(
                 )
                 for i, c in enumerate(centers)
             ]
+        )
+
+    if assigned is None:
+        # fixed codebook: corpus assignment = argmin over the same
+        # (dist, cell) structs — array_sort's (dist, cell) field order
+        # gives the deterministic lowest-cell tie-break the oracle's
+        # ORDER BY dist, cell mirrors
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.array_sort(cell_dists(F.col(vec_col)))[0]["cell"].alias(
+                "cell"
+            ),
         )
 
     q = queries.select(
