@@ -83,15 +83,20 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
     )
     if not _os.path.exists(corpus_path):
         shutil.rmtree(work, ignore_errors=True)
-        base.crossJoin(
-            spark.range(replicas).select(F.col("id").alias("replica"))
+        # repartition the MB-size base BEFORE the broadcast fan-out —
+        # repartitioning after replication would shuffle the full
+        # corpus through the base's few input tasks (PERF.md)
+        base.repartition(64).crossJoin(
+            F.broadcast(
+                spark.range(replicas).select(F.col("id").alias("replica"))
+            )
         ).select(
             (F.col("doc_id") * replicas + F.col("replica")).alias(
                 "document_index"
             ),
             "text",
             "source",
-        ).repartition(64).write.parquet(corpus_path)
+        ).write.parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
     n_docs = corpus.count()
     text_gb = n_docs / stats.n * stats.bytes / 1e9
