@@ -128,3 +128,38 @@ def test_sampling_invariants(spark, frac_lo, frac_hi, salt):
     ).collect()
     assert len(splits) == 200
     assert {r.s for r in splits} <= {"train", "val", "test"}
+
+
+PACK_WCS = st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60)
+PACK_BUDGET = st.integers(min_value=1, max_value=64)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wcs=PACK_WCS, budget=PACK_BUDGET)
+def test_pack_plan_invariants(spark, wcs, budget):
+    """Concat-then-chunk invariants for arbitrary corpora/budgets:
+    offsets are the exclusive prefix sum in order (gap- and
+    overlap-free), the span count matches the offsets, and the
+    stream's total length is preserved."""
+    from vspace_spark.operators.packing import pack_plan
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, wc=w) for i, w in enumerate(wcs)]
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_plan(df, budget=budget).collect()
+    }
+    assert len(rows) == len(wcs)
+    offset = 0
+    for i, w in enumerate(wcs):
+        r = rows[i]
+        assert r.start_offset == offset
+        assert r.first_seq == offset // budget
+        assert r.n_seqs == (offset + w - 1) // budget - offset // budget + 1
+        offset += w
+    assert offset == sum(wcs)
