@@ -55,7 +55,7 @@ EXPECTED_QUERIES = {
     "q8_market_share", "q17_small_quantity_revenue", "q15_top_supplier",
     # extras (out-of-window variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
-    "ann_ivf_fixed_top5",
+    "ann_ivf_fixed_top5", "stream_dedup_embeddings",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",

@@ -120,6 +120,119 @@ def ann_ivf_fixed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_dedup_embeddings",
+    oracle="""
+WITH p AS (
+  SELECT b.b AS bit,
+         list_transform(range(0, 64),
+           i -> ('0x' || substr(md5(b.b::VARCHAR || ':' || i::VARCHAR),
+                 1, 13))::BIGINT / 2251799813685248.0 - 1) AS plane
+  FROM (SELECT unnest(range(32)) AS b) b
+),
+sigs AS (
+  SELECT e.vec_id, p.bit // 4 AS tbl,
+         sum(CASE WHEN list_sum(list_transform(
+                    range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
+             THEN 1 << (p.bit % 4) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.bit // 4
+),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM sigs x JOIN sigs y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+),
+sc AS (
+  SELECT pairs.a, pairs.b,
+         list_sum(list_transform(range(1, len(x.embedding) + 1),
+                  i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(x.embedding,
+                  v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(y.embedding,
+                  v -> v::DOUBLE * v::DOUBLE)))) AS cos
+  FROM pairs
+  JOIN embeddings x ON x.vec_id = pairs.a
+  JOIN embeddings y ON y.vec_id = pairs.b
+)
+SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.4
+""",
+)
+def stream_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online embedding near-dup detection AT INGEST: the embedding
+    stream joins the static LSH-bucketed corpus on (table, bucket) —
+    a stateless stream-static equi-join on a derived key, so each
+    arriving vector is checked against only its buckets, never the
+    full corpus — then exact cosine confirms (≥ 0.4) and a stateful
+    dropDuplicates de-dups pairs surfaced by multiple tables. Fully
+    oracle-checked (portable md5 hyperplanes). Production note: the
+    pair-dedup state is bounded by a watermark on arrival time; the
+    finite replay here needs none.
+    """
+    from pyspark.sql import types as T
+
+    from vspace_spark.functions.vectors import cosine_similarity
+    from vspace_spark.operators.similarity import (
+        lsh_signature,
+        portable_hyperplanes,
+    )
+    from vspace_spark.streaming.events import run_stream_to_memory
+
+    planes = portable_hyperplanes(64, 32)
+    bits, tables = 4, 8
+
+    def with_sigs(df, id_alias, vec_alias):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(vec_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_signature(
+                                F.col("embedding"),
+                                planes[t * bits : (t + 1) * bits],
+                            ).alias("bucket"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("s"),
+        ).select(id_alias, vec_alias, "s.tbl", "s.bucket")
+
+    static = with_sigs(load_table(spark, sf_dir, "embeddings"), "b", "_vb")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    arriving = with_sigs(stream, "a", "_va")
+    matched = (
+        arriving.join(static, ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_c"),
+        )
+        .filter(F.col("_c") >= 0.4)  # RAW threshold, mirroring the
+        # oracle's WHERE cos >= 0.4 — filtering the rounded value
+        # would disagree on cosines in [0.3999995, 0.4)
+        .select("a", "b", F.round("_c", 6).alias("cos"))
+        .dropDuplicates(["a", "b"])
+    )
+    return run_stream_to_memory(matched, "append")
+
+
 @query("dedup_simhash_fast")  # xxhash64 bit votes — no SQL twin
 def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit xxhash64) near-dup pairs (Hamming ≤ 7, 8×8-bit
