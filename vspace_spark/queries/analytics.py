@@ -280,10 +280,15 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
+    # global top-k via sort+limit (TakeOrderedAndProject: per-partition
+    # partial top-10 + driver merge — parallel at any corpus size), NOT
+    # an unpartitioned row_number window, which would funnel every
+    # scored doc through one task (the r1 vocabulary-id scale-killer).
+    # The rank window then runs over the 10 surviving rows only.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "rank")
     )
 
