@@ -140,6 +140,80 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
     }
 
 
+# key-shift domains for the 10× scale-up: every key column shifts by
+# replica * (max(parent key) + 1), keeping joins consistent (an order's
+# replica joins its customer's replica) and keys globally unique.
+_SCALE_KEYED = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
+}
+_SCALE_SPAN_SOURCE = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
+}
+
+
+def materialize_scaled_sf(spark, sf_dir: str, replicas: int = 10) -> str:
+    """Replicate every table of ``sf_dir`` ``replicas``× into /tmp with
+    consistent key shifts — a synthetic sf1 from sf0.1, giving per-query
+    times a scale TREND (constant factors and accidental
+    single-partition stages hide at one scale; a 10× point exposes
+    them). Dimension tables (region/nation, fixed-size in TPC-H) copy
+    unchanged; every other table's keys shift per replica so join
+    fan-outs scale like real data, not like a keyspace collision.
+    Cached across runs; materialization is untimed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    dest = f"/tmp/bench_scaled_{sf_tag}_x{replicas}"
+    marker = os.path.join(dest, "_DONE")
+    if os.path.exists(marker):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    from vspace_spark.io.tables import TABLE_NAMES, load_table
+
+    spans = {
+        dom: load_table(spark, sf_dir, tbl).agg(F.max(col)).first()[0] + 1
+        for dom, (tbl, col) in _SCALE_SPAN_SOURCE.items()
+    }
+    rep = F.broadcast(spark.range(replicas).select(F.col("id").alias("_r")))
+    for name in TABLE_NAMES:
+        src = load_table(spark, sf_dir, name)
+        out = os.path.join(dest, f"{name}.parquet")
+        keyed = _SCALE_KEYED.get(name)
+        if not keyed:
+            src.write.mode("overwrite").parquet(out)
+            continue
+        scaled = src.crossJoin(rep)
+        for col, dom in keyed.items():
+            scaled = scaled.withColumn(
+                col, F.col(col) + F.col("_r") * F.lit(spans[dom])
+            )
+        scaled.drop("_r").write.mode("overwrite").parquet(out)
+    with open(marker, "w") as fh:
+        fh.write(str(replicas))
+    return dest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -167,24 +241,43 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # 10×-scale pass (synthetic sf1 from sf0.1): single run per query —
+    # the JVM is warm after the primary suite, and the point is the
+    # scale TREND (a query whose time grows ≫10× has a hidden
+    # constant-factor or single-partition stage), not steady-state
+    # precision. Disable with SPARK_GRAFT_BENCH_SCALED=0.
+    timings_scaled: dict[str, float] = {}
+    scaled_replicas = int(os.environ.get("SPARK_GRAFT_BENCH_SCALED", "10"))
+    if scaled_replicas > 1:
+        scaled_dir = materialize_scaled_sf(spark, sf_dir, scaled_replicas)
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            start = time.perf_counter()
+            fn(spark, scaled_dir).count()
+            timings_scaled[name] = round(time.perf_counter() - start, 3)
+
     baseline = baseline_gb_per_hour(
         spark,
         sf_dir,
         float(os.environ.get("SPARK_GRAFT_BASELINE_GB", "0.25")),
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "agg": f"min_of_{reps}",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "baseline_pipeline": baseline,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "agg": f"min_of_{reps}",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "baseline_pipeline": baseline,
+    }
+    if timings_scaled:
+        out["queries_scaled_10x"] = timings_scaled
+        out["scaled_replicas"] = scaled_replicas
+        out["value_scaled_10x"] = round(sum(timings_scaled.values()), 3)
+    print(json.dumps(out))
     spark.stop()
 
 

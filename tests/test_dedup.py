@@ -176,3 +176,169 @@ def test_exact_dedup_keeps_min_id(spark, sf_dir):
     kept = exact_dedup(doubled.select("doc_id", "text"), ["text"], "doc_id")
     assert kept.count() == 20
     assert kept.filter(F.col("doc_id") >= 500000).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket cutoff (skew guard) — VERDICT r2 #5
+# ---------------------------------------------------------------------------
+
+
+def _degenerate_corpus(spark, n_clones: int = 120):
+    """Pathological fixture: one giant near-identical cluster (n_clones
+    copies of the same text) plus a handful of distinct docs — the
+    worst case for (band, bucket) keys, where the bucket self-join
+    would emit ~n_clones² candidate pairs."""
+    clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, clone) for i in range(n_clones)]
+    rows += [
+        (10_000 + j, f"unique{j} solo{j} words{j} here{j} now{j}")
+        for j in range(5)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cutoff_bounds_candidate_volume(spark):
+    from vspace_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = _degenerate_corpus(spark, n_clones=120)
+    uncapped = minhash_lsh_pairs(corpus, num_hashes=16, bands=4).count()
+    # every clone pair is a candidate: 120*119/2
+    assert uncapped >= 120 * 119 // 2
+    capped = minhash_lsh_pairs(
+        corpus, num_hashes=16, bands=4, max_bucket_size=10
+    ).count()
+    # the clone bucket (120 members in every band) is dropped outright;
+    # surviving buckets have ≤10 members, so candidate volume is bounded
+    # by sum over buckets of 10*9/2 — far below the clone blow-up
+    assert capped <= 4 * 10 * 9 // 2, f"capped={capped}"
+
+
+def test_simhash_hot_bucket_cutoff_bounds_candidate_volume(spark):
+    from vspace_spark.operators.dedup import simhash_near_pairs
+
+    corpus = _degenerate_corpus(spark, n_clones=120)
+    uncapped = simhash_near_pairs(corpus).count()
+    assert uncapped >= 120 * 119 // 2
+    capped = simhash_near_pairs(corpus, max_bucket_size=10).count()
+    assert capped <= 8 * 10 * 9 // 2, f"capped={capped}"
+
+
+def test_hot_bucket_cutoff_preserves_normal_recall(spark, sf_dir):
+    """On a NON-degenerate corpus a generous cutoff must not change the
+    result at all: real buckets stay far below the cap."""
+    from vspace_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = _with_planted_dups(spark, sf_dir)
+    base = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(corpus, num_hashes=16, bands=4).collect()
+    }
+    capped = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(
+            corpus, num_hashes=16, bands=4, max_bucket_size=50
+        ).collect()
+    }
+    assert base == capped
+
+
+# ---------------------------------------------------------------------------
+# Portable (md5) vs fast (xxhash64) twin equivalence — VERDICT r2 #6
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "owl", "pig"]
+
+# a document = 4..8 words (≥3 so 3-gram shingles exist)
+_doc = st.lists(st.sampled_from(_WORDS), min_size=4, max_size=8).map(" ".join)
+
+
+@st.composite
+def _corpus_with_planted_dups(draw):
+    """6..12 random docs, 2..4 of which are duplicated verbatim under
+    offset ids — the planted pairs both hash families MUST find."""
+    texts = draw(st.lists(_doc, min_size=6, max_size=12))
+    n_dups = draw(st.integers(min_value=2, max_value=min(4, len(texts))))
+    dup_idx = sorted(draw(
+        st.sets(
+            st.integers(min_value=0, max_value=len(texts) - 1),
+            min_size=n_dups,
+            max_size=n_dups,
+        )
+    ))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, texts[i]) for i in dup_idx]
+    return rows, {(i, 1000 + i) for i in dup_idx}
+
+
+@settings(max_examples=5, deadline=None)
+@given(_corpus_with_planted_dups())
+def test_minhash_twins_equal_recall_on_planted_dups(spark, case):
+    """Identical documents have identical signatures under ANY hash
+    family, so every planted verbatim-dup pair must surface in BOTH the
+    xxhash64 fast path and the md5 portable path with est_jaccard 1.0 —
+    the property that lets the oracle-checked portable twin's evidence
+    transfer to the unchecked fast twin."""
+    from vspace_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_portable,
+    )
+
+    rows, planted = case
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (minhash_lsh_pairs, minhash_lsh_pairs_portable):
+        got = {
+            (r.a, r.b): r.est_jaccard
+            for r in fn(corpus, num_hashes=16, bands=4).collect()
+        }
+        for pair in planted:
+            assert pair in got, f"{fn.__name__} missed planted {pair}"
+            assert got[pair] == 1.0, f"{fn.__name__} {pair}: {got[pair]}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(_corpus_with_planted_dups())
+def test_simhash_twins_equal_recall_on_planted_dups(spark, case):
+    from vspace_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_near_pairs_portable,
+    )
+
+    rows, planted = case
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (simhash_near_pairs, simhash_near_pairs_portable):
+        got = {(r.a, r.b): r.hamming for r in fn(corpus).collect()}
+        for pair in planted:
+            assert pair in got, f"{fn.__name__} missed planted {pair}"
+            assert got[pair] == 0, f"{fn.__name__} {pair}: {got[pair]}"
+
+
+def test_ann_lsh_twins_find_duplicated_vectors(spark, sf_dir):
+    """Same transfer property for ANN-LSH: a verbatim-duplicated
+    embedding shares every table's bucket with its original under BOTH
+    plane families, so each twin must report it as the rank-1 neighbor
+    (cosine exactly 1)."""
+    from vspace_spark.operators.similarity import (
+        lsh_topk,
+        portable_hyperplanes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    dups = emb.limit(5).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dups)
+    queries = dups
+    dim = len(emb.first()["embedding"])
+    for planes in (None, portable_hyperplanes(dim, 4 * 8)):
+        top = lsh_topk(
+            queries, corpus, spark, k=1, bits=4, tables=8, dim=dim,
+            planes=planes,
+        )
+        got = {(r.query_id, r.neighbor_id) for r in top.collect()}
+        for r in dups.select("vec_id").collect():
+            assert (r.vec_id, r.vec_id - 900000) in got, (
+                f"planes={'portable' if planes else 'fast'} missed "
+                f"{r.vec_id}"
+            )

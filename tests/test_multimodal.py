@@ -117,3 +117,53 @@ def test_feature_stub_raises_cleanly(spark, sf_dir):
     )
     with pytest.raises(Exception, match="NotImplementedError|model runtime"):
         out.collect()
+
+
+def test_real_decode_requires_pillow_or_raises(spark, sf_dir):
+    """Without Pillow the real-decode opt-in must fail loudly at plan
+    time (not silently fall back — a silent fake behind a real_decode
+    flag would be a lie)."""
+    import pytest as _pytest
+
+    from vspace_spark.operators.multimodal import (
+        _HAVE_PIL,
+        decode_image_meta,
+        with_binary_payload,
+    )
+    from vspace_spark.io.tables import load_table
+
+    if _HAVE_PIL:
+        _pytest.skip("Pillow installed; covered by the real-decode test")
+    docs = with_binary_payload(
+        load_table(spark, sf_dir, "documents").limit(2)
+    )
+    with _pytest.raises(ImportError, match="Pillow"):
+        decode_image_meta(docs, real_decode=True)
+
+
+def test_real_decode_reads_actual_image_dims(spark):
+    """Skipped unless Pillow is available: synthesize real PNGs, run
+    the SAME mapInPandas plumbing with real_decode=True, and check the
+    decoded dims are the true pixel dims (not the length-derived
+    fake)."""
+    import pytest as _pytest
+
+    from vspace_spark.operators.multimodal import _HAVE_PIL, decode_image_meta
+
+    if not _HAVE_PIL:
+        _pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i, (w, h) in enumerate([(3, 5), (17, 2), (128, 64)]):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h)).save(buf, format="PNG")
+        rows.append((i, buf.getvalue()))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.mode)
+        for r in decode_image_meta(df, real_decode=True).collect()
+    }
+    assert got == {0: (3, 5, "RGB"), 1: (17, 2, "RGB"), 2: (128, 64, "RGB")}

@@ -154,3 +154,29 @@ def test_repo_wide_plan_invariants(spark, sf_dir):
             if op in plan:
                 failures.append(f"{name}: {op} ({why})")
     assert not failures, failures
+
+
+def test_no_unbounded_driver_collect_in_engine_source():
+    """Source-level scale audit: every ``.collect()`` / ``.toPandas()``
+    in the engine (vspace_spark/) must carry a ``bounded-collect``
+    marker on the same or an adjacent line, documenting why the result
+    is driver-safe (scalar, per-partition row, dimension-sized). A new
+    unmarked collect is treated as a full-table driver materialization
+    until proven otherwise — the exact failure mode VERDICT r2 flagged
+    in the old corpus_job_ini fixture shim."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "vspace_spark"
+    offenders: list[str] = []
+    for path in sorted(root.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if re.search(r"\.collect\(\)|\.toPandas\(\)", line):
+                context = lines[max(0, i - 1) : min(len(lines), i + 2)]
+                if not any("bounded-collect" in c for c in context):
+                    offenders.append(f"{path.relative_to(root)}:{i + 1}")
+    assert not offenders, (
+        f"unmarked driver collect(s): {offenders} — justify with a "
+        f"'bounded-collect: <why>' comment or rewrite with Spark writers"
+    )

@@ -48,12 +48,14 @@ def test_stream_dedup_drops_late_duplicates(spark, sf_dir, tmp_path):
     import os
 
     os.makedirs(src)
-    from vspace_spark.streaming.events import EVENTS_SCHEMA, dedup_stream
-    from pyspark.sql import functions as F
+    from vspace_spark.io.tables import normalize_event_ts
+    from vspace_spark.streaming.events import dedup_stream, events_schema
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(events_schema(spark, f"{sf_dir}/events.parquet"))
+        .format("parquet")
+        .load(src)
+    )
     q = (
         dedup_stream(stream)
         .writeStream.outputMode("append")

@@ -39,3 +39,31 @@ def write_text(df: DataFrame, path: str) -> None:
     (reference: vspace/pipelines/base.py:394). Expects a single string
     column named ``value``."""
     df.write.mode("overwrite").text(path)
+
+
+def write_single_text_file(df: DataFrame, path: str) -> None:
+    """Write a one-column (``value``) DataFrame as ONE plain text file
+    at ``path``, preserving the DataFrame's partition-0 row order.
+
+    For fixtures/exports whose consumers need a bare file (not a
+    part-file directory) with deterministic line order — e.g. the
+    sentinel-delimited corpus whose record POSITION is the document id.
+    The caller repartition(1)+sortWithinPartitions first; data streams
+    through one executor task (bounded by one partition's worth of
+    work, fine at fixture scale), never through driver memory — unlike
+    a ``collect()`` loop. The driver side only renames the part file.
+    """
+    import glob
+    import os
+    import shutil
+
+    tmp = path + ".spark-tmp"
+    df.write.mode("overwrite").text(tmp)
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+    if len(parts) != 1:
+        raise ValueError(
+            f"expected exactly one part file (repartition(1) upstream), "
+            f"got {len(parts)} in {tmp}"
+        )
+    os.replace(parts[0], path)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -30,20 +30,46 @@ TABLE_NAMES = (
 BROADCASTABLE = frozenset({"region", "nation"})
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); normalize to a
+    microsecond TIMESTAMP (LTZ) whose epoch equals the naive value
+    read as UTC — matching the DuckDB oracle's ``CAST(ts AS
+    TIMESTAMP)`` under the engine's UTC session.
+
+    Spark ≥4.1 reads NANOS natively as TIMESTAMP_NTZ; streaming event
+    time (watermarks) REQUIRES plain TIMESTAMP, so convert via
+    ``timestamp_diff`` from the NTZ epoch → epoch µs →
+    ``timestamp_micros`` — every step timezone-independent (verified:
+    identical under UTC and Asia/Kolkata sessions), unlike a direct
+    NTZ→LTZ cast or ``to_utc_timestamp``, which both consult the
+    session timezone. Older Spark cannot read NANOS; there
+    ``nanosAsLong`` yields raw int64 nanos, floored to µs with
+    INTEGRAL division (double division would round-to-nearest where
+    the oracle's cast truncates).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        epoch_us = F.timestamp_diff(
+            "MICROSECOND",
+            F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+            F.col("ts"),
+        )
+        return df.withColumn("ts", F.timestamp_micros(epoch_us))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
-        # natively; read the raw int64 nanos and floor to microseconds.
-        # The DuckDB oracle mirrors this with CAST(ts AS TIMESTAMP),
-        # which also truncates ns → µs.
-        from pyspark.sql import functions as F
-
+        # harmless no-op on Spark ≥4.1 (native NANOS read); enables the
+        # raw-nanos fallback on older versions
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # integral division — double division would round-to-nearest
-        # where the oracle's ns→µs cast truncates
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

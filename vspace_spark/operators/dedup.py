@@ -95,6 +95,32 @@ def shingle_pairs_jaccard(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def drop_hot_buckets(
+    blocked: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Skew guard for LSH-style bucket self-joins: drop every bucket
+    with more than ``max_bucket_size`` members before the join.
+
+    The (band, bucket) / (chunk, val) key is Zipf-exposed on degenerate
+    corpora — one giant near-identical cluster puts k docs in one
+    bucket and the self-join emits k² candidate pairs (VERDICT r2 #5).
+    Same design as the stop-shingle cutoff in
+    :func:`shingle_pairs_jaccard`: a bucket that hot means the members
+    are trivially near-identical; cap it and let the remaining
+    ``bands - 1`` bands (or an exact-dedup pre-pass, which such a
+    cluster would satisfy) catch the pairs. The oversized-bucket set is
+    by construction ≤ |corpus| / max_bucket_size keys → broadcast
+    anti-join, no extra shuffle of the blocked stream.
+    """
+    hot = (
+        blocked.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select(*keys)
+    )
+    return blocked.join(F.broadcast(hot), keys, "left_anti")
+
+
 def minhash_signature(tokens: F.Column, num_hashes: int = 64) -> F.Column:
     """MinHash signature as ``array<bigint>``: for seed i, the min of
     ``xxhash64(token, i)`` over the document's distinct shingles.
@@ -162,6 +188,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs — the sub-quadratic near-dup path.
 
@@ -173,7 +200,10 @@ def minhash_lsh_pairs(
 
     Everything before the bucket self-join is narrow (no shuffle); the
     join shuffles on (band, hash) — at 100 TB, bucket sizes stay small
-    because a hot bucket means genuinely near-identical docs.
+    because a hot bucket means genuinely near-identical docs; for
+    degenerate corpora (one giant duplicate cluster) pass
+    ``max_bucket_size`` to cap per-bucket join fan-out
+    (:func:`drop_hot_buckets`).
 
     Returns ``[a, b, est_jaccard]`` (signature agreement fraction,
     a cheap estimate computed from the two signatures — no text rejoin).
@@ -210,6 +240,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", "sig", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        banded = drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.select("band", "bucket", F.col("_id").alias("a"), F.col("sig").alias("_siga"))
     right = banded.select(
         "band", "bucket", F.col("_id").alias("b"), F.col("sig").alias("_sigb")
@@ -238,6 +270,7 @@ def minhash_lsh_pairs_portable(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH with PORTABLE hashing: md5-derived 60-bit ints
     instead of ``xxhash64``, so an ANSI-SQL engine reproduces every
@@ -305,6 +338,8 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("bb"),
     ).select("_id", "sig", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        banded = drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.select(
         "band", "bucket", F.col("_id").alias("a"), F.col("sig").alias("_siga")
     )
@@ -406,6 +441,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 7,
     n_chunks: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with PIGEONHOLE chunk blocking: the 64-bit
     signature splits into ``n_chunks`` equal chunks; a pair within
@@ -445,6 +481,8 @@ def simhash_near_pairs(
     blocked = sigs.select(
         "_id", "sig", F.explode(chunks).alias("ck")
     ).select("_id", "sig", "ck.chunk", "ck.val")
+    if max_bucket_size is not None:
+        blocked = drop_hot_buckets(blocked, ["chunk", "val"], max_bucket_size)
     left = blocked.select(
         "chunk", "val", F.col("_id").alias("a"), F.col("sig").alias("_sa")
     )
@@ -467,6 +505,7 @@ def simhash_near_pairs_portable(
     max_hamming: int = 5,
     n_chunks: int = 6,
     bits: int = 60,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with PORTABLE hashing: md5-derived
     60-bit token patterns (15 hex chars → always-positive BIGINT, so
@@ -533,6 +572,8 @@ def simhash_near_pairs_portable(
     blocked = sigs.select(
         "_id", "sig", F.explode(chunks).alias("ck")
     ).select("_id", "sig", "ck.chunk", "ck.val")
+    if max_bucket_size is not None:
+        blocked = drop_hot_buckets(blocked, ["chunk", "val"], max_bucket_size)
     left = blocked.select(
         "chunk", "val", F.col("_id").alias("a"), F.col("sig").alias("_sa")
     )

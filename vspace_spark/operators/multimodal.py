@@ -44,29 +44,54 @@ def _fake_image_meta(payload: bytes) -> tuple[int, int, str]:
 
 
 def decode_image_meta(
-    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    real_decode: bool = False,
 ) -> DataFrame:
     """binary column → typed image metadata via mapInPandas.
 
-    One output row per input row; Arrow batches in/out. With Pillow
-    present this would open the real image (kept behind the import-try);
-    here the fake keeps the pipeline testable end-to-end.
+    One output row per input row; Arrow batches in/out. With
+    ``real_decode=True`` (requires Pillow) each payload is opened as an
+    actual image and real (width, height, mode) come out; the default
+    stays the DETERMINISTIC FAKE, which is the oracle target — the
+    registered query keeps the fake so the DuckDB twin can mirror the
+    arithmetic, and the real path swaps in per-call without touching
+    the plumbing (same schema, same batch shape).
     """
+    if real_decode and not _HAVE_PIL:
+        raise ImportError(
+            "real_decode=True requires Pillow (pip install Pillow); "
+            "the deterministic-fake default needs no codecs"
+        )
 
     # NOTE: the closure must be SELF-CONTAINED (no references to
     # vspace_spark module globals): cloudpickle serializes module-level
     # helpers by reference, and executor Python workers do not have
     # this repo on sys.path when the driver runs from elsewhere.
+    # ``real_decode`` (a bool) is captured BY VALUE, so the branch
+    # survives pickling.
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        def fake_meta(payload: bytes) -> tuple[int, int, str]:
-            n = len(payload)
-            return 64 + n % 512, 64 + (7 * n) % 512, "RGB"
+        if real_decode:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            def meta_of(payload: bytes) -> tuple[int, int, str]:
+                with _Image.open(_io.BytesIO(payload)) as im:
+                    return im.width, im.height, im.mode
+
+        else:
+
+            def meta_of(payload: bytes) -> tuple[int, int, str]:
+                n = len(payload)
+                return 64 + n % 512, 64 + (7 * n) % 512, "RGB"
 
         for pdf in batches:
             payloads = pdf[bin_col]
-            meta = [fake_meta(p) for p in payloads]
+            meta = [meta_of(p) for p in payloads]
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -203,15 +228,19 @@ def resize_plan(
     bin_col: str = "payload",
     max_w: int = 224,
     max_h: int = 224,
+    real_decode: bool = False,
 ) -> DataFrame:
     """Aspect-preserving resize PLAN: (width, height) → target box,
     computed from the (fake) decoded metadata entirely in column
     expressions — integer arithmetic, so the DuckDB oracle mirrors it
-    exactly. The actual pixel resample belongs in the decode worker
+    exactly (``real_decode=True`` plans from Pillow-decoded dims
+    instead). The actual pixel resample belongs in the decode worker
     (Pillow's ``thumbnail``); planning the target dims relationally
     means the expensive Python stage only runs on images that NEED
     resizing (``needs_resize`` pushes down as a filter)."""
-    meta = decode_image_meta(df, id_col=id_col, bin_col=bin_col)
+    meta = decode_image_meta(
+        df, id_col=id_col, bin_col=bin_col, real_decode=real_decode
+    )
     # fixed-point: scale ppm = floor(min(max_w/w, max_h/h, 1) * 1e6).
     # floor() (not cast) on both engines — CAST(double AS BIGINT)
     # truncates in Spark but ROUNDS in DuckDB; explicit floor is the

@@ -53,7 +53,9 @@ def pack_plan(
         "_cum", F.sum(wc_col).over(w).cast("long")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = (
-        local.groupBy("_pid").agg(F.sum(wc_col).alias("_tot")).collect()
+        local.groupBy("_pid")
+        .agg(F.sum(wc_col).alias("_tot"))
+        .collect()  # bounded-collect: one row per partition (prefix sum)
     )
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_pid"]):

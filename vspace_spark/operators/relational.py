@@ -87,8 +87,14 @@ def sessionize(
     """
     order = [F.col(ts)] + ([F.col(order_tie)] if order_tie else [])
     w = Window.partitionBy(key).orderBy(*order)
-    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # microsecond-exact gap via timestamp_diff: matches the oracle's
+    # date_diff('microsecond', ...) semantics bit-for-bit, and works on
+    # both TIMESTAMP and TIMESTAMP_NTZ (Spark ≥4.1 reads the NANOS
+    # events column as NTZ, which no longer casts to bigint)
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag(F.col(ts)).over(w), F.col(ts))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60_000_000), 1
+    ).otherwise(0)
     return events.withColumn(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),

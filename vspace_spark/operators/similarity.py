@@ -253,7 +253,7 @@ def lsh_topk(
             r["plane"]
             for r in random_hyperplanes(dim, bits * tables, spark)
             .orderBy("bit")
-            .collect()
+            .collect()  # bounded-collect: bits*tables hyperplane rows
         ]
 
     def signatures(vec: F.Column) -> F.Column:

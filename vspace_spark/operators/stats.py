@@ -335,6 +335,7 @@ def term_stats_arrow(
         "token", token_hash_expr(F.col("token")).alias("tid")
     ).persist()
     vocab_ids = np.sort(
+        # bounded-collect: vocabulary-sized (dictionary, not corpus)
         np.array([r.tid for r in dict_df.select("tid").collect()], dtype=np.int64)
     )
 
@@ -458,6 +459,7 @@ def term_stats_pandas(
         ).view(np.int64)
 
     # dictionary ids via the same numpy scheme, computed on the driver
+    # bounded-collect: vocabulary-sized (dictionary, not corpus)
     dict_pdf = dictionary.select("token").toPandas()
     parts = dict_pdf["token"].str.split(" ")
     max_words = parts.map(len).max() if len(parts) else 1
@@ -678,6 +680,7 @@ def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
     local = part.withColumn("_rn", F.row_number().over(w)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # bounded-collect: one row per partition (two-phase id numbering)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_pid"]):

@@ -318,7 +318,7 @@ def stream_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFram
         ev.filter(F.col("event_type").isin("purchase", "view"))
         .groupBy("event_type")
         .agg(F.max("ts").alias("m"))
-        .collect()
+        .collect()  # bounded-collect: 2 rows (one max per side)
     )
     horizon = min(r["m"] for r in side_max) - datetime.timedelta(minutes=10)
     return res.filter(F.col("p_ts") < F.lit(horizon)).select(

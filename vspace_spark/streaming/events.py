@@ -21,31 +21,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see io/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_schema(spark: SparkSession, parquet_path: str) -> T.StructType:
+    """Stream-source schema for the events table, probed from the
+    parquet footer of a batch read so it tracks how THIS Spark version
+    surfaces the NANOS timestamp column (TIMESTAMP_NTZ on ≥4.1, raw
+    int64 nanos under ``nanosAsLong`` on older versions)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(parquet_path).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream (the local stand-in for a
-    Kafka topic). Timestamps floor ns → µs exactly like the batch
+    Kafka topic). Timestamps normalize ns → µs exactly like the batch
     loader so streaming and batch results are comparable."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    from vspace_spark.io.tables import normalize_event_ts
+
+    schema = events_schema(spark, os.path.join(sf_dir, "events.parquet"))
     # file-stream sources want a directory; glob-filter to the one table
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(stream)
 
 
 def run_stream_to_memory(
