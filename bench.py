@@ -239,6 +239,12 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # queries persist intermediates and (deliberately) leave
+        # unpersist to session teardown; drop them between queries so
+        # each timing reflects ITS cost, not eviction thrash from the
+        # previous queries' leftovers (showed up as a 47× blow-up of
+        # the windowed tf-idf query in the 10× pass)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
 
@@ -258,6 +264,7 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, scaled_dir).count()
             timings_scaled[name] = round(time.perf_counter() - start, 3)
+            spark.catalog.clearCache()
 
     baseline = baseline_gb_per_hour(
         spark,

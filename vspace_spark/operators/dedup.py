@@ -50,6 +50,9 @@ def shingle_pairs_jaccard(
     """
     from pyspark import StorageLevel
 
+    from vspace_spark.operators.scale import rebalance_for_compute
+
+    docs = rebalance_for_compute(docs)
     block = [block_col] if block_col else []
     shingles = docs.select(
         F.col(id_col).alias("_id"),
@@ -162,7 +165,9 @@ def minhash_signatures(
     carries num_hashes longs per document — at 100 TB corpus scale the
     wire cost is signatures, not shingles.
     """
-    ex = docs.select(
+    from vspace_spark.operators.scale import rebalance_for_compute
+
+    ex = rebalance_for_compute(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens)).alias("_sh"),
     )
@@ -292,7 +297,9 @@ def minhash_lsh_pairs_portable(
 
     rows = num_hashes // bands
     tokens = ngrams_col(tokenize_col(text_col), shingle_n)
-    ex = docs.select(
+    from vspace_spark.operators.scale import rebalance_for_compute
+
+    ex = rebalance_for_compute(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens)).alias("_sh"),
     )
@@ -403,7 +410,9 @@ def simhash_signatures(
     """Corpus → ``[_id, sig: bigint]`` SimHash via explode + vote
     aggregation (same rationale as ``minhash_signatures``: one hash per
     distinct token, ``bits`` SUM aggregates, map-side combined)."""
-    ex = docs.select(
+    from vspace_spark.operators.scale import rebalance_for_compute
+
+    ex = rebalance_for_compute(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens)).alias("_t"),
     ).select("_id", F.xxhash64("_t").alias("_h"))
@@ -531,7 +540,9 @@ def simhash_near_pairs_portable(
             f"max_hamming={max_hamming}"
         )
     width = bits // n_chunks
-    ex = docs.select(
+    from vspace_spark.operators.scale import rebalance_for_compute
+
+    ex = rebalance_for_compute(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokenize_col(text_col))).alias("_t"),
     ).select(

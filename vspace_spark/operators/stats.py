@@ -73,6 +73,12 @@ def tokenized_documents(
     compares per row in interpreted HOF evaluation — measured 2× slower
     end-to-end on the bench corpus, and quadratic in document length.
     """
+    from vspace_spark.operators.scale import rebalance_for_compute
+
+    # tokenize+explode is compute-bound (O(tokens) per byte): spread a
+    # scan that packed the corpus into few IO-sized partitions before
+    # doing that work (measured 8.8× on the 10×-replica bench corpus)
+    docs = rebalance_for_compute(docs)
     if normalizer is not None:
         text = normalizer(F.col(text_col))
     elif normalize:

@@ -38,14 +38,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vspace_spark.io.tables import normalize_event_ts
 
-    schema = events_schema(spark, os.path.join(sf_dir, "events.parquet"))
-    # file-stream sources want a directory; glob-filter to the one table
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = events_schema(spark, path)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        # directory-shaped table (Spark-written): stream the directory
+        # itself. pathGlobFilter would silently drop every part-* file
+        # (it matches FILE names, not the directory name) → 0 rows.
+        stream = reader.load(path)
+    else:
+        # single-file table: file-stream sources want a directory, so
+        # load the parent and glob-filter to the one table
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return normalize_event_ts(stream)
 
 
