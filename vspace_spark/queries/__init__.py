@@ -110,12 +110,15 @@ _WINDOW = [
     "stream_term_stats",
     "stream_term_stats_ngram",
     "stream_dedup_docs",
-    # family representatives
+    # family representatives — every remaining consumer of an operator
+    # changed this round (tokenized_documents / signature builders
+    # gained the conditional rebalance): their r2 evidence predates the
+    # change, so they re-prove here
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "curated_corpus",
-    "doc_pack_sequences",
-    "grouped_map_source_ranks",
+    "dedup_jaccard_pairs",
+    "dedup_clusters",
+    "doc_oov_rate",
 ]
 
 

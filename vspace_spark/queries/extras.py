@@ -240,3 +240,172 @@ def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked twin holds the primary ``dedup_simhash`` name."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, max_hamming=7, n_chunks=8)
+
+
+@query(
+    "stream_dedup_docs_minhash",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(range(len(t) - 2)) AS i, t
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(t[i + 1:i + 3], 'string_agg', ' ') AS shingle
+  FROM g
+),
+seeds AS (SELECT unnest(range(32)) AS seed),
+h AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))
+             ::BIGINT) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh, ',' ORDER BY seed) AS bucket
+  FROM h GROUP BY doc_id, seed // 4
+),
+p AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+),
+agree AS (
+  SELECT p.a, p.b, sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS k
+  FROM p
+  JOIN h ha ON ha.doc_id = p.a
+  JOIN h hb ON hb.doc_id = p.b AND hb.seed = ha.seed
+  GROUP BY p.a, p.b
+)
+SELECT a, b, round(k / 32.0, 6) AS est_jaccard
+FROM agree WHERE k / 32.0 >= 0.5
+""",
+)
+def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online TEXT near-dup detection AT INGEST — the text twin of
+    ``stream_dedup_embeddings``: arriving documents are minhash-signed
+    (32 md5-portable hashes, 8 bands of 4) and join the STATIC corpus's
+    banded bucket index on (band, bucket), so each new document is
+    compared only against its candidate buckets, never the corpus;
+    signature agreement estimates Jaccard and pairs ≥ 0.5 survive.
+
+    The stream side computes its signature as a PURE COLUMN EXPRESSION
+    (``array_min`` over transformed distinct shingles): no streaming
+    aggregation, so the stream-static join stays stateless and
+    append-mode needs no watermark gymnastics. The static side uses
+    the explode + per-seed MIN aggregation (the batch scale path, same
+    hash definition → identical signatures). Batch-equivalent on the
+    finite replay → fully oracle-checked (same portable signatures as
+    ``dedup_minhash_lsh``, plus the ≥ 0.5 threshold). Production: the
+    per-row HOF signature costs num_hashes × |shingles| md5s per
+    arriving doc — vectorize in mapInPandas if ingest rate demands;
+    the static index is the already-ingested corpus, refreshed
+    per-batch or served from a bucketed table.
+    """
+    from pyspark.sql import types as T
+
+    from vspace_spark.functions.text import ngrams_col, tokenize_col
+    from vspace_spark.streaming.events import run_stream_to_memory
+
+    num_hashes, bands, rows = 32, 8, 4
+
+    def md5_hash(i: int):
+        # factory, not a default-arg lambda: PySpark dispatches HOF
+        # lambdas on arity (a 2-param lambda would get the array index)
+        return lambda t: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), t)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def sig_expr(text_col: str) -> F.Column:
+        distinct = F.array_distinct(ngrams_col(tokenize_col(text_col), 3))
+        return F.array(
+            *[
+                F.array_min(F.transform(distinct, md5_hash(i)))
+                for i in range(num_hashes)
+            ]
+        )
+
+    def banded(df_with_sig, id_col, sig_col):
+        return df_with_sig.select(
+            id_col,
+            sig_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(sig_col, b * rows + r + 1)
+                                    for r in range(rows)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, sig_col, "bb.band", "bb.bucket")
+
+    # static index: explode + per-seed MIN aggregation (the scale path)
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        F.col("doc_id").alias("b"),
+        F.explode(
+            F.array_distinct(ngrams_col(tokenize_col("text"), 3))
+        ).alias("_sh"),
+    )
+    hashed = ex.select(
+        "b", *[md5_hash(i)(F.col("_sh")).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    static_sigs = hashed.groupBy("b").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    ).select(
+        "b", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sigb")
+    )
+    static = banded(static_sigs, "b", "_sigb")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    arriving = banded(
+        stream.filter(F.size(tokenize_col("text")) >= 3).select(
+            F.col("doc_id").alias("a"), sig_expr("text").alias("_siga")
+        ),
+        "a",
+        "_siga",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda v: v
+        )
+    )
+    matched = (
+        arriving.join(static, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", (agree / F.lit(num_hashes)).alias("_e"))
+        .filter(F.col("_e") >= 0.5)  # raw threshold, mirroring the
+        # oracle's WHERE k/32 >= 0.5 (filter before rounding)
+        .select("a", "b", F.round("_e", 6).alias("est_jaccard"))
+        .dropDuplicates(["a", "b"])
+    )
+    return run_stream_to_memory(matched, "append")

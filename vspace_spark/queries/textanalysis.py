@@ -242,3 +242,75 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable digests, the join key for exact dedup."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "doc_boilerplate_share",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g0 AS (
+  SELECT doc_id, unnest(range(len(t) - 4)) AS i, t
+  FROM toks WHERE len(t) >= 5
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(t[i + 1:i + 5], 'string_agg', ' ') AS gram
+  FROM g0
+),
+c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS shared_grams
+  FROM g JOIN c USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(per.shared_grams, 0)::BIGINT AS shared_grams,
+       round(coalesce(per.shared_grams / per.n_grams, 0), 6)::DOUBLE
+           AS boilerplate_share
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+)
+def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate signal: the fraction of a document's
+    DISTINCT 5-grams that also appear in at least one other document —
+    the standard curation metric for template/navigation/licence text
+    (high share = the document is mostly corpus-repeated spans, the
+    RefinedWeb/Gopher-style line-dedup signal lifted to n-grams).
+
+    Scale shape: one distinct-gram explode, one gram-count aggregation
+    (map-side combined, Zipf-bounded key space), one shuffle join back
+    on gram, one per-doc aggregation — never doc×doc. Deterministic:
+    integer counts, one division, round(6).
+    """
+    from vspace_spark.functions.text import ngrams_col, tokenize_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams_col(tokenize_col("text"), 5))
+        ).alias("gram"),
+    )
+    counts = g.groupBy("gram").agg(F.count("*").alias("nd"))
+    per = (
+        g.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "shared_grams"
+            ),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("shared_grams", F.lit(0))
+        .cast("long")
+        .alias("shared_grams"),
+        F.round(
+            F.coalesce(F.col("shared_grams") / F.col("n_grams"), F.lit(0.0)),
+            6,
+        ).alias("boilerplate_share"),
+    )
