@@ -45,7 +45,7 @@ EXPECTED_QUERIES = {
     # text analysis
     "doc_token_counts", "doc_quality", "doc_language_id",
     "doc_fingerprints", "doc_repetition", "doc_train_test_split",
-    "doc_oov_rate",
+    "doc_oov_rate", "doc_boilerplate_share",
     # curation
     "doc_decontamination", "doc_pack_sequences", "domain_mixture_weights",
     "curated_corpus",
@@ -56,6 +56,7 @@ EXPECTED_QUERIES = {
     # extras (out-of-window variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
     "ann_ivf_fixed_top5", "stream_dedup_embeddings",
+    "stream_dedup_docs_minhash",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",

@@ -209,12 +209,9 @@ def stream_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("label", T.IntegerType()),
         ]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "embeddings.parquet")
-        .load(sf_dir)
-    )
+    from vspace_spark.streaming.events import read_table_stream
+
+    stream = read_table_stream(spark, sf_dir, "embeddings", schema)
     arriving = with_sigs(stream, "a", "_va")
     matched = (
         arriving.join(static, ["tbl", "bucket"])
@@ -381,12 +378,9 @@ def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    from vspace_spark.streaming.events import read_table_stream
+
+    stream = read_table_stream(spark, sf_dir, "documents", schema)
     arriving = banded(
         stream.filter(F.size(tokenize_col("text")) >= 3).select(
             F.col("doc_id").alias("a"), sig_expr("text").alias("_siga")

@@ -40,13 +40,10 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a file-source stream (stand-in for an
-    ingestion feed)."""
-    return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    ingestion feed); handles file- and directory-shaped tables."""
+    from vspace_spark.streaming.events import read_table_stream
+
+    return read_table_stream(spark, sf_dir, "documents", DOCUMENTS_SCHEMA)
 
 
 def streaming_term_stats(

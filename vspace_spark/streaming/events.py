@@ -30,6 +30,25 @@ def events_schema(spark: SparkSession, parquet_path: str) -> T.StructType:
     return spark.read.parquet(parquet_path).schema
 
 
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, name: str, schema: T.StructType
+) -> DataFrame:
+    """One table of ``sf_dir`` as a parquet file-source stream,
+    handling BOTH table shapes: a single ``{name}.parquet`` FILE
+    (driver-generated fixtures) via parent-dir load + pathGlobFilter,
+    and a Spark-written ``{name}.parquet/`` DIRECTORY loaded directly —
+    pathGlobFilter matches FILE names, so pointing it at a directory
+    table silently filters out every part-* file and the stream reads
+    0 rows (a non-error in Spark; caught by the 10× bench pass)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream (the local stand-in for a
     Kafka topic). Timestamps normalize ns → µs exactly like the batch
@@ -38,19 +57,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vspace_spark.io.tables import normalize_event_ts
 
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = events_schema(spark, path)
-    reader = spark.readStream.schema(schema).format("parquet")
-    if os.path.isdir(path):
-        # directory-shaped table (Spark-written): stream the directory
-        # itself. pathGlobFilter would silently drop every part-* file
-        # (it matches FILE names, not the directory name) → 0 rows.
-        stream = reader.load(path)
-    else:
-        # single-file table: file-stream sources want a directory, so
-        # load the parent and glob-filter to the one table
-        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
-    return normalize_event_ts(stream)
+    schema = events_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    return normalize_event_ts(
+        read_table_stream(spark, sf_dir, "events", schema)
+    )
 
 
 def run_stream_to_memory(
