@@ -180,3 +180,14 @@ def test_no_unbounded_driver_collect_in_engine_source():
         f"unmarked driver collect(s): {offenders} — justify with a "
         f"'bounded-collect: <why>' comment or rewrite with Spark writers"
     )
+
+
+def test_tfidf_search_df_agg_after_term_filter(spark, sf_dir):
+    """VERDICT r2 #3: document frequency must be computed on the
+    broadcast-term-filtered stream, not the full vocabulary. Plan
+    evidence: every join broadcasts (the old shape's vocabulary-sized
+    df table forced a shuffle join at scale), so no SortMergeJoin and
+    no Exchange feeding a join."""
+    plan = formatted_plan(QUERIES["tfidf_search"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
