@@ -340,3 +340,144 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("n3_share")
     )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late,
+         o_orderstatus
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.o_orderstatus = 'F' AND l1.late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — the EXISTS + NOT-EXISTS pair over
+    the same fact table. Lateness is adapted to the fixture (no
+    l_commitdate/l_receiptdate): late := shipped > 90 days after the
+    order date, which joins orders once into a shared ``lo`` relation
+    reused by the outer scan and both correlated subqueries.
+
+    Plan shape: EXISTS → LEFT SEMI on (orderkey, suppkey<>), NOT
+    EXISTS → LEFT ANTI on (orderkey, suppkey<>, late) — both equi on
+    l_orderkey with a non-equi residual, so they hash-shuffle on the
+    order key (no cartesian anywhere). The supplier dim broadcasts;
+    numwait counts qualifying LINEITEMS per the TPC-H semantics (an
+    order with two late co-suppliers is disqualified by the anti
+    side, not double-counted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+        .alias("late"),
+        "o_orderstatus",
+    )
+    l1 = lo.filter((F.col("o_orderstatus") == "F") & F.col("late"))
+    others = lo.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    late_others = lo.filter("late").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    sole_late = l1.join(
+        others,
+        (l1.l_orderkey == F.col("_ok2"))
+        & (l1.l_suppkey != F.col("_sk2")),
+        "left_semi",
+    ).join(
+        late_others,
+        (l1.l_orderkey == F.col("_ok3"))
+        & (l1.l_suppkey != F.col("_sk3")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supp), l1.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_lapsed_customer_balance",
+    oracle="""
+WITH thr AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+         count(*)::BIGINT AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, count(*)::BIGINT AS numcust,
+       round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE
+           AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey CROSS JOIN thr
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+""",
+)
+def q22_lapsed_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance-above-average customers who
+    have LAPSED, grouped by nation (the fixture's every customer has
+    at least one order, so the classic "never ordered" anti-join is
+    vacuous — adapted to "no order since 1999-01-01", which keeps the
+    correlated NOT EXISTS non-degenerate at every fixture scale).
+
+    Float discipline: the above-average threshold avoids division
+    entirely — ``c_acctbal * n > s`` over exact decimals (a decimal
+    quotient's scale differs between engines; the cross-multiplied
+    form is exact on both). The one-row (sum, count) aggregate
+    broadcasts; the anti-join's order side is pre-filtered by the
+    pushed date predicate before its shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(dec("c_acctbal", 2)).alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("_ck"))
+    lapsed = (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(dec("c_acctbal", 2) * F.col("_n") > F.col("_s"))
+        .join(recent, F.col("c_custkey") == F.col("_ck"), "left_anti")
+    )
+    return (
+        lapsed.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            money(F.sum(dec("c_acctbal", 2))).alias("totacctbal"),
+        )
+    )
