@@ -155,3 +155,35 @@ def fingerprint(text_col: str = "text", normalized: bool = True) -> Column:
     computes the identical digest)."""
     c = normalize_col(text_col) if normalized else F.col(text_col)
     return F.md5(c)
+
+
+# PII patterns — deliberately restricted to RE2-compatible syntax
+# (char classes, bounded repeats, alternation; no lookaround or
+# backreferences) so the DuckDB oracle's RE2 engine and Spark's Java
+# regex engine match the exact same spans. Scrub order is part of the
+# operator contract: email → phone → IP, applied left-to-right.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact every PII pattern, in declaration order. Pure column
+    expression (JVM regexp_replace chain) — scan-speed, no Python
+    worker, safe in streaming and batch alike."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts over the RAW text (detection census,
+    independent of scrub order)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{kind}s": F.regexp_count(c, F.lit(pat)).cast("int")
+        for kind, pat, _ in PII_PATTERNS
+    }

@@ -272,3 +272,82 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_tot") / (F.col("_k") * F.col("n_tokens")), 6
         ).alias("weight_uniform"),
     )
+
+
+# Span width for intra-corpus novelty. 8 matches the decontamination
+# gram so the two checks share their scan/gram machinery at scale.
+_SPAN_N = 8
+
+
+@query(
+    "doc_span_novelty",
+    oracle=f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(range(len(t) - {_SPAN_N} + 1)) AS i, t
+  FROM s WHERE len(t) >= {_SPAN_N}
+),
+ng AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(t[i + 1:i + {_SPAN_N}], 'string_agg', ' ')
+             AS gram
+  FROM g
+),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM ng GROUP BY gram)
+SELECT ng.doc_id,
+       count(*)::BIGINT AS n_spans,
+       count(*) FILTER (first_doc < ng.doc_id)::BIGINT AS n_dup_spans,
+       round(count(*) FILTER (first_doc < ng.doc_id) * 1.0 / count(*),
+             6) AS dup_share
+FROM ng JOIN firsts USING (gram)
+GROUP BY ng.doc_id
+""",
+)
+def doc_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus span novelty — the C4-style "drop repeated spans"
+    signal adapted to the fixture's single-line documents: for each
+    document, how many of its distinct 8-token spans first occurred in
+    an EARLIER document (first-writer-wins by doc_id, the same
+    keep-first convention as ``dedup_exact``). ``dup_share`` near 1
+    marks a document that is almost entirely recycled text — the
+    span-level complement of the whole-doc MinHash dedup.
+
+    Scale shape: spans come from the same linear ``ngrams_col`` pass
+    as the flagship n-gram stats; first-occurrence is ONE hash
+    aggregation keyed by gram (min doc_id, partial-combined map-side),
+    and the verdict join is gram-keyed equi — both sides arrive
+    already hash-partitioned on gram, so AQE reuses the exchange. No
+    all-pairs comparison anywhere; candidate volume is bounded by the
+    corpus's distinct-span count, exactly like the decontamination
+    check (`doc_decontamination`) this shares its gram width with.
+    dup_share is a single exact-integer division then round(6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ng = (
+        docs.select("doc_id", tokenize_col("text").alias("t"))
+        .filter(F.size("t") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(ngrams_col(F.col("t"), _SPAN_N))
+            ).alias("gram"),
+        )
+    )
+    firsts = ng.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ng.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") < F.col("doc_id"), 1.0)
+                    .otherwise(0.0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("dup_share"),
+        )
+    )

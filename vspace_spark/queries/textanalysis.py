@@ -314,3 +314,101 @@ def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boilerplate_share"),
     )
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' cc admin' || doc_id || '@corp.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ''
+                 ELSE ' call +1-555-'
+                      || lpad((doc_id % 10000)::VARCHAR, 4, '0') END
+         || ' from host 10.' || (doc_id % 256) || '.0.'
+         || ((doc_id * 7) % 256) AS raw
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+         AS clean
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
+           AS n_emails,
+       len(regexp_extract_all(raw,
+           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))::INT AS n_phones,
+       len(regexp_extract_all(raw,
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::INT
+           AS n_ips,
+       length(clean)::INT AS clean_len,
+       md5(clean) AS clean_md5
+FROM scrub
+""",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction census: detect and scrub emails / phone numbers /
+    IPv4 addresses, returning per-document match counts plus the md5
+    of the scrubbed text (the digest makes the oracle verify the exact
+    post-scrub BYTES, not just the counts). The fixture corpus carries
+    no PII, so the query first plants a deterministic, doc_id-derived
+    contact block (1-2 emails, 0-1 phones, 1 IP — counts vary by
+    doc_id residue, keeping every output column non-constant); a real
+    pipeline applies ``scrub_pii`` to the raw text column directly.
+
+    Scale shape: augmentation, detection, and scrub are all pure
+    column expressions (JVM regexp chain inside whole-stage codegen) —
+    one corpus scan, zero shuffles, zero Python workers; identical
+    per-row cost at 100 TB. Patterns are RE2-safe so the DuckDB
+    oracle matches span-for-span (operators/textanalysis.PII_PATTERNS).
+    """
+    from vspace_spark.operators.textanalysis import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" cc admin"), did.cast("string"),
+                F.lit("@corp.example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            )
+        ),
+        F.lit(" from host 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw"))
+    counts = pii_counts(F.col("raw"))
+    clean = scrub_pii(F.col("raw"))
+    return aug.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
