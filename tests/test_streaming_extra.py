@@ -98,3 +98,69 @@ def test_streaming_pandas_histogram_matches_hof(spark, sf_dir):
     got = {tuple(r) for r in fast.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+class TestIncrementalIndexDedup:
+    """The growing-index dedup must actually exercise the index-probe
+    path (cross-batch pairs), not just the intra-batch self-join, and
+    its per-batch writes must be idempotent under replay."""
+
+    def _clones(self, spark):
+        # 6 verbatim clones of one text + 4 unique docs, ids spread so
+        # range partitioning puts clones in DIFFERENT input files
+        dup = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(i, dup if i % 2 == 0 else f"unique {i} " * 6) for i in range(10)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_batch_pairs_found(self, spark, tmp_path):
+        from vspace_spark.streaming.incremental import (
+            incremental_minhash_dedup,
+        )
+
+        docs = self._clones(spark)
+        pairs = incremental_minhash_dedup(
+            spark,
+            docs,
+            work_dir=str(tmp_path / "w"),
+            n_input_files=5,
+        ).collect()
+        got = {(r.a, r.b) for r in pairs}
+        clones = [0, 2, 4, 6, 8]
+        want = {
+            (a, b) for a in clones for b in clones if a < b
+        }
+        assert got == want  # every clone pair, nothing else
+        # with 2 docs per range file, every pair with |a-b| > 2 spans
+        # batches — those can only come from the index probe
+        assert any(b - a > 2 for a, b in got)
+        for r in pairs:
+            assert r.agree == 32  # verbatim clones agree on all hashes
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from vspace_spark.streaming.incremental import (
+            incremental_minhash_dedup,
+        )
+
+        work = str(tmp_path / "w2")
+        docs = self._clones(spark)
+        first = incremental_minhash_dedup(
+            spark, docs, work_dir=work, n_input_files=5
+        )
+        n_first = first.count()
+        # simulate a replayed micro-batch: rerunning the whole stream
+        # over the same work_dir overwrites each batch=<id> subdir
+        # rather than appending duplicates
+        schema = spark.read.parquet(os.path.join(work, "in")).schema
+        assert n_first > 0 and "a" in first.columns
+        again = incremental_minhash_dedup(
+            spark, docs, work_dir=work, n_input_files=5
+        )
+        assert again.count() == n_first
+        assert again.groupBy("a", "b").count().filter(
+            F.col("count") > 1
+        ).count() == 0
+        _ = schema  # schema probe doubles as an in-dir sanity check

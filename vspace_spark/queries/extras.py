@@ -403,3 +403,84 @@ def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a", "b"])
     )
     return run_stream_to_memory(matched, "append")
+
+
+@query(
+    "stream_dedup_docs_incremental",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(range(len(t) - 2)) AS i, t
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(t[i + 1:i + 3], 'string_agg', ' ') AS shingle
+  FROM g
+),
+seeds AS (SELECT unnest(range(32)) AS seed),
+h AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))
+             ::BIGINT) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh, ',' ORDER BY seed) AS bucket
+  FROM h GROUP BY doc_id, seed // 4
+),
+p AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+),
+agree AS (
+  SELECT p.a, p.b, sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS k
+  FROM p
+  JOIN h ha ON ha.doc_id = p.a
+  JOIN h hb ON hb.doc_id = p.b AND hb.seed = ha.seed
+  GROUP BY p.a, p.b
+)
+SELECT b AS doc_id, min(a) AS first_dup_of, count(*)::BIGINT AS n_dups,
+       max(k)::INT AS max_agree
+FROM agree WHERE k >= 16 GROUP BY b
+""",
+)
+def stream_dedup_docs_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dedup against a GROWING index (NOTES round-4
+    candidate #4): the corpus replays as an 8-file stream, and every
+    micro-batch probes the signatures of all EARLIER batches before
+    appending its own — so the index accretes across the run instead
+    of being built once up front (the stream-static twin,
+    ``stream_dedup_docs_minhash``, indexes the full corpus once).
+    Output is the per-document ingest verdict: for each document that
+    near-duplicates something already ingested, the earliest such
+    document, how many earlier near-dups it has, and the best
+    signature agreement.
+
+    Exactly oracle-checked because the pair set is batch-boundary
+    independent (each qualifying pair surfaces exactly once — index
+    probe or intra-batch self-join; ``streaming/incremental.py``), and
+    the signatures are the portable md5 60-bit family shared with
+    ``dedup_minhash_lsh``. The per-batch parquet index keyed by batch
+    id gives idempotent replay; at warehouse scale it becomes a
+    Delta/Iceberg table bucketed by (band, bucket) so probes prune to
+    their buckets (module docstring has the full design).
+    """
+    from vspace_spark.functions.text import tokenize_col
+    from vspace_spark.streaming.incremental import incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokenize_col("text")) >= 3
+    )
+    pairs = incremental_minhash_dedup(
+        spark, docs, shingle_n=3, num_hashes=32, bands=8, min_agree=16
+    )
+    return pairs.groupBy(F.col("b").alias("doc_id")).agg(
+        F.min("a").alias("first_dup_of"),
+        F.count("*").alias("n_dups"),
+        F.max("agree").cast("int").alias("max_agree"),
+    )

@@ -1,0 +1,250 @@
+"""Incremental near-dup detection against a GROWING index.
+
+The stream-static dedup queries (``stream_dedup_docs_minhash``,
+``stream_dedup_embeddings``) bucket arriving documents against an
+index built ONCE from the already-ingested corpus. This module closes
+the remaining gap (NOTES.md round-4 candidate #4): the index ACCRETES
+— every micro-batch first probes the signatures of all earlier
+batches, then appends its own signatures, so a document arriving at
+hour N is matched against everything ingested in hours 0..N without
+ever rebuilding the index.
+
+Engine mapping: ``foreachBatch`` + an append-only parquet signature
+index partitioned by batch id (``index_dir/batch=<id>/``) — the
+standard Spark recipe for a sink/state store without native streaming
+support. Per-batch writes go to a batch-id-keyed subdirectory with
+mode=overwrite, so replays after failure are idempotent (exactly-once
+effect, matching ``run_stream_foreach_batch_parquet``). At warehouse
+scale the same loop writes to a transactional table format (Delta /
+Iceberg) bucketed by (band, bucket) so each probe prunes to its
+buckets instead of scanning the whole signature history; the parquet
+directory here keeps the harness dependency-free while exercising the
+identical dataflow.
+
+Correctness is batch-boundary-INDEPENDENT, which is what makes the
+operator exactly oracle-checkable: a qualifying pair (a < b) is
+found exactly once — in b's batch via the index probe when a was
+ingested earlier, or via the intra-batch self-join when they arrive
+together — so the union over batches equals the batch LSH pair set
+regardless of how the file source slices the replay.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vspace_spark.functions.text import ngrams_col, tokenize_col
+
+
+def _portable_minhash_sigs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, sig) with the portable md5 60-bit signature — the same
+    hash definition as ``operators.dedup.minhash_lsh_pairs_portable``
+    (15 hex chars → always-positive BIGINT), via the scale path:
+    distinct shingles exploded once, hashed ``num_hashes``× in one
+    projection, per-seed MIN with map-side partial aggregation."""
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(ngrams_col(tokenize_col(text_col), shingle_n))
+        ).alias("_sh"),
+    )
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_sh"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    mins = ex.select(
+        "_id", *[h(i).alias(f"_h{i}") for i in range(num_hashes)]
+    ).groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, sig, band, bucket) — bucket is the band's min-values
+    joined as a string (no second-level hash; portable)."""
+    return sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "sig", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    work_dir: str | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_agree: int = 16,
+    n_input_files: int = 8,
+) -> DataFrame:
+    """Replay ``docs`` as a multi-batch file stream and dedup each
+    micro-batch against the accreting signature index. Returns the
+    flagged PAIRS ``[a, b, agree]`` (a < b, signature agreement ≥
+    ``min_agree`` of ``num_hashes``) as a batch DataFrame read back
+    from the run's output directory.
+
+    The replay is materialized as ``n_input_files`` range-partitioned
+    parquet files consumed one per trigger (``maxFilesPerTrigger=1``),
+    so the index genuinely accretes across ≥ ``n_input_files`` probe
+    rounds — a single-batch replay would degenerate to the intra-batch
+    self-join and never exercise the index path.
+    """
+    rows = num_hashes // bands
+    if work_dir is None:
+        work_dir = os.path.join(
+            "/tmp", f"vspace_incr_dedup_{uuid.uuid4().hex[:12]}"
+        )
+    in_dir = os.path.join(work_dir, "in")
+    index_dir = os.path.join(work_dir, "index")
+    out_dir = os.path.join(work_dir, "out")
+
+    # materialize the replay with Spark writers (no driver collect);
+    # range partitioning by id keeps file contents disjoint
+    docs.repartitionByRange(n_input_files, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        bb = _banded(
+            _portable_minhash_sigs(
+                batch, "doc_id", "text", shingle_n, num_hashes
+            ),
+            bands,
+            rows,
+        ).persist()
+        new = bb.select(
+            F.col("_id").alias("nid"),
+            F.col("sig").alias("nsig"),
+            "band",
+            "bucket",
+        )
+        # intra-batch candidates (both endpoints arrived together)
+        left = new.select(
+            F.col("nid").alias("a"),
+            F.col("nsig").alias("sig_a"),
+            "band",
+            "bucket",
+        )
+        right = new.select(
+            F.col("nid").alias("b"),
+            F.col("nsig").alias("sig_b"),
+            "band",
+            "bucket",
+        )
+        cands = left.join(right, ["band", "bucket"]).filter(
+            F.col("a") < F.col("b")
+        )
+        # index probe (one endpoint ingested in an earlier batch);
+        # min/max-normalize so the pair key is orientation-free even
+        # if the replay delivers files out of id order. Only batches
+        # STRICTLY EARLIER than this one are probed — a replayed batch
+        # (failure recovery, or a full reprocess over an existing
+        # work_dir) must not see its own or later appends, or the
+        # rerun emits pairs twice
+        earlier = (
+            [
+                os.path.join(index_dir, e)
+                for e in os.listdir(index_dir)
+                if e.startswith("batch=")
+                and int(e.split("=", 1)[1]) < batch_id
+            ]
+            if os.path.isdir(index_dir)
+            else []
+        )
+        if earlier:
+            idx = spark.read.option("basePath", index_dir).parquet(
+                *earlier
+            )
+            probe = new.join(idx, ["band", "bucket"]).filter(
+                F.col("nid") != F.col("_id")
+            )
+            cross = probe.select(
+                F.least("nid", "_id").alias("a"),
+                F.greatest("nid", "_id").alias("b"),
+                F.when(F.col("nid") < F.col("_id"), F.col("nsig"))
+                .otherwise(F.col("sig"))
+                .alias("sig_a"),
+                F.when(F.col("nid") < F.col("_id"), F.col("sig"))
+                .otherwise(F.col("nsig"))
+                .alias("sig_b"),
+            )
+            cands = cands.select("a", "b", "sig_a", "sig_b").unionByName(
+                cross
+            )
+        else:
+            cands = cands.select("a", "b", "sig_a", "sig_b")
+        flagged = (
+            cands.select("a", "b", agree.alias("agree"))
+            .filter(F.col("agree") >= min_agree)
+            .distinct()  # one row per pair, however many bands matched
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        # append this batch's signatures AFTER probing (idempotent:
+        # a replayed batch overwrites its own subdir, never doubles)
+        bb.select("_id", "sig", "band", "bucket").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        bb.unpersist()
+
+    q = stream.writeStream.foreachBatch(process).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(os.path.join(out_dir, "batch=*"))
+        .select("a", "b", "agree")
+    )
