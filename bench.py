@@ -43,6 +43,12 @@ HEADLINE = [
     "ann_bruteforce_top5",
     "doc_quality",
     "stream_hourly_counts",
+    # added r3 (additive — earlier keys keep their cross-round series):
+    # gram-keyed first-occurrence join, scan-speed regex chain, and the
+    # double self-join TPC-H shape
+    "doc_span_novelty",
+    "doc_pii_scrub",
+    "q21_waiting_suppliers",
 ]
 
 

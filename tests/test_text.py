@@ -175,3 +175,80 @@ def test_process_corpus_ep2_composition(spark):
     toks = process_corpus(corpus, min_n=1, max_n=2)
     stats = {r.token: r.document_frequency for r in compute_stats(toks).collect()}
     assert stats["quick"] == 2 and stats["quick fox"] == 2 and stats["the"] == 1
+
+
+class TestPiiScrub:
+    """scrub_pii / pii_counts: planted PII must be found and redacted;
+    clean text must be a fixed point."""
+
+    def _run(self, spark, texts):
+        from vspace_spark.operators.textanalysis import pii_counts, scrub_pii
+
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        counts = pii_counts("text")
+        return df.select(
+            scrub_pii("text").alias("clean"),
+            *[c.alias(k) for k, c in counts.items()],
+        ).collect()
+
+    def test_planted_pii_found_and_redacted(self, spark):
+        rows = self._run(
+            spark,
+            [
+                "mail a.b-c_9@sub.example.co.uk or x@y.io now",
+                "call +1-800-5550 wait no: +91-123-4567 done",
+                "hosts 192.168.0.1 and 10.0.0.255, port 80",
+                "clean text with no personal data at all",
+            ],
+        )
+        emails, phones, ips, clean = rows[0], rows[1], rows[2], rows[3]
+        assert emails.n_emails == 2 and "<EMAIL>" in emails.clean
+        assert "a.b-c_9@sub.example.co.uk" not in emails.clean
+        assert phones.n_phones == 2  # both +C-NNN-NNNN forms match
+        assert "+91-123-4567" not in phones.clean
+        assert ips.n_ips == 2 and ips.clean.count("<IP>") == 2
+        assert clean.n_emails == clean.n_phones == clean.n_ips == 0
+        assert clean.clean == "clean text with no personal data at all"
+
+    def test_scrub_is_fixed_point(self, spark):
+        import string
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from vspace_spark.operators.textanalysis import PII_PATTERNS
+
+        # property at the PATTERN level (pure Python re, no Spark round
+        # trip per example): scrubbing replaces every match and the
+        # replacement tokens contain no scrubbable text
+        import re
+
+        words = st.lists(
+            st.text(string.ascii_lowercase, min_size=1, max_size=8),
+            min_size=0,
+            max_size=6,
+        )
+
+        @given(
+            words,
+            st.integers(0, 10**6),
+            st.sampled_from(["%d.%d.%d.%d", "+%d-555-%04d h@x.io", "w%d"]),
+        )
+        @settings(max_examples=200, deadline=None)
+        def prop(ws, n, shape):
+            if shape.startswith("%d."):
+                planted = shape % (n % 256, n % 256, n % 256, n % 256)
+            elif shape.startswith("+"):
+                planted = shape % (n % 100, n % 10000)
+            else:
+                planted = shape % n
+            text = " ".join(ws + [planted])
+            clean = text
+            for _, pat, rep in PII_PATTERNS:
+                clean = re.sub(pat, rep, clean)
+            for _, pat, _ in PII_PATTERNS:
+                assert re.search(pat, clean) is None
+
+        prop()

@@ -51,7 +51,17 @@ def _portable_minhash_sigs(
     hash definition as ``operators.dedup.minhash_lsh_pairs_portable``
     (15 hex chars → always-positive BIGINT), via the scale path:
     distinct shingles exploded once, hashed ``num_hashes``× in one
-    projection, per-seed MIN with map-side partial aggregation."""
+    projection, per-seed MIN with map-side partial aggregation.
+
+    The input is rebalanced first: inside ``foreachBatch`` each
+    micro-batch arrives with the FILE SOURCE's partitioning (one file
+    → one or two partitions), which would serialize the 32-hash
+    projection on a couple of cores exactly like the under-
+    parallelized batch scans ``rebalance_for_compute`` was measured
+    on (PERF.md, 8.8×)."""
+    from vspace_spark.operators.scale import rebalance_for_compute
+
+    docs = rebalance_for_compute(docs)
     ex = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(
