@@ -73,3 +73,45 @@ def test_decontamination_eval_side_broadcasts(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestTokenShards:
+    def test_layout_roundtrip_and_bounds(self, spark, sf_dir, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from vspace_spark.functions.text import tokenize_col
+        from vspace_spark.io.shards import write_token_shards
+        from vspace_spark.io.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = str(tmp_path / "shards")
+        manifest = write_token_shards(
+            docs, out, wc=F.size(tokenize_col("text")),
+            tokens_per_shard=4096,
+        ).collect()
+        # one directory per manifest shard
+        dirs = {
+            e for e in os.listdir(out) if e.startswith("shard=")
+        }
+        assert dirs == {f"shard={r.shard}" for r in manifest}
+        # docs never split: total docs/tokens conserved
+        back = spark.read.parquet(out)
+        n_docs = docs.filter(
+            F.size(tokenize_col("text")) > 0
+        ).count()
+        assert back.count() == n_docs == sum(r.n_docs for r in manifest)
+        # every shard is budget-bounded ± one document (the last doc
+        # may overhang; a shard can only exceed 4096 via its final doc)
+        max_wc = (
+            docs.select(F.max(F.size(tokenize_col("text"))).alias("m"))
+            .collect()[0]  # bounded-collect: 1-row agg
+            .m
+        )
+        for r in manifest:
+            assert r.n_tokens <= 4096 + max_wc
+        # shards cover consecutive doc-id ranges in order
+        spans = sorted((r.shard, r.first_doc, r.last_doc) for r in manifest)
+        for (s1, _, l1), (s2, f2, _) in zip(spans, spans[1:]):
+            assert s2 == s1 + 1 and f2 > l1

@@ -351,3 +351,61 @@ def doc_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_share"),
         )
     )
+
+
+# Trainer shard budget. 4096 tokens ⇒ 7 shards at the smallest
+# fixture scale — small enough to eyeball, non-degenerate everywhere.
+_SHARD_TOKENS = 4096
+
+
+@query(
+    "shard_manifest",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t != '')) AS wc
+  FROM documents
+),
+c AS (
+  SELECT doc_id, wc,
+         (sum(wc) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - wc)::BIGINT AS so
+  FROM w WHERE wc > 0
+)
+SELECT (so // {_SHARD_TOKENS})::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(wc)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded training shards, end-to-end: assign every document
+    to the shard its first token lands in (documents never split;
+    ~4096 tokens per shard ± one document), WRITE the corpus
+    partitioned by shard, and return the manifest a data loader plans
+    epochs from (per-shard doc/token counts + doc-id span). The shard
+    assignment is the same two-phase prefix sum as ``pack_sequences``
+    — no single-reducer window — and the write is one pass,
+    partitioned by the shard column (`io/shards.py`).
+
+    The oracle reproduces the prefix-sum arithmetic exactly (integer
+    division on exclusive running sums), so the driver checks the
+    actual shard boundaries, not just counts."""
+    import os
+    import uuid
+
+    from vspace_spark.io.shards import write_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        "/tmp", f"vspace_shards_{uuid.uuid4().hex[:12]}"
+    )
+    return write_token_shards(
+        docs,
+        out,
+        wc=F.size(tokenize_col("text")),
+        tokens_per_shard=_SHARD_TOKENS,
+    )
