@@ -45,24 +45,27 @@ EXPECTED_QUERIES = {
     # text analysis
     "doc_token_counts", "doc_quality", "doc_language_id",
     "doc_fingerprints", "doc_repetition", "doc_train_test_split",
-    "doc_oov_rate", "doc_boilerplate_share",
+    "doc_oov_rate", "doc_boilerplate_share", "doc_pii_scrub",
     # curation
     "doc_decontamination", "doc_pack_sequences", "domain_mixture_weights",
-    "curated_corpus",
+    "curated_corpus", "doc_span_novelty", "shard_manifest",
+    "doc_span_scrub", "stratified_sample_uniform",
     # relational part 3 (TPC-H shapes)
     "q6_forecast_revenue", "q4_priority_late_orders", "q10_returned_revenue",
     "q13_customer_distribution", "q18_large_quantity_orders",
     "q8_market_share", "q17_small_quantity_revenue", "q15_top_supplier",
+    "q21_waiting_suppliers", "q22_lapsed_customer_balance",
     # extras (out-of-window variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
     "ann_ivf_fixed_top5", "stream_dedup_embeddings",
-    "stream_dedup_docs_minhash",
+    "stream_dedup_docs_minhash", "stream_dedup_docs_incremental",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",
     "stream_stateful_user_totals", "stream_purchase_view_join",
     "stream_purchase_view_left_join", "stream_category_counts",
     "stream_term_stats", "stream_term_stats_ngram", "stream_dedup_docs",
+    "stream_purchase_view_full_join",
     # multimodal + UDF shapes
     "multimodal_image_meta", "multimodal_frame_sample",
     "multimodal_resize_plan", "multimodal_features",

@@ -40,6 +40,50 @@ def deterministic_sample(
     return df.filter(hash_bucket(key, salt) < int(fraction * _BUCKETS))
 
 
+def stratified_sample_to_uniform(
+    df: DataFrame, key: str, group: str, size_col: str
+) -> DataFrame:
+    """Deterministic stratified downsampling toward a UNIFORM group
+    mixture: each group's keep-rate is ``total_size / (k × group_size)``
+    (the ``weight_uniform`` of ``domain_mixture_weights``, capped at 1),
+    and membership is content-addressed — a row is kept iff its 20-bit
+    md5 bucket falls under the group's rate. Over-represented domains
+    shrink toward the per-group average; under-represented ones pass
+    through whole. Same draw on any engine, any partitioning.
+
+    The rate comparison is EXACT integer arithmetic (no float rate):
+    ``bucket × k × group_size < total × 2^20``, computed in
+    DECIMAL(38,0) so it cannot overflow or round at any corpus size —
+    the DuckDB oracle mirrors it in HUGEINT.
+
+    Scale: one group-sized aggregation (tiny), broadcast back onto the
+    scan; the filter itself is a pure column expression — no
+    data-sized shuffle anywhere."""
+    s = df.groupBy(group).agg(
+        F.sum(size_col).cast("long").alias("_n_grp")
+    )
+    t = s.agg(
+        F.sum("_n_grp").cast("long").alias("_tot"),
+        F.count("*").cast("long").alias("_k"),
+    )
+    rates = s.crossJoin(F.broadcast(t))
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 5), 16, 10
+    ).cast("bigint")
+
+    def d(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    return (
+        df.join(F.broadcast(rates), group)
+        .filter(
+            d(bucket) * d(F.col("_k")) * d(F.col("_n_grp"))
+            < d(F.col("_tot")) * d(F.lit(1 << 20))
+        )
+        .drop("_n_grp", "_tot", "_k")
+    )
+
+
 def train_test_split_col(
     key: Column | str,
     train: float = 0.8,

@@ -353,6 +353,159 @@ def doc_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stratified_sample_uniform",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'),
+             t -> t != ''))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 5))::BIGINT AS b
+  FROM documents
+),
+s AS (SELECT source, sum(n_tokens)::BIGINT AS n_src FROM w GROUP BY source),
+t AS (SELECT sum(n_src)::BIGINT AS tot, count(*)::BIGINT AS k FROM s)
+SELECT w.doc_id, w.source, w.n_tokens
+FROM w JOIN s USING (source), t
+WHERE w.b::HUGEINT * t.k * s.n_src < t.tot::HUGEINT * 1048576
+""",
+)
+def stratified_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling toward a uniform domain
+    mixture (operators/sampling.py:stratified_sample_to_uniform) — the
+    executable counterpart of ``domain_mixture_weights``: instead of
+    REPORTING the resampling weights, actually draw the subset. Keeps
+    every document of under-represented sources and a content-addressed
+    ``total/(k × source_tokens)`` fraction of over-represented ones.
+    The keep decision is exact integer arithmetic on a 20-bit md5
+    bucket (DECIMAL(38,0) vs the oracle's HUGEINT — no float rate, no
+    cast-rounding divergence), so membership is bit-stable across
+    engines, runs, and repartitioning.
+
+    Scale shape: one #sources-row aggregation broadcast back onto the
+    scan; the filter is a pure column expression that pushes to the
+    scan stage. The corpus is touched once; nothing data-sized
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize_col("text")).cast("long").alias("n_tokens"),
+    )
+    from vspace_spark.operators.sampling import stratified_sample_to_uniform
+
+    return stratified_sample_to_uniform(
+        w, key="doc_id", group="source", size_col="n_tokens"
+    ).select("doc_id", "source", "n_tokens")
+
+
+@query(
+    "doc_span_scrub",
+    oracle=f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(range(len(t) - {_SPAN_N} + 1)) AS i, t
+  FROM s WHERE len(t) >= {_SPAN_N}
+),
+ng AS (
+  SELECT doc_id, i,
+         list_aggregate(t[i + 1:i + {_SPAN_N}], 'string_agg', ' ')
+             AS gram
+  FROM g
+),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM ng GROUP BY gram),
+dup AS (
+  SELECT ng.doc_id, ng.i FROM ng JOIN firsts USING (gram)
+  WHERE first_doc < ng.doc_id
+),
+covg AS (SELECT doc_id, unnest(range(i, i + {_SPAN_N})) AS j FROM dup),
+cov AS (SELECT DISTINCT doc_id, j FROM covg),
+tp AS (SELECT doc_id, unnest(range(len(t))) AS j, t FROM s),
+tok AS (SELECT doc_id, j, t[j + 1] AS tok FROM tp),
+kept AS (
+  SELECT tok.doc_id, tok.j, tok.tok FROM tok
+  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS scrub
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       len(s.t)::BIGINT AS n_tokens,
+       (len(s.t) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+       md5(coalesce(agg.scrub, '')) AS scrub_md5
+FROM s LEFT JOIN agg USING (doc_id)
+""",
+)
+def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrubbing — the REMOVAL counterpart of
+    ``doc_span_novelty``'s signal, after Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"):
+    every 8-token span first seen in an EARLIER document
+    (first-writer-wins by doc_id) is cut from the later document,
+    overlapping cuts merged, and the survivors rejoined in order. The
+    first writer keeps its text intact; later documents lose exactly
+    the recycled token ranges. Output is one row per document with the
+    original/removed token counts and the md5 of the scrubbed text —
+    byte-level evidence that both engines rebuilt the identical string.
+
+    Scale shape: span extraction is the flagship's linear zip_with
+    n-gram pass with positions (`posexplode`); first-occurrence is one
+    gram-keyed hash aggregation (map-side partial min); the duplicate
+    verdict is a gram-keyed equi-join between two children already
+    partitioned on gram. Covered-position fan-out is bounded by
+    8 x (duplicate span starts) — proportional to the duplicated text,
+    not the corpus — and the anti-join + reconstruction are keyed by
+    (doc_id, position) / doc_id, both high-cardinality. The in-doc
+    reorder (`array_sort` over (position, token) structs) is per-doc
+    bounded work, never a global sort. No all-pairs stage anywhere;
+    degenerate corpora (one span shared by every doc) fan out to
+    8 spans per doc, not quadratic pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_col("text").alias("t"))
+    pos_grams = toks.filter(F.size("t") >= _SPAN_N).select(
+        "doc_id",
+        F.posexplode(ngrams_col(F.col("t"), _SPAN_N)).alias("i", "gram"),
+    )
+    firsts = pos_grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    dup = (
+        pos_grams.join(firsts, "gram")
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "i")
+    )
+    cov = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + F.lit(_SPAN_N - 1))
+        ).alias("j"),
+    ).distinct()
+    tokpos = toks.select("doc_id", F.posexplode("t").alias("j", "tok"))
+    kept = tokpos.join(cov, ["doc_id", "j"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("scrub"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.md5(F.coalesce(F.col("scrub"), F.lit(""))).alias("scrub_md5"),
+        )
+    )
+
+
 # Trainer shard budget. 4096 tokens ⇒ 7 shards at the smallest
 # fixture scale — small enough to eyeball, non-degenerate everywhere.
 _SHARD_TOKENS = 4096

@@ -324,3 +324,70 @@ def stream_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     return res.filter(F.col("p_ts") < F.lit(horizon)).select(
         "purchase_id", "view_id", "user_id"
     )
+
+
+@query(
+    "stream_purchase_view_full_join",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+      FROM e WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+      FROM e WHERE event_type = 'view'),
+horizon AS (
+  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(v_ts) FROM v))
+         - INTERVAL 10 MINUTE AS h
+)
+SELECT purchase_id, view_id, coalesce(p_user, v_user) AS user_id
+FROM p FULL JOIN v
+  ON p_user = v_user
+ AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts < p_ts
+WHERE (p_ts IS NOT NULL AND v_ts IS NOT NULL)
+   OR (v_ts IS NULL AND p_ts < (SELECT h FROM horizon))
+   OR (p_ts IS NULL
+       AND v_ts < (SELECT h FROM horizon) - INTERVAL 1 HOUR)
+""",
+)
+def stream_purchase_view_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last cell of the
+    streaming join matrix (streaming/events.py:
+    purchases_views_full_outer). Null padding on BOTH sides is
+    watermark-driven, and the two sides evict at DIFFERENT horizons
+    because the interval condition is asymmetric: a purchase can only
+    be matched by PAST views, so its state evicts (and null-pads) as
+    soon as the global watermark h =
+    ``least(max purchase ts, max view ts) − 10 min`` passes
+    ``p_ts``; a view can still be matched by purchases up to an HOUR
+    in its future, so its state survives until the watermark passes
+    ``v_ts + 1 h``. Matched pairs emit at match time regardless. The
+    exact comparison therefore keeps every matched row, unmatched
+    purchases with ``p_ts < h``, and unmatched views with
+    ``v_ts < h − 1 h`` — mirrored verbatim in the batch oracle
+    (verified at sf0.001 AND sf0.01; the naive symmetric trim is 3
+    rows short at sf0.01, exactly the unmatched views inside the
+    final hour-wide eviction lag)."""
+    import datetime
+
+    from vspace_spark.io.tables import load_table
+    from vspace_spark.streaming.events import purchases_views_full_outer
+
+    events = read_events_stream(spark, sf_dir)
+    res = run_stream_to_memory(purchases_views_full_outer(events), "append")
+    ev = load_table(spark, sf_dir, "events")
+    side_max = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()  # bounded-collect: 2 rows (one max per side)
+    )
+    horizon = min(r["m"] for r in side_max) - datetime.timedelta(minutes=10)
+    view_horizon = horizon - datetime.timedelta(hours=1)
+    return res.filter(
+        (F.col("p_ts").isNotNull() & F.col("v_ts").isNotNull())
+        | (F.col("v_ts").isNull() & (F.col("p_ts") < F.lit(horizon)))
+        | (
+            F.col("p_ts").isNull()
+            & (F.col("v_ts") < F.lit(view_horizon))
+        )
+    ).select("purchase_id", "view_id", "user_id")

@@ -259,6 +259,52 @@ def purchases_with_optional_views(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_views_full_outer(events: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join
+    matrix (inner / left outer above): matched (purchase, view) pairs
+    emit at match time; an unmatched purchase null-pads once the
+    VIEW-side state can no longer match it, and an unmatched view
+    null-pads once the PURCHASE side passes it. Both evictions are
+    driven by the GLOBAL watermark (min across both sides), so rows
+    newer than ``max(event time) - delay`` on EITHER side may never
+    emit — callers comparing against a batch oracle must trim both
+    sides' timestamps to that horizon (queries/streaming.py does).
+    The time-range condition bounds join state on both sides; without
+    it Spark rejects outer stream-stream joins outright."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "full_outer",
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        "p_ts",
+        "v_ts",
+    )
+
+
 def run_stream_foreach_batch_parquet(
     streaming_df: DataFrame, out_dir: str
 ) -> list[int]:
