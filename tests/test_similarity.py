@@ -98,6 +98,23 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall}"
 
 
+def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ compresses each vector to 4 codes — recall vs exact top-5
+    must still clear the same bar as the uncompressed IVF probe."""
+    from vspace_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = ivf_pq_topk(q, emb, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # same probe budget as test_ivf_recall_vs_bruteforce; quantization
+    # noise costs some overlap but must stay far above the chance floor
+    assert recall >= 0.3, f"IVF-PQ recall {recall}"
+
+
 def test_ivf_deterministic_across_runs(spark, sf_dir):
     from vspace_spark.operators.similarity import ivf_topk
 

@@ -114,6 +114,35 @@ def lsh_signature(vec: F.Column, planes: list[list[float]]) -> F.Column:
     return sig
 
 
+def _cell_dist_structs(
+    vec: F.Column, centers: list[list[float]], id_name: str = "cell"
+) -> F.Column:
+    """Squared-L2 distance to each fixed centroid, as an array of
+    (dist, id) structs — ``array_sort(...)[0]`` is then the
+    deterministic argmin (lowest id on exact-double ties), the same
+    order an oracle's ``ORDER BY dist, id`` produces. The fold is a
+    left-to-right ``aggregate`` from 0.0, bit-identical to DuckDB's
+    ``list_sum(list_transform(...))`` (NOTES.md float discipline)."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(i).alias(id_name),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -160,25 +189,7 @@ def ivf_topk(
         assigned = None  # built below once cell_dists exists
 
     def cell_dists(vec: F.Column) -> F.Column:
-        # squared L2 to each centroid, as (dist, cell) structs
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("dist"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centers)
-            ]
-        )
+        return _cell_dist_structs(vec, centers)
 
     if assigned is None:
         # fixed codebook: corpus assignment = argmin over the same
@@ -292,6 +303,160 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 256,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ ANN — the memory-compressed index large vector stores
+    run at scale (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): a coarse inverted file (16 md5-derived cells,
+    as :func:`ivf_topk`) selects candidates, and PRODUCT QUANTIZATION
+    scores them — each 64-dim vector splits into ``m=16`` 4-dim
+    subspaces, each encoded as its nearest of ``ksub=256`` codebook
+    entries, so a corpus vector is stored as 16 byte-sized codes
+    (16 bytes vs 512: 32x index compression). Queries score with
+    asymmetric distance computation (ADC): per (query, probed cell) a
+    16x256 lookup table; candidate distance = 16 table lookups summed
+    in fixed subspace order. Vectors are quantized RAW, not as IVF
+    residuals (FAISS's ``by_residual=false``): the coarse centers here
+    are md5-random rather than trained, so residuals would be large
+    and cell-dependent — a shared codebook on them measured recall 0.
+
+    The codebook is DATA-DRIVEN yet fully deterministic and
+    SQL-reproducible: entry ``c`` of subspace ``s`` is the slice of
+    the corpus vector with the ``c``-th smallest ``(md5(id), id)`` — a
+    content-addressed sample, the classic random-init codebook with no
+    RNG state. Sub-distances are left folds; argmin is
+    ``min(struct(dist, cid))`` (ties to the lowest id, the oracle's
+    ``ORDER BY d2, cid``); the 16-term ADC sum is a fixed-order chain
+    of single-element conditional sums — no unordered float
+    aggregation anywhere, so ranks value-hash-match across engines.
+    Sampled codebooks trade recall vs k-means-trained ones (measured
+    0.56 vs 0.68 on the fixture; tests/test_similarity.py asserts the
+    floor) — the trained quality path is ``ann_ivf_top5``'s KMeans
+    lane, engine-specific and rows-only by design.
+
+    At 100 TB: encoding is a one-time index build (corpus x broadcast
+    codebook, argmin per subspace — embarrassingly parallel, shuffle
+    keyed by (vector, subspace) with map-side partial min); the stored
+    index is n x (cell + 16 codes), ~1/32nd of the raw vectors, and
+    can live partitioned by cell for pruned probes. At query time the
+    ADC tables are query-batch-sized broadcasts and the raw embedding
+    column is NEVER read or shuffled — only codes move.
+
+    Returns ``[query_id, neighbor_id, rank]`` (rank by approximate
+    distance).
+    """
+    sub = dim // m
+    centers = portable_hyperplanes(dim, n_cells, salt="c")
+
+    # Content-addressed codebook seeds (bit-identical to the oracle's
+    # ORDER BY md5(id), id LIMIT ksub — total order, exact doubles).
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(ksub)
+        .collect()  # bounded-collect: ksub codebook seed vectors
+    )
+    spark = corpus.sparkSession
+    pc = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in row["_v"][s * sub : (s + 1) * sub]])
+            for s in range(m)
+            for c, row in enumerate(seed_rows)
+        ],
+        "sub INT, cid INT, pv ARRAY<DOUBLE>",
+    )
+
+    def with_cell(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("_v"),
+            F.array_sort(
+                _cell_dist_structs(F.col(vec_col), centers)
+            )[0]["cell"].alias("cell"),
+        )
+
+    def sub_d2(vec: F.Column) -> F.Column:
+        # ||vec[sub slice] - pv||^2, left fold — slice start is the
+        # pc row's sub column (relational shape: one row per
+        # (vector, subspace, centroid), no ksub-wide projections)
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec, F.col("sub") * sub + 1, sub),
+                F.col("pv"),
+                lambda a, b: (a.cast("double") - b)
+                * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    enc = (
+        with_cell(corpus, "neighbor_id")
+        .join(F.broadcast(pc))
+        .select(
+            "neighbor_id",
+            "cell",
+            "sub",
+            "cid",
+            sub_d2(F.col("_v")).alias("_d2"),
+        )
+        .groupBy("neighbor_id", "cell", "sub")
+        .agg(F.min(F.struct("_d2", "cid"))["cid"].alias("cid"))
+    )
+
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_v"),
+            F.explode(
+                F.slice(
+                    F.array_sort(_cell_dist_structs(F.col(vec_col), centers)),
+                    1,
+                    n_probe,
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", "_v", F.col("probe.cell").alias("cell"))
+    )
+    adc = probes.join(F.broadcast(pc)).select(
+        "query_id",
+        "cell",
+        "sub",
+        "cid",
+        sub_d2(F.col("_v")).alias("_qd2"),
+    )
+
+    dist = F.sum(F.when(F.col("sub") == 0, F.col("_qd2")))
+    for s in range(1, m):
+        dist = dist + F.sum(F.when(F.col("sub") == s, F.col("_qd2")))
+
+    scored = (
+        enc.join(F.broadcast(adc), ["cell", "sub", "cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dist.alias("_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("_dist"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

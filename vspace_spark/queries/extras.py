@@ -484,3 +484,122 @@ def stream_dedup_docs_incremental(
         F.count("*").alias("n_dups"),
         F.max("agree").cast("int").alias("max_agree"),
     )
+
+
+@query(
+    "ann_ivf_pq_top5",
+    oracle="""
+WITH c AS (
+  SELECT b.b AS cell,
+         list_transform(range(0, 64),
+           i -> ('0x' || substr(md5('c' || b.b::VARCHAR || ':'
+                 || i::VARCHAR), 1, 13))::BIGINT
+                / 2251799813685248.0 - 1) AS cv
+  FROM (SELECT unnest(range(16)) AS b) b
+),
+seeds AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+             AS cid
+  FROM embeddings
+),
+pc AS (
+  SELECT s.s AS sub, seeds.cid,
+         list_transform(range(1, 5),
+           i -> seeds.embedding[s.s * 4 + i]::DOUBLE) AS pv
+  FROM seeds, (SELECT unnest(range(16)) AS s) s
+  WHERE seeds.cid < 256
+),
+d AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                * (e.embedding[i]::DOUBLE - c.cv[i]))) AS dist
+  FROM embeddings e CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+             AS rn
+  FROM d
+),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+encd AS (
+  SELECT e.vec_id, a.cell, pc.sub, pc.cid,
+         list_sum(list_transform(range(1, 5),
+           i -> (e.embedding[pc.sub * 4 + i]::DOUBLE - pc.pv[i])
+                * (e.embedding[pc.sub * 4 + i]::DOUBLE - pc.pv[i])))
+             AS d2
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+  CROSS JOIN pc
+),
+enc AS (
+  SELECT vec_id, cell, sub, cid FROM (
+    SELECT vec_id, cell, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS rn
+    FROM encd
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id, cell FROM ranked
+           WHERE rn <= 4 AND vec_id < 10),
+adc AS (
+  SELECT p.vec_id AS query_id, p.cell, pc.sub, pc.cid,
+         list_sum(list_transform(range(1, 5),
+           i -> (qe.embedding[pc.sub * 4 + i]::DOUBLE - pc.pv[i])
+                * (qe.embedding[pc.sub * 4 + i]::DOUBLE - pc.pv[i])))
+             AS d2
+  FROM probes p JOIN embeddings qe ON qe.vec_id = p.vec_id
+  CROSS JOIN pc
+),
+cand AS (
+  SELECT adc.query_id, enc.vec_id AS neighbor_id,
+         sum(CASE WHEN enc.sub = 0 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 1 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 2 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 3 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 4 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 5 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 6 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 7 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 8 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 9 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 10 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 11 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 12 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 13 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 14 THEN adc.d2 END)
+       + sum(CASE WHEN enc.sub = 15 THEN adc.d2 END) AS dist
+  FROM enc JOIN adc ON adc.cell = enc.cell AND adc.sub = enc.sub
+                   AND adc.cid = enc.cid
+  WHERE enc.vec_id != adc.query_id
+  GROUP BY adc.query_id, enc.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         (row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, neighbor_id))::INT
+             AS rank
+  FROM cand
+) WHERE rank <= 5
+""",
+)
+def ann_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py:ivf_pq_topk): the coarse
+    16-cell inverted file of ``ann_ivf_fixed_top5`` plus product
+    quantization — 16 subspaces x 256 content-addressed sampled
+    centroids, asymmetric-distance scoring from per-query lookup
+    tables. The compressed-index path a 100 TB vector store actually
+    ships: codes are 16 bytes per vector (32x smaller than the raw
+    embeddings, which the query phase never touches). Every argmin,
+    code, ADC entry, and rank is exact-in-double and reproduced by the
+    oracle; the 16-term distance sum is a fixed-order addition chain
+    on both engines (single-element conditional sums), never an
+    unordered float aggregation. Recall vs brute force is asserted in
+    tests/test_similarity.py (sampled codebook, ~0.56 at fixture
+    scale; k-means training would add ~0.12 but is engine-specific —
+    that quality lane stays ``ann_ivf_top5``)."""
+    from vspace_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
