@@ -49,7 +49,7 @@ EXPECTED_QUERIES = {
     # curation
     "doc_decontamination", "doc_pack_sequences", "domain_mixture_weights",
     "curated_corpus", "doc_span_novelty", "shard_manifest",
-    "doc_span_scrub", "stratified_sample_uniform",
+    "doc_span_scrub", "stratified_sample_uniform", "doc_training_order",
     # relational part 3 (TPC-H shapes)
     "q6_forecast_revenue", "q4_priority_late_orders", "q10_returned_revenue",
     "q13_customer_distribution", "q18_large_quantity_orders",

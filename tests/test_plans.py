@@ -130,6 +130,20 @@ def test_vocabulary_has_no_single_partition_window(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_training_order_has_no_single_partition_window(spark, sf_dir):
+    """Same invariant for the epoch-shuffle positions: global order
+    must come from the two-phase numbering, never an unpartitioned
+    window over the whole corpus."""
+    df = QUERIES["doc_training_order"](spark, sf_dir)
+    plan = formatted_plan(df)
+    offenders = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "], [], [" in line
+    ]
+    assert not offenders, offenders
+
+
 def test_repo_wide_plan_invariants(spark, sf_dir):
     """Engine-wide physical-plan audit over EVERY registered batch
     query: (1) no CartesianProduct anywhere — every non-equi join must

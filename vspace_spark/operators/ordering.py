@@ -1,0 +1,82 @@
+"""Deterministic global ordering without a global-sort bottleneck.
+
+Trainer pipelines need a REPRODUCIBLE total order over the corpus —
+the epoch shuffle that decides which documents co-occur in a batch.
+``orderBy(rand(seed))`` is partitioning-dependent and a bare
+``row_number() OVER (ORDER BY ...)`` funnels the whole corpus through
+one reducer (the scale-killer the vocabulary pipeline also avoids,
+operators/stats.py:build_vocabulary). This module does it the
+scale-safe way:
+
+1. order key = md5 of a salted stable id — content-addressed, so the
+   order is identical on any engine/partitioning, and a different
+   salt ("epoch") draws an independent permutation;
+2. ``repartitionByRange`` on the key gives a cross-partition global
+   order (hash keys are uniform, so ranges are balanced with no
+   sampling skew); ``row_number`` windows BY PARTITION, in parallel;
+3. one count per partition rolls into broadcast offsets — the
+   DataFrame analog of ``zipWithIndex``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_global_positions(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "position",
+) -> DataFrame:
+    """Add ``out_col`` = 0-based global rank under ``ORDER BY
+    order_cols``, identical to a global ``row_number() - 1`` but with
+    no single-partition window: range-repartition on the order key,
+    number locally per partition, then shift by broadcast cumulative
+    offsets (one count row per partition). The numbering pass is
+    persisted so partition ids stay stable between the count and the
+    final join."""
+    from pyspark import StorageLevel
+
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = part.withColumn("_rn", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # bounded-collect: one row per partition (two-phase numbering)
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_cnt"]
+    off_df = local.sparkSession.createDataFrame(
+        offsets, schema="_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            out_col, (F.col("_rn") - 1 + F.col("_off")).cast("long")
+        )
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame, key: str, epoch: int = 0, out_col: str = "position"
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: global position under
+    ``ORDER BY md5('order:<epoch>:' || key), key``. Content-addressed
+    (same corpus → same order anywhere), epoch-salted (each epoch is
+    an independent permutation), and scale-safe via
+    :func:`assign_global_positions`."""
+    keyed = df.withColumn(
+        "_h",
+        F.md5(
+            F.concat(
+                F.lit(f"order:{epoch}:"), F.col(key).cast("string")
+            )
+        ),
+    )
+    return assign_global_positions(keyed, ["_h", key], out_col).drop("_h")

@@ -312,44 +312,54 @@ def doc_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks a document that is almost entirely recycled text — the
     span-level complement of the whole-doc MinHash dedup.
 
-    Scale shape: spans come from the same linear ``ngrams_col`` pass
-    as the flagship n-gram stats; first-occurrence is ONE hash
-    aggregation keyed by gram (min doc_id, partial-combined map-side),
-    and the verdict join is gram-keyed equi — both sides arrive
-    already hash-partitioned on gram, so AQE reuses the exchange. No
-    all-pairs comparison anywhere; candidate volume is bounded by the
-    corpus's distinct-span count, exactly like the decontamination
-    check (`doc_decontamination`) this shares its gram width with.
+    Scale shape (v2 — the v1 join shape was the bench's slowest row,
+    13 s at sf0.1): ``n_dup_spans = n_spans − n_first_spans``, so the
+    corpus-sized (doc, gram) pair stream never joins anything.
+    ``n_spans`` is ROW-LOCAL (``size(array_distinct(ngrams))`` — scan
+    speed, zero shuffle); first-occurrence is the one gram-keyed hash
+    aggregation (min doc_id, partial-combined map-side), immediately
+    re-grouped by winner doc into a ≤ #docs-row table that joins back
+    doc-keyed. Net: ONE data-sized shuffle (by gram) instead of v1's
+    two shuffles + corpus-sized join — min-of-2 at sf0.1: 3.4 s → 1.2 s
+    clean (13 s → 1.2 s as benched under concurrent load). No
+    all-pairs comparison anywhere; the gram key space is
+    distinct-span-sized, like `doc_decontamination` (same gram width).
     dup_share is a single exact-integer division then round(6)."""
     docs = load_table(spark, sf_dir, "documents")
-    ng = (
-        docs.select("doc_id", tokenize_col("text").alias("t"))
-        .filter(F.size("t") >= _SPAN_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(ngrams_col(F.col("t"), _SPAN_N))
-            ).alias("gram"),
-        )
+    toks = docs.select("doc_id", tokenize_col("text").alias("t")).filter(
+        F.size("t") >= _SPAN_N
     )
-    firsts = ng.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        ng.join(firsts, "gram")
+    base = toks.select(
+        "doc_id",
+        F.size(F.array_distinct(ngrams_col(F.col("t"), _SPAN_N)))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    ng = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams_col(F.col("t"), _SPAN_N))
+        ).alias("gram"),
+    )
+    n_first = (
+        ng.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(
-                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_dup_spans"),
-            F.round(
-                F.sum(
-                    F.when(F.col("first_doc") < F.col("doc_id"), 1.0)
-                    .otherwise(0.0)
-                )
-                / F.count("*"),
-                6,
-            ).alias("dup_share"),
-        )
+        .agg(F.count("*").alias("n_first"))
+    )
+    return base.join(n_first, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        (F.col("n_spans") - F.coalesce(F.col("n_first"), F.lit(0)))
+        .cast("long")
+        .alias("n_dup_spans"),
+        F.round(
+            (
+                F.col("n_spans") - F.coalesce(F.col("n_first"), F.lit(0))
+            ).cast("double")
+            / F.col("n_spans"),
+            6,
+        ).alias("dup_share"),
     )
 
 
@@ -562,3 +572,37 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc=F.size(tokenize_col("text")),
         tokens_per_shard=_SHARD_TOKENS,
     )
+
+
+@query(
+    "doc_training_order",
+    oracle="""
+SELECT doc_id,
+       (row_number() OVER (
+          ORDER BY md5('order:0:' || doc_id::VARCHAR), doc_id)
+        - 1)::BIGINT AS position
+FROM documents
+""",
+)
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle
+    (operators/ordering.py:epoch_shuffle): every document's global
+    position for epoch 0, ordered by a salted content hash — the
+    reproducible corpus permutation a trainer consumes (and the order
+    ``shard_manifest`` packs by). Same order on any engine or
+    partitioning; a different epoch salt draws an independent
+    permutation.
+
+    Scale shape: the oracle's one-line global ``row_number`` would be
+    a single-reducer window in Spark — instead the position comes from
+    two-phase numbering (range-repartition on the uniform hash key →
+    per-partition row_number in parallel → broadcast cumulative
+    offsets, one count row per partition), the same plan the
+    vocabulary id assignment uses, with NO data-sized single-task
+    stage. Plan-asserted in tests/test_plans.py."""
+    from vspace_spark.operators.ordering import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(
+        docs.select("doc_id"), key="doc_id", epoch=0
+    ).select("doc_id", "position")

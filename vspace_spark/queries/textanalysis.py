@@ -278,39 +278,48 @@ def doc_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high share = the document is mostly corpus-repeated spans, the
     RefinedWeb/Gopher-style line-dedup signal lifted to n-grams).
 
-    Scale shape: one distinct-gram explode, one gram-count aggregation
-    (map-side combined, Zipf-bounded key space), one shuffle join back
-    on gram, one per-doc aggregation — never doc×doc. Deterministic:
-    integer counts, one division, round(6).
+    Scale shape (v2 — same decomposition as ``doc_span_novelty`` v2):
+    a gram is shared iff its document frequency ≥ 2, so
+    ``shared = n_grams − n_unique`` where a UNIQUE gram has exactly
+    one owner. ``n_grams`` is row-local (``size(array_distinct(...))``,
+    scan speed, zero shuffle); uniques come from the one gram-keyed
+    count (map-side combined, Zipf-bounded key space) filtered to
+    df = 1 and re-grouped by owner into a ≤ #docs-row table that joins
+    back doc-keyed. The corpus-sized (doc, gram) stream shuffles ONCE
+    and never joins — v1 shuffled it twice and joined it against the
+    gram counts. Deterministic: integer counts, one division, round(6).
     """
     from vspace_spark.functions.text import ngrams_col, tokenize_col
 
     docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(ngrams_col(tokenize_col("text"), 5))
+        ).cast("long").alias("n_grams"),
+    )
     g = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(ngrams_col(tokenize_col("text"), 5))
         ).alias("gram"),
     )
-    counts = g.groupBy("gram").agg(F.count("*").alias("nd"))
-    per = (
-        g.join(counts, "gram")
+    uniques = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("nd") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
-                "shared_grams"
-            ),
-        )
+        .agg(F.count("*").alias("n_unique"))
     )
-    return docs.select("doc_id").join(per, "doc_id", "left").select(
+    shared = F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))
+    return base.join(uniques, "doc_id", "left").select(
         "doc_id",
-        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-        F.coalesce("shared_grams", F.lit(0))
-        .cast("long")
-        .alias("shared_grams"),
+        "n_grams",
+        shared.cast("long").alias("shared_grams"),
         F.round(
-            F.coalesce(F.col("shared_grams") / F.col("n_grams"), F.lit(0.0)),
+            F.coalesce(
+                shared.cast("double") / F.col("n_grams"), F.lit(0.0)
+            ),
             6,
         ).alias("boilerplate_share"),
     )
