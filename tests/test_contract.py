@@ -38,7 +38,7 @@ EXPECTED_QUERIES = {
     # dedup
     "dedup_exact", "dedup_exact_normalized", "dedup_jaccard_pairs",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_clusters",
+    "dedup_clusters", "dedup_keep_best",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "embedding_norms", "ml_tfidf_features",
@@ -46,6 +46,7 @@ EXPECTED_QUERIES = {
     "doc_token_counts", "doc_quality", "doc_language_id",
     "doc_fingerprints", "doc_repetition", "doc_train_test_split",
     "doc_oov_rate", "doc_boilerplate_share", "doc_pii_scrub",
+    "source_wc_profile",
     # curation
     "doc_decontamination", "doc_pack_sequences", "domain_mixture_weights",
     "curated_corpus", "doc_span_novelty", "shard_manifest",

@@ -278,3 +278,110 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, threshold=0.6, block_col="source"
     ).select("a", "b")
     return dedup_clusters(docs, pairs)
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              unnest(list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(t[i:i + 2], ' '))) AS shingle
+       FROM toks WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y
+    ON x.shingle = y.shingle AND x.source = y.source
+   AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE c / (sa.sz + sb.sz - c) >= 0.6
+),
+sym AS (SELECT a AS u, b AS v FROM edges
+        UNION SELECT b, a FROM edges
+        UNION SELECT doc_id, doc_id FROM documents),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+q AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN wc BETWEEN 10 AND 100000
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least(round(distinct_wc / wc, 6) * 2, 1.0)
+             + 0.3 * (CASE WHEN round(stop / wc, 6) >= 0.05 THEN 1.0
+                           ELSE round(stop / wc, 6) * 20 END), 6)
+             AS quality
+  FROM (SELECT doc_id,
+               len(string_split(text, ' ')) AS wc,
+               len(list_distinct(string_split(text, ' ')))
+                   AS distinct_wc,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','an','of','and','to','in',
+                              'is','it','that'))) AS stop
+        FROM documents) f
+),
+ranked AS (
+  SELECT comp.component, comp.doc_id, q.quality,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY quality DESC, comp.doc_id) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM comp JOIN q USING (doc_id)
+)
+SELECT component, doc_id AS keep_doc_id, quality AS keep_quality,
+       n_members::BIGINT AS n_members
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: pick the BEST representative of each near-dup
+    cluster instead of the arbitrary min-id — what production dedup
+    actually ships (keep the highest-quality copy of a recycled page,
+    drop the rest). Composes the iterative connected components
+    (`dedup_clusters`) with the quality score (`doc_quality`): per
+    component, keep argmax(quality) with ties to the lowest doc_id.
+    Singleton clusters pass through (keeper = the doc itself), so the
+    output is one row per cluster.
+
+    Scale shape: the cluster pass is `dedup_clusters`' bounded
+    iteration over edges ≪ corpus; the quality join is doc-keyed; the
+    keeper pick is ONE hash aggregation (`max(struct(quality, -id))`
+    — partial-combined, no window over the corpus). The quality value
+    is the oracle-proven round(6) composite, so the cross-engine
+    argmax compares identical doubles."""
+    from vspace_spark.operators.graph import dedup_clusters
+    from vspace_spark.operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(
+        docs, n=3, threshold=0.6, block_col="source"
+    ).select("a", "b")
+    comp = dedup_clusters(docs, pairs).select("doc_id", "component")
+    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    best = (
+        comp.join(q, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            ).alias("best"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )
+    return best.select(
+        "component",
+        (-F.col("best.negid")).cast("long").alias("keep_doc_id"),
+        F.col("best.q").alias("keep_quality"),
+        "n_members",
+    )

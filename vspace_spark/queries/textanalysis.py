@@ -421,3 +421,100 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("int").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+@query(
+    "source_wc_profile",
+    oracle=r"""
+WITH w AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '\s+'),
+             t -> t != ''))::BIGINT AS wc
+  FROM documents
+),
+h AS (SELECT source, wc, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2),
+c AS (
+  SELECT source, wc, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY wc
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM h
+),
+t AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(wc)::BIGINT AS sum_wc,
+         min(wc)::BIGINT AS min_wc, max(wc)::BIGINT AS max_wc
+  FROM w GROUP BY 1
+)
+SELECT t.source, t.n_docs,
+       round(t.sum_wc / t.n_docs, 6) AS mean_wc,
+       t.min_wc, t.max_wc,
+       min(CASE WHEN 2 * c.cum >= t.n_docs THEN c.wc END)::BIGINT
+           AS p50_wc,
+       min(CASE WHEN 20 * c.cum >= 19 * t.n_docs THEN c.wc END)::BIGINT
+           AS p95_wc
+FROM c JOIN t USING (source)
+GROUP BY t.source, t.n_docs, t.sum_wc, t.min_wc, t.max_wc
+""",
+)
+def source_wc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count profile with EXACT percentiles — the
+    data-profiling pass a curation pipeline runs before setting length
+    filters: docs, mean/min/max token count, and exact p50/p95.
+
+    Scale shape — exact percentiles WITHOUT sorting the corpus: the
+    corpus aggregates into a (source × distinct wc) HISTOGRAM (one
+    hash agg, map-side combined — token counts are few-hundred-valued,
+    so the histogram is tiny at any corpus size); the cumulative sum
+    and quantile picks run over that histogram, so the only window in
+    the plan spans #distinct-wc rows per source, never documents. The
+    quantile rule is integer-exact (`2·cum ≥ n`, `20·cum ≥ 19·n` —
+    the smallest value whose cumulative frequency reaches ⌈q·n⌉, no
+    float thresholds), identical in both engines; mean is one division
+    then round(6). This sidesteps both the global-sort percentile and
+    approx_percentile's engine-specific sketches (the rows-only
+    `price_percentiles` path)."""
+    from vspace_spark.functions.text import tokenize_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.size(tokenize_col("text")).cast("long").alias("wc")
+    )
+    h = w.groupBy("source", "wc").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("source")
+        .orderBy("wc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.withColumn("cum", F.sum("cnt").over(win))
+    t = w.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("wc").cast("long").alias("sum_wc"),
+        F.min("wc").alias("min_wc"),
+        F.max("wc").alias("max_wc"),
+    )
+    return (
+        c.join(t, "source")
+        .groupBy("source", "n_docs", "sum_wc", "min_wc", "max_wc")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n_docs"), F.col("wc"))
+            ).alias("p50_wc"),
+            F.min(
+                F.when(
+                    20 * F.col("cum") >= 19 * F.col("n_docs"), F.col("wc")
+                )
+            ).alias("p95_wc"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("sum_wc").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_wc"),
+            "min_wc",
+            "max_wc",
+            "p50_wc",
+            "p95_wc",
+        )
+    )
