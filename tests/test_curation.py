@@ -115,3 +115,85 @@ class TestTokenShards:
         spans = sorted((r.shard, r.first_doc, r.last_doc) for r in manifest)
         for (s1, _, l1), (s2, f2, _) in zip(spans, spans[1:]):
             assert s2 == s1 + 1 and f2 > l1
+
+
+def test_epoch_shuffle_is_permutation_and_repartition_stable(spark):
+    """Positions are exactly 0..n-1; the assignment is identical under
+    a different input partitioning (content-addressed order, not
+    partition luck); distinct epochs give distinct permutations."""
+    from vspace_spark.operators.ordering import epoch_shuffle
+
+    df = spark.range(0, 97).select(F.col("id").alias("doc_id"))
+    p0 = epoch_shuffle(df, "doc_id", epoch=0)
+    rows = {r["doc_id"]: r["position"] for r in p0.collect()}
+    assert sorted(rows.values()) == list(range(97))
+
+    p0b = epoch_shuffle(df.repartition(7), "doc_id", epoch=0)
+    assert rows == {r["doc_id"]: r["position"] for r in p0b.collect()}
+
+    p1 = epoch_shuffle(df, "doc_id", epoch=1)
+    rows1 = {r["doc_id"]: r["position"] for r in p1.collect()}
+    assert rows != rows1 and sorted(rows1.values()) == list(range(97))
+
+
+def test_stratified_sample_keeps_small_groups_whole(spark):
+    """A group at/below the per-group average survives intact; a
+    dominant group shrinks toward the average; membership is stable
+    under repartitioning."""
+    from vspace_spark.operators.sampling import stratified_sample_to_uniform
+
+    rows = [(f"a{i}", "small", 10) for i in range(5)] + [
+        (f"b{i}", "big", 10) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, src string, wc long")
+    kept = stratified_sample_to_uniform(
+        df, key="doc_id", group="src", size_col="wc"
+    )
+    by_src = {
+        r["src"]: r["n"]
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("small") == 5  # rate > 1 → keep everything
+    # big group's target rate = total/(2 × group) ≈ 0.505 → roughly half
+    assert 150 < by_src.get("big", 0) < 400
+
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    kept_ids_re = {
+        r["doc_id"]
+        for r in stratified_sample_to_uniform(
+            df.repartition(13), key="doc_id", group="src", size_col="wc"
+        ).select("doc_id").collect()
+    }
+    assert kept_ids == kept_ids_re
+
+
+def test_span_scrub_removes_planted_duplicate_span(spark, sf_dir):
+    """A later doc that embeds a verbatim 8-token span from an earlier
+    doc loses exactly that span (plus overlap-merged neighbors), while
+    the first writer keeps every token."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    rows = [
+        (1, " ".join(base + ["india", "juliett"])),
+        (2, " ".join(["kilo", "lima"] + base + ["mike"])),
+        (3, "november oscar papa quebec romeo sierra tango uniform victor"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from vspace_spark.queries.curation import doc_span_scrub
+
+    # the registered query reads {sf_dir}/documents.parquet — point it
+    # at a temp dir holding the planted fixture
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in doc_span_scrub(spark, d).collect()
+        }
+    assert out[1]["n_removed"] == 0
+    # doc 2: spans starting at kilo/lima/base... every base token is
+    # covered by some duplicated 8-gram window; kilo/lima/mike survive
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0

@@ -311,6 +311,181 @@ def lsh_topk(
     )
 
 
+def pq_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 256,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ codebook as a tiny (m × ksub)-row table ``(sub, cid, pv)`` —
+    DATA-DRIVEN yet fully deterministic and SQL-reproducible: entry
+    ``c`` of subspace ``s`` is the s-th slice of the corpus vector
+    with the ``c``-th smallest ``(md5(id), id)``. A content-addressed
+    sample — the classic random-init codebook with no RNG state (a
+    pure md5-random codebook carries no information about the data
+    distribution and measured recall 0; k-means training would add
+    ~0.12 recall but is engine-specific — that quality lane stays
+    ``ann_ivf_top5``'s KMeans path)."""
+    sub = dim // m
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(ksub)
+        .collect()  # bounded-collect: ksub codebook seed vectors
+    )
+    return corpus.sparkSession.createDataFrame(
+        [
+            (s, c, [float(x) for x in row["_v"][s * sub : (s + 1) * sub]])
+            for s in range(m)
+            for c, row in enumerate(seed_rows)
+        ],
+        "sub INT, cid INT, pv ARRAY<DOUBLE>",
+    )
+
+
+def _pq_sub_d2(vec: F.Column, sub: int) -> F.Column:
+    # ||vec[sub slice] - pv||^2, left fold — slice start is the pc
+    # row's sub column (relational shape: one row per (vector,
+    # subspace, centroid), no ksub-wide projections)
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, F.col("sub") * sub + 1, sub),
+            F.col("pv"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    pc: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """One-time IVF-PQ index build: coarse cell (argmin over the fixed
+    md5 centers) + the m per-subspace codes, one row per vector —
+    ``(id, cell, code_0..code_{m-1})``, 16 small ints instead of 64
+    floats (~32× smaller on disk; scripts/pq_probe_bench.py measures
+    it). Embarrassingly parallel: corpus × broadcast codebook, argmin
+    with map-side partial ``min(struct)``, then a pivot to the wide
+    byte layout. Write it partitioned by cell and probes become
+    partition-pruned scans."""
+    sub = dim // m
+    centers = portable_hyperplanes(dim, n_cells, salt="c")
+    with_cell = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.array_sort(
+            _cell_dist_structs(F.col(vec_col), centers)
+        )[0]["cell"].alias("cell"),
+    )
+    enc_long = (
+        with_cell.join(F.broadcast(pc))
+        .select(
+            id_col,
+            "cell",
+            "sub",
+            "cid",
+            _pq_sub_d2(F.col("_v"), sub).alias("_d2"),
+        )
+        .groupBy(id_col, "cell", "sub")
+        .agg(F.min(F.struct("_d2", "cid"))["cid"].alias("cid"))
+    )
+    return enc_long.groupBy(id_col, "cell").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("cid")))
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+
+
+def ivf_pq_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    pc: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Probe a prebuilt IVF-PQ index with asymmetric distance
+    computation: per (query, probed cell) an m × ksub lookup table
+    from the query's sub-distances to every codebook entry; a
+    candidate's distance is m table lookups summed in FIXED subspace
+    order (single-element conditional sums — no unordered float
+    aggregation, so ranks value-hash-match across engines). The raw
+    embedding column is never read or shuffled — only codes move; ADC
+    tables are query-batch-sized broadcasts."""
+    sub = dim // m
+    centers = portable_hyperplanes(dim, n_cells, salt="c")
+    melted = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.col(f"code_{s}").alias("cid"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sc"),
+    ).select("neighbor_id", "cell", "_sc.sub", "_sc.cid")
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.slice(
+                F.array_sort(_cell_dist_structs(F.col(vec_col), centers)),
+                1,
+                n_probe,
+            )
+        ).alias("probe"),
+    ).select("query_id", "_v", F.col("probe.cell").alias("cell"))
+    adc = probes.join(F.broadcast(pc)).select(
+        "query_id",
+        "cell",
+        "sub",
+        "cid",
+        _pq_sub_d2(F.col("_v"), sub).alias("_qd2"),
+    )
+
+    dist = F.sum(F.when(F.col("sub") == 0, F.col("_qd2")))
+    for s in range(1, m):
+        dist = dist + F.sum(F.when(F.col("sub") == s, F.col("_qd2")))
+
+    scored = (
+        melted.join(F.broadcast(adc), ["cell", "sub", "cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dist.alias("_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -329,137 +504,44 @@ def ivf_pq_topk(
     as :func:`ivf_topk`) selects candidates, and PRODUCT QUANTIZATION
     scores them — each 64-dim vector splits into ``m=16`` 4-dim
     subspaces, each encoded as its nearest of ``ksub=256`` codebook
-    entries, so a corpus vector is stored as 16 byte-sized codes
-    (16 bytes vs 512: 32x index compression). Queries score with
-    asymmetric distance computation (ADC): per (query, probed cell) a
-    16x256 lookup table; candidate distance = 16 table lookups summed
-    in fixed subspace order. Vectors are quantized RAW, not as IVF
-    residuals (FAISS's ``by_residual=false``): the coarse centers here
-    are md5-random rather than trained, so residuals would be large
-    and cell-dependent — a shared codebook on them measured recall 0.
+    entries (:func:`pq_codebook`), so a corpus vector is stored as 16
+    byte-sized codes (16 bytes vs 512: 32× index compression).
+    Vectors are quantized RAW, not as IVF residuals (FAISS's
+    ``by_residual=false``): the coarse centers here are md5-random
+    rather than trained, so residuals would be large and
+    cell-dependent — a shared codebook on them measured recall 0.
+    Sampled codebooks trade recall vs trained ones (0.56 vs 0.68
+    measured; tests/test_similarity.py asserts the floor).
 
-    The codebook is DATA-DRIVEN yet fully deterministic and
-    SQL-reproducible: entry ``c`` of subspace ``s`` is the slice of
-    the corpus vector with the ``c``-th smallest ``(md5(id), id)`` — a
-    content-addressed sample, the classic random-init codebook with no
-    RNG state. Sub-distances are left folds; argmin is
-    ``min(struct(dist, cid))`` (ties to the lowest id, the oracle's
-    ``ORDER BY d2, cid``); the 16-term ADC sum is a fixed-order chain
-    of single-element conditional sums — no unordered float
-    aggregation anywhere, so ranks value-hash-match across engines.
-    Sampled codebooks trade recall vs k-means-trained ones (measured
-    0.56 vs 0.68 on the fixture; tests/test_similarity.py asserts the
-    floor) — the trained quality path is ``ann_ivf_top5``'s KMeans
-    lane, engine-specific and rows-only by design.
-
-    At 100 TB: encoding is a one-time index build (corpus x broadcast
-    codebook, argmin per subspace — embarrassingly parallel, shuffle
-    keyed by (vector, subspace) with map-side partial min); the stored
-    index is n x (cell + 16 codes), ~1/32nd of the raw vectors, and
-    can live partitioned by cell for pruned probes. At query time the
-    ADC tables are query-batch-sized broadcasts and the raw embedding
-    column is NEVER read or shuffled — only codes move.
+    Composition of the real vector-store lifecycle:
+    :func:`ivf_pq_encode` (one-time index build — at 100 TB the codes
+    table is ~1/32nd of the vectors and lives partitioned by cell) and
+    :func:`ivf_pq_probe` (codes-only scoring; raw vectors never move).
 
     Returns ``[query_id, neighbor_id, rank]`` (rank by approximate
     distance).
     """
-    sub = dim // m
-    centers = portable_hyperplanes(dim, n_cells, salt="c")
-
-    # Content-addressed codebook seeds (bit-identical to the oracle's
-    # ORDER BY md5(id), id LIMIT ksub — total order, exact doubles).
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .withColumn("_h", F.md5(F.col("_id").cast("string")))
-        .orderBy("_h", "_id")
-        .limit(ksub)
-        .collect()  # bounded-collect: ksub codebook seed vectors
+    pc = pq_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, dim=dim
     )
-    spark = corpus.sparkSession
-    pc = spark.createDataFrame(
-        [
-            (s, c, [float(x) for x in row["_v"][s * sub : (s + 1) * sub]])
-            for s in range(m)
-            for c, row in enumerate(seed_rows)
-        ],
-        "sub INT, cid INT, pv ARRAY<DOUBLE>",
+    index = ivf_pq_encode(
+        corpus,
+        pc,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        m=m,
+        dim=dim,
     )
-
-    def with_cell(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias("_v"),
-            F.array_sort(
-                _cell_dist_structs(F.col(vec_col), centers)
-            )[0]["cell"].alias("cell"),
-        )
-
-    def sub_d2(vec: F.Column) -> F.Column:
-        # ||vec[sub slice] - pv||^2, left fold — slice start is the
-        # pc row's sub column (relational shape: one row per
-        # (vector, subspace, centroid), no ksub-wide projections)
-        return F.aggregate(
-            F.zip_with(
-                F.slice(vec, F.col("sub") * sub + 1, sub),
-                F.col("pv"),
-                lambda a, b: (a.cast("double") - b)
-                * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    enc = (
-        with_cell(corpus, "neighbor_id")
-        .join(F.broadcast(pc))
-        .select(
-            "neighbor_id",
-            "cell",
-            "sub",
-            "cid",
-            sub_d2(F.col("_v")).alias("_d2"),
-        )
-        .groupBy("neighbor_id", "cell", "sub")
-        .agg(F.min(F.struct("_d2", "cid"))["cid"].alias("cid"))
-    )
-
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_v"),
-            F.explode(
-                F.slice(
-                    F.array_sort(_cell_dist_structs(F.col(vec_col), centers)),
-                    1,
-                    n_probe,
-                )
-            ).alias("probe"),
-        )
-        .select("query_id", "_v", F.col("probe.cell").alias("cell"))
-    )
-    adc = probes.join(F.broadcast(pc)).select(
-        "query_id",
-        "cell",
-        "sub",
-        "cid",
-        sub_d2(F.col("_v")).alias("_qd2"),
-    )
-
-    dist = F.sum(F.when(F.col("sub") == 0, F.col("_qd2")))
-    for s in range(1, m):
-        dist = dist + F.sum(F.when(F.col("sub") == s, F.col("_qd2")))
-
-    scored = (
-        enc.join(F.broadcast(adc), ["cell", "sub", "cid"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(dist.alias("_dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("_dist"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    return ivf_pq_probe(
+        queries,
+        index,
+        pc,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        m=m,
+        dim=dim,
     )
