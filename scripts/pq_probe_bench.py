@@ -32,7 +32,8 @@ from vspace_spark.io.tables import load_table  # noqa: E402
 from vspace_spark.operators.similarity import (  # noqa: E402
     _cell_dist_structs,
     brute_force_topk,
-    ivf_pq_encode,
+    brute_force_topk_arrow,
+    ivf_pq_encode_arrow,
     ivf_pq_probe,
     portable_hyperplanes,
     pq_codebook,
@@ -107,9 +108,18 @@ def main() -> None:
     pc = pq_codebook(corpus)
     codes_path = os.path.join(work, "pq_codes.parquet")
     if not os.path.exists(codes_path):
-        ivf_pq_encode(corpus, pc).write.mode("overwrite").parquet(
-            codes_path
-        )
+        # production build path: the matmul encoder emits codes
+        # bit-identical to the relational ivf_pq_encode on tie-free
+        # data (tests/test_similarity.py) at scan speed — the
+        # relational encode's 4096x fan-out took >25 min at 200k
+        # vectors in local mode
+        pc_rows = [
+            (r["sub"], r["cid"], list(r["pv"]))
+            for r in pc.collect()  # bounded-collect: m*ksub rows
+        ]
+        ivf_pq_encode_arrow(corpus, pc_rows=pc_rows).write.mode(
+            "overwrite"
+        ).parquet(codes_path)
     index = spark.read.parquet(codes_path)
 
     def raw_ivf_probe():
@@ -135,6 +145,9 @@ def main() -> None:
 
     runners = {
         "brute_force_raw": lambda: brute_force_topk(queries, corpus, k=5),
+        "brute_force_arrow": lambda: brute_force_topk_arrow(
+            queries, corpus, k=5
+        ),
         "ivf_probe_raw": raw_ivf_probe,
         "ivf_pq_probe_codes": lambda: ivf_pq_probe(
             queries, index, pc, k=5
@@ -149,9 +162,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         t[name] = round(best, 2)
 
+    # ground truth via the arrow path (rank-identical to the fold on
+    # tie-free data, tests/test_similarity.py; the fold is quadratic
+    # interpreted work at large replica counts)
     exact = {
         (r.query_id, r.neighbor_id)
-        for r in brute_force_topk(queries, corpus, k=5).collect()
+        for r in brute_force_topk_arrow(queries, corpus, k=5).collect()
     }
     raw = {
         (r.query_id, r.neighbor_id) for r in raw_ivf_probe().collect()

@@ -58,6 +58,7 @@ EXPECTED_QUERIES = {
     "q21_waiting_suppliers", "q22_lapsed_customer_balance",
     # extras (out-of-window variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
+    "ann_bruteforce_top5_fast",
     "ann_ivf_fixed_top5", "ann_ivf_pq_top5", "stream_dedup_embeddings",
     "stream_dedup_docs_minhash", "stream_dedup_docs_incremental",
     # streaming
@@ -77,7 +78,8 @@ EXPECTED_QUERIES = {
 
 ROWS_ONLY = {
     "approx_distinct_users", "dedup_minhash_lsh_fast", "dedup_simhash_fast",
-    "ann_lsh_top5_fast", "ann_ivf_top5", "ml_tfidf_features",
+    "ann_lsh_top5_fast", "ann_bruteforce_top5_fast", "ann_ivf_top5",
+    "ml_tfidf_features",
     "multimodal_features",
 }
 

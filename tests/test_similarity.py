@@ -98,6 +98,39 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall}"
 
 
+def test_pq_encode_arrow_matches_relational(spark, sf_dir):
+    """The matmul encoder must emit the identical (cell, codes) row
+    per vector as the oracle-checked relational encode (the fixture
+    has no exact distance ties)."""
+    from vspace_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_encode_arrow,
+        pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pc = pq_codebook(emb)
+    exact = sorted(map(tuple, ivf_pq_encode(emb, pc).collect()))
+    pc_rows = [(r["sub"], r["cid"], list(r["pv"])) for r in pc.collect()]
+    fast = sorted(
+        map(tuple, ivf_pq_encode_arrow(emb, pc_rows=pc_rows).collect())
+    )
+    assert exact == fast
+
+
+def test_bruteforce_arrow_matches_exact_path(spark, sf_dir):
+    """The matmul fast path must reproduce the exact fold path's top-5
+    sets (rank-for-rank on the fixture — ties are broken by id in both
+    and the fixture has no exact cosine ties)."""
+    from vspace_spark.operators.similarity import brute_force_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = sorted(map(tuple, brute_force_topk(q, emb, k=5).collect()))
+    fast = sorted(map(tuple, brute_force_topk_arrow(q, emb, k=5).collect()))
+    assert exact == fast
+
+
 def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
     """PQ compresses each vector to 4 codes — recall vs exact top-5
     must still clear the same bar as the uncompressed IVF probe."""

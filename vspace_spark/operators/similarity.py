@@ -545,3 +545,168 @@ def ivf_pq_topk(
         m=m,
         dim=dim,
     )
+
+
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized brute-force top-k: the 100 TB batch-scoring shape.
+    The JVM fold path (:func:`brute_force_topk`) evaluates cosine with
+    higher-order functions — interpreted (CodegenFallback), ~µs per
+    pair — fine at fixture scale, the hot-path bottleneck beyond it.
+    This path broadcasts the (small, by contract) query matrix into a
+    ``mapInPandas`` scan and scores each Arrow batch with ONE numpy
+    matmul (norms precomputed), emitting only the per-batch top-k per
+    query; an exact JVM window merges the partial top-ks. Wire volume
+    is ≤ k × queries × batches rows — the corpus never shuffles.
+
+    Rank parity with the fold path is not bit-guaranteed (BLAS
+    pairwise/SIMD summation vs strict left fold can flip near-ties),
+    so this registers rows-only; tests/test_similarity.py asserts the
+    two paths agree on the fixture. The closure is self-contained
+    (queries passed as a plain list literal — executors cannot import
+    this repo when the driver runs elsewhere, NOTES.md seam #2).
+
+    Returns ``[query_id, neighbor_id, rank]``.
+    """
+    q_rows = (
+        queries.select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+        .orderBy("q")
+        .collect()  # bounded-collect: the query batch (small by contract)
+    )
+    q_ids = [int(r["q"]) for r in q_rows]
+    q_mat = [[float(x) for x in r["v"]] for r in q_rows]
+    kk = int(k)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(q_mat, dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        qid = np.asarray(q_ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_cv"]]
+            )
+            cid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cn = np.linalg.norm(C, axis=1)
+            cos = (C @ Q.T) / np.outer(cn, qn)  # batch × queries
+            for j in range(cos.shape[1]):
+                col = cos[:, j]
+                mask = cid != qid[j]
+                order = np.lexsort((cid[mask], -col[mask]))[:kk]
+                take = np.flatnonzero(mask)[order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid[j].repeat(len(take)),
+                        "neighbor_id": cid[take],
+                        "_cos": col[take],
+                    }
+                )
+
+    partial = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).mapInPandas(
+        score, "query_id long, neighbor_id long, _cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_pq_encode_arrow(
+    corpus: DataFrame,
+    pc_rows: list[tuple[int, int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    ksub: int = 256,
+    dim: int = 64,
+    codebook: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Vectorized IVF-PQ index build — the encode-side hot path. The
+    relational encode (:func:`ivf_pq_encode`) materializes
+    corpus × (m × ksub) rows (4096× fan-out) with interpreted folds —
+    exhaustively oracle-checkable, but the measured bottleneck of the
+    probe benchmark at 200k vectors. Here each Arrow batch does the
+    whole assignment with three numpy matmuls (coarse argmin + m
+    subspace argmins) and emits the final wide row — no fan-out, no
+    shuffle, scan-speed.
+
+    Same contract caveat as :func:`brute_force_topk_arrow`: BLAS
+    summation can flip exact-tie argmins vs the fold path, so this is
+    the rows-only production twin; tests/test_similarity.py asserts
+    code-for-code agreement with the relational encode on the fixture
+    (tie-free). ``codebook`` takes the m × ksub × sub nested list
+    (derive from :func:`pq_codebook` output or pass directly).
+    """
+    centers = portable_hyperplanes(dim, n_cells, salt="c")
+    if codebook is None:
+        if pc_rows is None:
+            pc_df = pq_codebook(
+                corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+                dim=dim,
+            )
+            pc_rows = [
+                (r["sub"], r["cid"], list(r["pv"]))
+                for r in pc_df.collect()  # bounded-collect: m*ksub rows
+            ]
+        codebook = [[None] * ksub for _ in range(m)]
+        for s, c, pv in pc_rows:
+            codebook[s][c] = [float(x) for x in pv]
+    cb = [[list(map(float, v)) for v in sub_cb] for sub_cb in codebook]
+    ctr = [[float(x) for x in c] for c in centers]
+    mm, sub = m, dim // m
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(ctr)                      # n_cells × dim
+        CB = [np.asarray(sub_cb) for sub_cb in cb]  # m × (ksub × sub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            d2 = (
+                (V * V).sum(1, keepdims=True)
+                - 2.0 * (V @ C.T)
+                + (C * C).sum(1)
+            )
+            out = {"_id": pdf["_id"].to_numpy(), "cell": d2.argmin(1)}
+            for s in range(mm):
+                Vs = V[:, s * sub : (s + 1) * sub]
+                B = CB[s]
+                ds = (
+                    (Vs * Vs).sum(1, keepdims=True)
+                    - 2.0 * (Vs @ B.T)
+                    + (B * B).sum(1)
+                )
+                out[f"code_{s}"] = ds.argmin(1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        [f"_id long", "cell int"] + [f"code_{s} int" for s in range(mm)]
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        .mapInPandas(encode, schema)
+        .withColumnRenamed("_id", id_col)
+    )

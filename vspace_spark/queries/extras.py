@@ -603,3 +603,19 @@ def ann_ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query("ann_bruteforce_top5_fast")  # BLAS matmul scoring — no SQL twin
+def ann_bruteforce_top5_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force ANN
+    (operators/similarity.py:brute_force_topk_arrow): one numpy matmul
+    per Arrow batch + partial per-batch top-k + exact JVM merge — the
+    batch-scoring hot path for large corpora, where the exact fold
+    twin (`ann_bruteforce_top5`) pays interpreted HOF evaluation per
+    pair. Rows-only by design (BLAS summation order can flip
+    near-ties); tests/test_similarity.py pins agreement with the
+    oracle-checked exact path on the fixture."""
+    from vspace_spark.operators.similarity import brute_force_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_arrow(emb.filter(F.col("vec_id") < 10), emb, k=5)
