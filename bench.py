@@ -49,6 +49,13 @@ HEADLINE = [
     "doc_span_novelty",
     "doc_pii_scrub",
     "q21_waiting_suppliers",
+    # added r3 session 2 (additive): exact-substring scrubbing, the
+    # epoch shuffle (two-phase numbering), cluster canonicalization
+    # (iterative CC + argmax pick), and the Arrow matmul ANN path
+    "doc_span_scrub",
+    "doc_training_order",
+    "dedup_keep_best",
+    "ann_bruteforce_top5_fast",
 ]
 
 
