@@ -35,6 +35,7 @@ from vspace_spark.operators.similarity import (  # noqa: E402
     brute_force_topk_arrow,
     ivf_pq_encode_arrow,
     ivf_pq_probe,
+    ivf_pq_probe_arrow,
     portable_hyperplanes,
     pq_codebook,
 )
@@ -122,6 +123,16 @@ def main() -> None:
         ).parquet(codes_path)
     index = spark.read.parquet(codes_path)
 
+    _pc_rows = []
+
+    def pc_rows_cached():
+        if not _pc_rows:
+            _pc_rows.extend(
+                (r["sub"], r["cid"], list(r["pv"]))
+                for r in pc.collect()  # bounded-collect: m*ksub rows
+            )
+        return _pc_rows
+
     def raw_ivf_probe():
         cands = (
             assigned.join(F.broadcast(probe_cells(queries, centers, 4)), "cell")
@@ -151,6 +162,9 @@ def main() -> None:
         "ivf_probe_raw": raw_ivf_probe,
         "ivf_pq_probe_codes": lambda: ivf_pq_probe(
             queries, index, pc, k=5
+        ),
+        "ivf_pq_probe_arrow": lambda: ivf_pq_probe_arrow(
+            queries, index, pc_rows_cached(), k=5
         ),
     }
     t = {}

@@ -13,7 +13,7 @@ EXPECTED_QUERIES = {
     "term_stats_unigram", "term_stats_ngram", "term_stats_by_source",
     "doc_term_frequencies", "doc_wordcount", "normalize_corpus",
     "vocabulary", "vocab_gated_stats", "source_language_map",
-    "tfidf_top3_per_doc", "corpus_job_ini",
+    "tfidf_top3_per_doc", "corpus_job_ini", "term_stats_incremental_merge",
     # relational
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_nation_revenue",
     "top3_orders_per_customer", "customer_running_spend",

@@ -118,6 +118,28 @@ def test_pq_encode_arrow_matches_relational(spark, sf_dir):
     assert exact == fast
 
 
+def test_pq_probe_arrow_matches_relational(spark, sf_dir):
+    """The matmul ADC probe must reproduce the relational probe's
+    ranks exactly on the tie-free fixture."""
+    from vspace_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_probe,
+        ivf_pq_probe_arrow,
+        pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    pc = pq_codebook(emb)
+    index = ivf_pq_encode(emb, pc)
+    pc_rows = [(r["sub"], r["cid"], list(r["pv"])) for r in pc.collect()]
+    exact = sorted(map(tuple, ivf_pq_probe(q, index, pc, k=5).collect()))
+    fast = sorted(
+        map(tuple, ivf_pq_probe_arrow(q, index, pc_rows, k=5).collect())
+    )
+    assert exact == fast
+
+
 def test_bruteforce_arrow_matches_exact_path(spark, sf_dir):
     """The matmul fast path must reproduce the exact fold path's top-5
     sets (rank-for-rank on the fixture — ties are broken by id in both

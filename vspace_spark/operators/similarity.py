@@ -710,3 +710,108 @@ def ivf_pq_encode_arrow(
         .mapInPandas(encode, schema)
         .withColumnRenamed("_id", id_col)
     )
+
+
+def ivf_pq_probe_arrow(
+    queries: DataFrame,
+    index: DataFrame,
+    pc_rows: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 256,
+    dim: int = 64,
+) -> DataFrame:
+    """Vectorized IVF-PQ probe — the production twin of
+    :func:`ivf_pq_probe` (whose ADC join was the measured 10.5 s at
+    200k vectors). The whole probe is one ``mapInPandas`` over the
+    CODES table: each Arrow batch filters to the queries' probed
+    cells, gathers the precomputed ADC tables (m × ksub numpy arrays
+    per query, built driver-side from the query batch — tiny), sums m
+    gathered columns per candidate, and emits the per-batch top-k per
+    query; an exact JVM window merges partials. Raw vectors are never
+    read; per-batch work is integer gathers + one sum — no JVM fold
+    anywhere. Same rows-only caveat as the other Arrow twins (BLAS
+    vs fold summation on exact ties); agreement with the relational
+    probe is asserted in tests/test_similarity.py.
+    """
+    sub = dim // m
+    centers = portable_hyperplanes(dim, n_cells, salt="c")
+    q_rows = (
+        queries.select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+        .orderBy("q")
+        .collect()  # bounded-collect: the query batch (small by contract)
+    )
+    codebook = [[None] * ksub for _ in range(m)]
+    for s, c, pv in pc_rows:
+        codebook[s][c] = [float(x) for x in pv]
+    q_ids = [int(r["q"]) for r in q_rows]
+    q_mat = [[float(x) for x in r["v"]] for r in q_rows]
+    ctr = [[float(x) for x in c] for c in centers]
+    cb = [[list(map(float, v)) for v in sub_cb] for sub_cb in codebook]
+    kk, mm, npb = int(k), int(m), int(n_probe)
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(q_mat)                      # nq × dim
+        C = np.asarray(ctr)                        # n_cells × dim
+        CB = [np.asarray(sub_cb) for sub_cb in cb]
+        qid = np.asarray(q_ids, dtype=np.int64)
+        # probed cells per query: n_probe smallest L2 cells
+        qd = (
+            (Q * Q).sum(1, keepdims=True) - 2.0 * (Q @ C.T) + (C * C).sum(1)
+        )
+        probed = np.argsort(qd, axis=1, kind="stable")[:, :npb]
+        # ADC tables: nq × m × ksub
+        adc = np.stack(
+            [
+                (Qs * Qs).sum(1, keepdims=True)
+                - 2.0 * (Qs @ B.T)
+                + (B * B).sum(1)
+                for s, B in enumerate(CB)
+                for Qs in [Q[:, s * (Q.shape[1] // mm):(s + 1) * (Q.shape[1] // mm)]]
+            ],
+            axis=1,
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell = pdf["cell"].to_numpy()
+            cid = pdf[[f"code_{s}" for s in range(mm)]].to_numpy()
+            nid = pdf["_nid"].to_numpy(dtype=np.int64)
+            for j in range(len(qid)):
+                mask = np.isin(cell, probed[j]) & (nid != qid[j])
+                if not mask.any():
+                    continue
+                codes_j = cid[mask]
+                dist = np.zeros(codes_j.shape[0])
+                for s in range(mm):
+                    dist += adc[j, s, codes_j[:, s]]
+                order = np.lexsort((nid[mask], dist))[:kk]
+                take = np.flatnonzero(mask)[order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid[j].repeat(len(take)),
+                        "neighbor_id": nid[take],
+                        "_dist": dist[order],
+                    }
+                )
+
+    partial = index.select(
+        F.col(id_col).alias("_nid"),
+        "cell",
+        *[f"code_{s}" for s in range(m)],
+    ).mapInPandas(probe, "query_id long, neighbor_id long, _dist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("_dist"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

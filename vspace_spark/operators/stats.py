@@ -641,6 +641,30 @@ def corpus_histograms(
     )
 
 
+def merge_term_stats(*stats: DataFrame) -> DataFrame:
+    """Merge independently computed term-statistics tables — the batch
+    index-maintenance primitive: all three measures (document_frequency,
+    term_frequency, tdsum) are ADDITIVE over disjoint document sets, so
+    stats computed per ingest batch / per partition / per day roll up
+    with one union + hash aggregation instead of recomputing the corpus
+    (the streaming twin maintains the same invariant incrementally,
+    streaming/corpus.py). Group keys are inferred as every non-measure
+    column, so the merge works for the global, by-source, and any other
+    parametric grouping unchanged. Map-side partial combine applies;
+    the shuffle is keyed by token like the flagship itself."""
+    measures = ("document_frequency", "term_frequency", "tdsum")
+    df = stats[0]
+    for other in stats[1:]:
+        df = df.unionByName(other)
+    keys = [c for c in df.columns if c not in measures]
+    return df.groupBy(*keys).agg(
+        *[
+            F.sum(m).cast("long").alias(m)
+            for m in measures
+        ]
+    )
+
+
 def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
     """Vocabulary pipeline: union → trim/empty-filter → distinct → id
     (reference: vspace/pipelines/base.py:343-355; filters from

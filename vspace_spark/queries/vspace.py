@@ -386,3 +386,26 @@ def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "rank")
     )
+
+
+@query("term_stats_incremental_merge", oracle=_stats_sql(max_n=1))
+def term_stats_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch index maintenance for the flagship: statistics computed on
+    two DISJOINT corpus partitions (a 90% "existing index" and a 10%
+    "new ingest batch") merged with
+    ``operators/stats.py:merge_term_stats`` — one union + token-keyed
+    hash aggregation, NO recomputation of the old corpus. The oracle is
+    the full-corpus statistics: all three measures are additive over
+    disjoint document sets, so the merge must reproduce them exactly.
+    This is the batch twin of ``stream_term_stats`` (which maintains
+    the same invariant per micro-batch) and the update path for every
+    stats-as-index consumer (tfidf_search, doc_oov_rate)."""
+    from vspace_spark.operators.stats import merge_term_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    ingest = docs.filter(F.col("doc_id") % 10 == 0)
+    return merge_term_stats(
+        term_stats(existing, min_n=1, max_n=1),
+        term_stats(ingest, min_n=1, max_n=1),
+    )
