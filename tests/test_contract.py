@@ -33,8 +33,9 @@ EXPECTED_QUERIES = {
     # analytics
     "funnel_view_click_purchase", "cohort_daily_retention",
     "q14_promo_revenue", "q19_disjunctive_predicates",
-    "min_cost_supplier_per_part", "tfidf_search",
+    "min_cost_supplier_per_part", "tfidf_search", "token_cms_estimates",
     "merge_upsert_orders", "daily_revenue_gapfilled",
+    "daily_revenue_interpolated",
     # dedup
     "dedup_exact", "dedup_exact_normalized", "dedup_jaccard_pairs",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
@@ -58,7 +59,7 @@ EXPECTED_QUERIES = {
     "q21_waiting_suppliers", "q22_lapsed_customer_balance",
     # extras (out-of-window variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
-    "ann_bruteforce_top5_fast",
+    "ann_bruteforce_top5_fast", "ann_ivf_pq_top5_fast",
     "ann_ivf_fixed_top5", "ann_ivf_pq_top5", "stream_dedup_embeddings",
     "stream_dedup_docs_minhash", "stream_dedup_docs_incremental",
     # streaming
@@ -79,7 +80,7 @@ EXPECTED_QUERIES = {
 ROWS_ONLY = {
     "approx_distinct_users", "dedup_minhash_lsh_fast", "dedup_simhash_fast",
     "ann_lsh_top5_fast", "ann_bruteforce_top5_fast", "ann_ivf_top5",
-    "ml_tfidf_features",
+    "ann_ivf_pq_top5_fast", "ml_tfidf_features",
     "multimodal_features",
 }
 

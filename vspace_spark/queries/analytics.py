@@ -402,3 +402,217 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         F.col("revenue").isNull().alias("gap_filled"),
     )
+
+
+# Count-min sketch geometry: 4 hash rows × 16 counters — sized to the
+# fixture's 31-token vocabulary so collisions actually occur
+# (non-vacuous overestimates; W=1024 measured zero collisions here).
+# At corpus scale W grows to 2^20+ and the sketch is still KB-sized.
+_CMS_D = 4
+_CMS_W = 16
+
+
+@query(
+    "token_cms_estimates",
+    oracle=f"""
+WITH flat AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT token, count(*)::BIGINT AS tf FROM flat GROUP BY token),
+kb AS (
+  SELECT token, tf, j.j AS j,
+         ('0x' || substr(md5(j.j::VARCHAR || ':' || token), 1, 8))::BIGINT
+             % {_CMS_W} AS bucket
+  FROM tf, (SELECT unnest(range({_CMS_D})) AS j) j
+),
+cms AS (SELECT j, bucket, sum(tf)::BIGINT AS c FROM kb GROUP BY j, bucket)
+SELECT kb.token, any_value(kb.tf) AS tf, min(cms.c)::BIGINT AS cms_est,
+       (min(cms.c) - any_value(kb.tf))::BIGINT AS overestimate
+FROM kb JOIN cms USING (j, bucket)
+GROUP BY kb.token
+HAVING any_value(kb.tf) >= 5
+""",
+)
+def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream, fully under the exact
+    oracle gate — the approximate-counting structure real pipelines
+    keep when the exact vocabulary is too big, here with PORTABLE md5
+    row-hashes so every counter, estimate, and overestimate reproduces
+    bit-for-bit in ANSI SQL (the same portable-hash strategy that made
+    MinHash/SimHash/ANN-LSH oracle-checkable). Emits, for every token
+    with true frequency ≥ 5, the true count, the CMS point estimate
+    (min over the 4 row counters), and the overestimate — ≥ 0 by
+    construction, and genuinely non-zero on the fixture because the
+    4 × 16 geometry is sized to its 31-token vocabulary (W=1024
+    collided nothing — a vacuous sketch check).
+
+    Scale shape: the sketch build is ONE hash aggregation over the
+    token stream (map-side combined; the flagship's Zipf-bounded key
+    space) followed by a d × W-row aggregation — the sketch itself is
+    KB-sized at any corpus size and broadcasts back for the estimate
+    join. Integer arithmetic throughout: no float discipline needed at
+    all."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vspace_spark.functions.text import tokenize_col
+
+    tf = (
+        docs.select(F.explode(tokenize_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    kb = tf.select(
+        "token",
+        "tf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{j}:"), F.col("token")
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("_jb"),
+    ).select("token", "tf", "_jb.j", "_jb.bucket")
+    cms = kb.groupBy("j", "bucket").agg(F.sum("tf").cast("long").alias("c"))
+    return (
+        kb.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.first("tf").cast("long").alias("tf"),
+            F.min("c").alias("cms_est"),
+            (F.min("c") - F.first("tf")).cast("long").alias("overestimate"),
+        )
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@query(
+    "daily_revenue_interpolated",
+    oracle="""
+WITH sub AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 199 = 0
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM sub),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+daily AS (
+  SELECT day,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+             AS revenue
+  FROM sub GROUP BY 1
+),
+j AS (SELECT spine.day, daily.revenue
+      FROM spine LEFT JOIN daily USING (day)),
+ctx AS (
+  SELECT day, revenue,
+         last_value(revenue IGNORE NULLS) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_v,
+         last_value(CASE WHEN revenue IS NOT NULL THEN day END
+                    IGNORE NULLS) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_d,
+         first_value(revenue IGNORE NULLS) OVER (
+           ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_v,
+         first_value(CASE WHEN revenue IS NOT NULL THEN day END
+                     IGNORE NULLS) OVER (
+           ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_d
+  FROM j
+)
+SELECT day,
+       round(CASE WHEN revenue IS NOT NULL THEN revenue
+             ELSE prev_v + (next_v - prev_v)
+                  * date_diff('day', prev_d, day)
+                  / date_diff('day', prev_d, next_d) END, 6) AS revenue,
+       (revenue IS NULL) AS interpolated
+FROM ctx
+""",
+)
+def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR INTERPOLATION over a date spine — the
+    gap-fill variant that estimates missing days from their bracketing
+    observations instead of zeroing them (sensor/metric pipelines'
+    default). The input is deterministically sparsified
+    (``o_orderkey % 199``) so gaps exist at EVERY fixture scale — the
+    plain gap-fill's window has no missing days from sf0.01 up, which
+    would make this check vacuous.
+
+    Scale shape: the corpus-sized work is one daily aggregation; the
+    interpolation windows run over the DATE SPINE (#days rows — a
+    bounded, calendar-sized table, not data-sized), so the
+    unpartitioned window is safe by construction, same as the
+    gap-fill's spine join. Float discipline: revenue is
+    DECIMAL-summed then rounded; the interpolation is the identical
+    ``prev + (next − prev) * k / n`` expression tree in both engines
+    (int day-diffs, one multiply then one divide), then round(6)."""
+    from vspace_spark.operators.relational import dec, money
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 199 == 0
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        money(F.sum(dec("o_totalprice", 2))).alias("revenue")
+    )
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    j = spine.join(daily, "day", "left")
+    w_prev = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+    ctx = j.select(
+        "day",
+        "revenue",
+        F.last("revenue", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("revenue", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (
+        F.col("next_v") - F.col("prev_v")
+    ) * F.datediff("day", "prev_d") / F.datediff("next_d", "prev_d")
+    return ctx.select(
+        "day",
+        F.round(
+            F.when(F.col("revenue").isNotNull(), F.col("revenue")).otherwise(
+                interp
+            ),
+            6,
+        ).alias("revenue"),
+        F.col("revenue").isNull().alias("interpolated"),
+    )

@@ -619,3 +619,31 @@ def ann_bruteforce_top5_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk_arrow(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query("ann_ivf_pq_top5_fast")  # matmul encode + ADC — no SQL twin
+def ann_ivf_pq_top5_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF-PQ lifecycle end-to-end: matmul index build
+    (`ivf_pq_encode_arrow`) + matmul ADC probe (`ivf_pq_probe_arrow`),
+    the pair measured fastest-of-all-paths on the 200k-vector corpus
+    (PERF.md). Rows-only by design (BLAS summation order vs the
+    relational folds on exact ties); both stages are asserted
+    code/rank-identical to the oracle-checked relational twins in
+    tests/test_similarity.py, and the relational `ann_ivf_pq_top5`
+    carries the family's exact oracle row."""
+    from vspace_spark.operators.similarity import (
+        ivf_pq_encode_arrow,
+        ivf_pq_probe_arrow,
+        pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pc = pq_codebook(emb)
+    pc_rows = [
+        (r["sub"], r["cid"], list(r["pv"]))
+        for r in pc.collect()  # bounded-collect: m*ksub codebook rows
+    ]
+    index = ivf_pq_encode_arrow(emb, pc_rows=pc_rows)
+    return ivf_pq_probe_arrow(
+        emb.filter(F.col("vec_id") < 10), index, pc_rows, k=5
+    )
