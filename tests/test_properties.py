@@ -163,3 +163,29 @@ def test_pack_plan_invariants(spark, wcs, budget):
         assert r.n_seqs == (offset + w - 1) // budget - offset // budget + 1
         offset += w
     assert offset == sum(wcs)
+
+
+def test_hll_estimate_accuracy_across_cardinalities():
+    """HLL raw-estimate accuracy (oracle-side — oracle parity ties the
+    Spark plan to this arithmetic bit-for-bit). A SINGLE draw at m=64
+    legitimately swings +-35% (measured across salts; raw HLL sigma is
+    ~13% plus small-m tail), so assert the estimator is UNBIASED: mean
+    relative error over 8 independent key families within +-12%, every
+    single draw within +-40%."""
+    import duckdb
+
+    from vspace_spark.queries import ORACLES, load_all
+
+    load_all()
+    con = duckdb.connect()
+    parts = " UNION ALL ".join(
+        f"SELECT 'fam{p}' AS event_type, '{p}:' || i::VARCHAR AS user_id "
+        f"FROM range(1000) t(i)"
+        for p in "abcdefgh"
+    )
+    con.execute(f"CREATE TABLE events AS {parts}")
+    df = con.execute(ORACLES["user_hll_distinct"]).df()
+    rels = [(est - ex) / ex for ex, est in
+            zip(df.exact_distinct, df.hll_estimate)]
+    assert all(abs(r) <= 0.40 for r in rels), rels
+    assert abs(sum(rels) / len(rels)) <= 0.12, rels

@@ -616,3 +616,229 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.col("revenue").isNull().alias("interpolated"),
     )
+
+
+# HLL geometry: 64 registers (6 index bits + 54 rho bits from a 60-bit
+# md5 prefix). alpha(64) = 0.709 (Flajolet et al. 2007).
+_HLL_M = 64
+
+
+@query(
+    "user_hll_distinct",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type, user_id,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h60
+  FROM events
+),
+split AS (
+  SELECT event_type, h60 % {_HLL_M} AS idx, h60 // {_HLL_M} AS rem
+  FROM h
+),
+rho AS (
+  SELECT event_type, idx,
+         CASE WHEN rem = 0 THEN 55
+              ELSE 55 - length(bin(rem)) END AS rho
+  FROM split
+),
+regs AS (
+  SELECT event_type, idx, max(rho) AS r
+  FROM rho GROUP BY event_type, idx
+),
+sums AS (
+  SELECT event_type,
+         (sum(((2::DOUBLE) ** (55 - r))::BIGINT)
+          + ({_HLL_M} - count(*)) * ((2::DOUBLE) ** 55)::BIGINT)::BIGINT
+             AS s,
+         count(*)::BIGINT AS nonzero_registers
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT sums.event_type, sums.nonzero_registers, exact.exact_distinct,
+       round(0.709::DOUBLE * {_HLL_M} * {_HLL_M}
+             * 36028797018963968.0 / sums.s::DOUBLE, 6)
+           AS hll_estimate
+FROM sums JOIN exact USING (event_type)
+""",
+)
+def user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimation, fully under the EXACT
+    oracle gate — the cardinality sketch engines normally hide behind
+    `approx_count_distinct` (rows-only there, by design), rebuilt with
+    portable arithmetic so both engines reproduce every register and
+    the estimate bit-for-bit:
+
+    - 60-bit md5 prefix → 6-bit register index + 54-bit remainder;
+    - rho = leading zeros + 1 via ``length(bin(x))`` — an INTEGER
+      string op, not float log2;
+    - the harmonic sum Σ 2^-rho is scaled by 2^55 so it is a BIGINT
+      sum of exact powers of two — order-free, no float aggregation
+      (the unscaled float sum would be summation-order-dependent);
+    - one final constant × division × round(6) (alpha(64) = 0.709).
+
+    Raw estimate only — the standard small-range linear-counting
+    correction needs ln(), whose last-ulp behavior differs across
+    libm builds; ``nonzero_registers`` and ``exact_distinct`` ride
+    along so accuracy is inspectable. m=64 draws legitimately swing
+    ±35% singly; tests/test_properties.py asserts the estimator is
+    UNBIASED (mean over independent key families within ±12%).
+
+    Scale shape: one distinct-projection + one 64-registers-per-group
+    aggregation, both map-side combined; the sketch is bytes per
+    group at any cardinality — the whole point of HLL."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint").alias("h60"),
+        "user_id",
+    ).dropDuplicates(["event_type", "user_id"])
+    split = h.select(
+        "event_type",
+        (F.col("h60") % _HLL_M).alias("idx"),
+        F.expr(f"h60 div {_HLL_M}").alias("rem"),
+    )
+    rho = split.select(
+        "event_type",
+        "idx",
+        F.when(F.col("rem") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin("rem")))
+        .alias("rho"),
+    )
+    regs = rho.groupBy("event_type", "idx").agg(F.max("rho").alias("r"))
+    sums = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), 55 - F.col("r")).cast("bigint"))
+            + (_HLL_M - F.count("*"))
+            * F.lit(2**55).cast("bigint")
+        ).cast("bigint").alias("s"),
+        F.count("*").cast("long").alias("nonzero_registers"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return sums.join(exact, "event_type").select(
+        "event_type",
+        "nonzero_registers",
+        "exact_distinct",
+        F.round(
+            F.lit(0.709 * _HLL_M * _HLL_M * 36028797018963968.0)
+            / F.col("s").cast("double"),
+            6,
+        ).alias("hll_estimate"),
+    )
+
+
+# Bloom geometry: 3 hashes × 64 bits over the fixture's 31-token
+# vocabulary → fill ratio ~0.75, so false positives actually occur
+# (the check is non-vacuous, like the CMS sizing above).
+_BLOOM_K = 3
+_BLOOM_BITS = 64
+
+
+@query(
+    "vocab_bloom_membership",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+),
+probes AS (
+  SELECT token, TRUE AS is_member FROM vocab
+  UNION ALL
+  SELECT token || '~', FALSE FROM vocab
+),
+pb AS (
+  SELECT p.token, p.is_member, j.j,
+         ('0x' || substr(md5(j.j::VARCHAR || '#' || p.token), 1, 8))::BIGINT
+             % {_BLOOM_BITS} AS bit
+  FROM probes p, (SELECT unnest(range({_BLOOM_K})) AS j) j
+),
+bloom AS (SELECT DISTINCT bit FROM pb WHERE is_member),
+hits AS (
+  SELECT pb.token, pb.is_member, count(b.bit)::BIGINT AS nb
+  FROM pb LEFT JOIN bloom b ON pb.bit = b.bit
+  GROUP BY pb.token, pb.is_member
+)
+SELECT token, is_member,
+       (nb = {_BLOOM_K}) AS bloom_hit,
+       (nb = {_BLOOM_K} AND NOT is_member) AS false_positive
+FROM hits
+""",
+)
+def vocab_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, fully under the exact oracle gate —
+    the third portable sketch next to the count-min (`token_cms_
+    estimates`) and HLL (`user_hll_distinct`): 3 md5-derived bit
+    positions over a 64-bit filter built from the corpus vocabulary,
+    probed with every vocabulary token (must hit) and a deterministic
+    non-member twin per token (``token || '~'`` — may false-positive,
+    and genuinely does at this fill ratio). Every bit position, hit,
+    and false positive reproduces in ANSI SQL — the runtime-filter
+    cousin of the MEASURED bloom join pruning in
+    scripts/runtime_filter_bench.py (that one uses Spark's native
+    engine-internal filter; this one puts the structure itself under
+    the correctness gate).
+
+    Scale shape: the filter is bits (broadcast scalar set — here a
+    64-row table, semi-joined); the build is one distinct-projection.
+    In production the member side is the small dimension (the
+    vocabulary / the id set), exactly the runtime-filter shape."""
+    from vspace_spark.functions.text import tokenize_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(tokenize_col("text")).alias("token")
+    ).distinct()
+    probes = vocab.select("token", F.lit(True).alias("is_member")).unionByName(
+        vocab.select(
+            F.concat(F.col("token"), F.lit("~")).alias("token"),
+            F.lit(False).alias("is_member"),
+        )
+    )
+    pb = probes.select(
+        "token",
+        "is_member",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(F.lit(f"{j}#"), F.col("token"))
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % _BLOOM_BITS
+                    )
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    bloom = pb.filter("is_member").select("bit").distinct()
+    hits = (
+        pb.join(
+            F.broadcast(bloom.withColumn("_in", F.lit(1))), "bit", "left"
+        )
+        .groupBy("token", "is_member")
+        .agg(F.count("_in").alias("nb"))
+    )
+    return hits.select(
+        "token",
+        "is_member",
+        (F.col("nb") == _BLOOM_K).alias("bloom_hit"),
+        ((F.col("nb") == _BLOOM_K) & ~F.col("is_member")).alias(
+            "false_positive"
+        ),
+    )
