@@ -34,7 +34,7 @@ EXPECTED_QUERIES = {
     "funnel_view_click_purchase", "cohort_daily_retention",
     "q14_promo_revenue", "q19_disjunctive_predicates",
     "min_cost_supplier_per_part", "tfidf_search", "token_cms_estimates",
-    "user_hll_distinct", "vocab_bloom_membership",
+    "user_hll_distinct", "vocab_bloom_membership", "events_rollup_cascade",
     "merge_upsert_orders", "daily_revenue_gapfilled",
     "daily_revenue_interpolated",
     # dedup

@@ -842,3 +842,81 @@ def vocab_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_positive"
         ),
     )
+
+
+@query(
+    "events_rollup_cascade",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+daily AS (
+  SELECT date_trunc('day', ts) AS period_start, event_type,
+         count(*)::BIGINT AS n, sum(v) AS sv
+  FROM e GROUP BY 1, 2
+),
+monthly AS (
+  SELECT date_trunc('month', ts) AS period_start, event_type,
+         count(*)::BIGINT AS n, sum(v) AS sv
+  FROM e GROUP BY 1, 2
+)
+SELECT 'daily' AS grain, period_start, event_type, n,
+       round(sv, 6)::DOUBLE AS sum_value
+FROM daily
+UNION ALL
+SELECT 'monthly', period_start, event_type, n,
+       round(sv, 6)::DOUBLE
+FROM monthly
+""",
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup CASCADE (continuous-aggregate algebra):
+    the hourly aggregate is materialized ONCE and the daily and
+    monthly grains are derived from IT — sums of sums, never a second
+    scan of the raw events — while the oracle computes every grain
+    directly from raw. Equality is the continuous-aggregate invariant
+    (count and DECIMAL sums are additive across grain boundaries), and
+    it holds EXACTLY because the measure is cast to DECIMAL(18,6) at
+    the leaf: a double sum would differ in the last ulp between the
+    cascaded and direct groupings.
+
+    Scale shape: raw events shuffle once (to hourly keys — the finest
+    grain); each coarser grain aggregates the previous rollup, whose
+    size is calendar x types, not data. This is the maintenance
+    pattern for time-series stores (TimescaleDB continuous aggregates,
+    Druid rollup segments): append-only ingest updates the finest
+    grain; coarser grains fold already-aggregated rows, like
+    ``term_stats_incremental_merge`` does for the flagship."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "ts",
+        dec("value", 6).alias("v"),
+    )
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").alias("period_start"), "event_type"
+    ).agg(F.sum("n").cast("long").alias("n"), F.sum("sv").alias("sv"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "period_start").alias("period_start"),
+        "event_type",
+    ).agg(F.sum("n").cast("long").alias("n"), F.sum("sv").alias("sv"))
+    out_daily = daily.select(
+        F.lit("daily").alias("grain"),
+        "period_start",
+        "event_type",
+        "n",
+        F.round(F.col("sv"), 6).cast("double").alias("sum_value"),
+    )
+    out_monthly = monthly.select(
+        F.lit("monthly").alias("grain"),
+        "period_start",
+        "event_type",
+        "n",
+        F.round(F.col("sv"), 6).cast("double").alias("sum_value"),
+    )
+    return out_daily.unionByName(out_monthly)
