@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     node_col: str = "id",
     src_col: str = "a",
@@ -30,6 +30,14 @@ def connected_components(
     ``nodes``: one column ``node_col``; ``edges``: undirected pairs
     (``src_col``, ``dst_col``). Returns ``[<node_col>, component]``.
     Deterministic (min-label fixpoint is order-independent).
+
+    ``nodes=None`` iterates over EDGE-INCIDENT nodes only, derived
+    from the persisted symmetric edge list so an expensive edge
+    subplan (e.g. Jaccard candidate pairs) is evaluated ONCE — the
+    caller left-joins isolated nodes back afterwards. Isolated nodes
+    can never change labels, so excluding them drops each round's
+    join + convergence-count cost from corpus-sized to
+    edge-incident-sized.
     """
     sym = (
         edges.select(
@@ -43,9 +51,15 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = nodes.select(
-        F.col(node_col).alias("u"), F.col(node_col).alias("component")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if nodes is None:
+        base = sym.select("u").distinct()
+        labels = base.select(
+            "u", F.col("u").alias("component")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        labels = nodes.select(
+            F.col(node_col).alias("u"), F.col(node_col).alias("component")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -85,9 +99,27 @@ def dedup_clusters(
 ) -> DataFrame:
     """Near-dup clustering: candidate pairs → connected components →
     ``[doc_id, component, is_keeper]`` (keeper = smallest id in its
-    component, the canonical representative to retain)."""
-    comps = connected_components(
-        docs.select(id_col), pairs, node_col=id_col
+    component, the canonical representative to retain).
+
+    The iteration runs over EDGE-INCIDENT nodes only — an isolated
+    document can never change its label, so iterating the full corpus
+    (v1) paid per-round label joins and a convergence count over
+    EVERY doc, times up to ``max_iterations`` rounds: a corpus-sized
+    shuffle per round, the kind of hidden multiplier that only bites
+    beyond fixture scale. Incident nodes are bounded by
+    2 × |candidate pairs| (the already sub-quadratic dedup output), so
+    each round now costs edge-incident-sized work; isolated docs
+    coalesce to their own id in ONE corpus-sized left join at the
+    end. At fixture scale the change is a measured wash (the Jaccard
+    pair generation dominates; A/B min: 3.6 s vs 5.5 s at sf0.1,
+    9.9 s vs 9.7 s at 10×) — the win is the removed
+    rounds × corpus multiplier, which local benches cannot exhibit."""
+    comps_incident = connected_components(None, pairs, node_col=id_col)
+    comps = docs.select(id_col).join(
+        comps_incident, id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("component"),
     )
     return comps.select(
         id_col,
