@@ -48,7 +48,7 @@ EXPECTED_QUERIES = {
     "doc_token_counts", "doc_quality", "doc_language_id",
     "doc_fingerprints", "doc_repetition", "doc_train_test_split",
     "doc_oov_rate", "doc_boilerplate_share", "doc_pii_scrub",
-    "source_wc_profile",
+    "source_wc_profile", "doc_length_outliers", "corpus_report",
     # curation
     "doc_decontamination", "doc_pack_sequences", "domain_mixture_weights",
     "curated_corpus", "doc_span_novelty", "shard_manifest",

@@ -518,3 +518,181 @@ def source_wc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_wc",
         )
     )
+
+
+@query(
+    "doc_length_outliers",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'),
+             t -> t != ''))::BIGINT AS wc
+  FROM documents
+),
+h AS (SELECT source, wc, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2),
+c AS (
+  SELECT source, wc, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY wc
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM h
+),
+t AS (SELECT source, count(*)::BIGINT AS n_docs FROM w GROUP BY 1),
+p AS (
+  SELECT t.source,
+         min(CASE WHEN 20 * c.cum >= 19 * t.n_docs THEN c.wc END)::BIGINT
+             AS p95_wc
+  FROM c JOIN t USING (source) GROUP BY t.source
+)
+SELECT w.doc_id, w.source, w.wc, p.p95_wc
+FROM w JOIN p USING (source)
+WHERE w.wc > p.p95_wc
+""",
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-driven outlier removal: documents longer than their OWN
+    source's exact p95 token count — the per-domain length filter a
+    curation pipeline derives from `source_wc_profile` rather than a
+    global constant (a 95th-percentile news article and a
+    95th-percentile tweet are different lengths). Strictly-greater
+    semantics: at most ~5% of each source flagged, zero for sources
+    whose p95 equals their max.
+
+    Scale shape: identical to `source_wc_profile` (histogram-cumsum
+    exact percentile — the only window spans distinct token counts),
+    plus one broadcast of the #sources-row threshold table back onto
+    the scan. Integer comparisons throughout."""
+    from pyspark.sql import Window
+
+    from vspace_spark.functions.text import tokenize_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize_col("text")).cast("long").alias("wc"),
+    )
+    h = w.groupBy("source", "wc").agg(F.count("*").alias("cnt"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy("wc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.withColumn("cum", F.sum("cnt").over(win))
+    t = w.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    p = (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.when(
+                    20 * F.col("cum") >= 19 * F.col("n_docs"), F.col("wc")
+                )
+            ).alias("p95_wc")
+        )
+    )
+    return w.join(F.broadcast(p), "source").filter(
+        F.col("wc") > F.col("p95_wc")
+    ).select("doc_id", "source", "wc", "p95_wc")
+
+
+@query(
+    "corpus_report",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, source, lang,
+         len(string_split(text, ' ')) AS wc,
+         string_split(text, ' ') AS toks,
+         len(list_distinct(string_split(text, ' '))) AS distinct_wc,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','an','of','and','to','in','is','it',
+                        'that'))) AS stop
+  FROM documents
+),
+q AS (
+  SELECT source, lang, wc, toks,
+         CAST(round(
+           0.4 * (CASE WHEN wc BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * least(round(distinct_wc / wc, 6) * 2, 1.0)
+           + 0.3 * (CASE WHEN round(stop / wc, 6) >= 0.05 THEN 1.0
+                         ELSE round(stop / wc, 6) * 20 END), 6)
+           AS DECIMAL(10,6)) AS quality
+  FROM f
+),
+tok AS (
+  SELECT source, count(DISTINCT t.tok)::BIGINT AS distinct_tokens
+  FROM (SELECT source, unnest(toks) AS tok FROM q) t
+  GROUP BY source
+)
+SELECT q.source,
+       count(*)::BIGINT AS n_docs,
+       sum(q.wc)::BIGINT AS n_tokens,
+       any_value(tok.distinct_tokens) AS distinct_tokens,
+       count(DISTINCT q.lang)::BIGINT AS n_langs,
+       round(sum(q.quality)::DOUBLE / count(*), 6) AS mean_quality,
+       sum(CASE WHEN q.quality < 0.5 THEN 1 ELSE 0 END)::BIGINT
+           AS n_low_quality,
+       max(q.wc)::BIGINT AS max_wc
+FROM q JOIN tok USING (source)
+GROUP BY q.source
+""",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD: per-source health metrics a pipeline
+    publishes with every snapshot — document/token volumes, lexical
+    breadth (distinct tokens), language spread, quality distribution
+    (exact-decimal mean + low-quality count), longest document. One
+    query a reference user runs daily, composed from the engine's own
+    quality machinery so the numbers match the per-doc queries
+    row-for-row.
+
+    Float discipline: each doc's round(6) quality is cast to
+    DECIMAL(10,6) — exact, so the per-source SUM is order-free — and
+    the mean is one double division then round(6) (a double mean of
+    the raw scores would be summation-order-dependent across engines).
+
+    Scale shape: one corpus scan feeding two aggregations (per-source
+    metrics; per-source distinct tokens via explode + count_distinct,
+    both map-side combined) joined on the #sources key. Nothing
+    data-sized shuffles twice."""
+    from vspace_spark.functions.text import tokenize_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        "lang",
+        F.size(tokenize_col("text")).alias("wc"),
+        quality_score("text").cast("decimal(10,6)").alias("quality"),
+    )
+    tok = (
+        docs.select(
+            "source", F.explode(tokenize_col("text")).alias("tok")
+        )
+        .groupBy("source")
+        .agg(F.count_distinct("tok").alias("distinct_tokens"))
+    )
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("wc").cast("long").alias("n_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.round(
+                F.sum("quality").cast("double") / F.count("*"), 6
+            ).alias("mean_quality"),
+            F.sum(F.when(F.col("quality") < 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_quality"),
+            F.max("wc").cast("long").alias("max_wc"),
+        )
+        .join(tok, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "distinct_tokens",
+            "n_langs",
+            "mean_quality",
+            "n_low_quality",
+            "max_wc",
+        )
+    )
