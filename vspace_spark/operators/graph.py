@@ -126,3 +126,84 @@ def dedup_clusters(
         "component",
         (F.col(id_col) == F.col("component")).alias("is_keeper"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    iterations: int = 5,
+    damping: float = 0.875,
+) -> DataFrame:
+    """PageRank over an undirected edge list (symmetrized internally),
+    fixed iteration count — the weighted-iteration sibling of
+    :func:`connected_components`.
+
+    Determinism (what makes this oracle-exact where textbook PageRank
+    is not): per-node contribution sums are ORDERED folds over the
+    neighbor list (sort by neighbor id, then left-fold), never an
+    unordered float SUM — so every iteration is a fixed sequence of
+    IEEE ops and the ranks are bit-identical on any engine/partitioning.
+    ``damping=0.875`` (7/8) keeps the damping multiply exact in binary;
+    the teleport term is one correctly-rounded division. Fixed
+    ``iterations`` (no convergence probe) keeps the op a pure function
+    of its input.
+
+    Scale shape: per iteration, one shuffle join of the edge list with
+    the rank vector and one edge-keyed aggregation — both sized by
+    |edges|, never by any base table; the rank vector is persisted and
+    the plan cut each round so lineage stays shallow. Neighbor lists
+    fold per node, so the per-node cost is its degree (hot nodes are
+    the same skew story as any groupBy — AQE/salting upstream).
+    Symmetrized graphs have no dangling nodes, so no dangling-mass
+    redistribution term is needed.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = deg.count()  # bounded-collect: one scalar, the node count
+    ranks = deg.select("u", F.lit(1.0 / n).alias("pr")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            sym.join(
+                ranks.select(F.col("u").alias("v"), "pr"), "v"
+            )
+            .join(
+                deg.select(F.col("u").alias("v"), F.col("deg").alias("vdeg")),
+                "v",
+            )
+            .select("u", "v", (F.col("pr") / F.col("vdeg")).alias("c"))
+        )
+        summed = contribs.groupBy("u").agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("v", "c"))),
+                    lambda x: x["c"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("s")
+        )
+        new_ranks = summed.select(
+            "u",
+            (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("pr"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    sym.unpersist()
+    deg.unpersist()
+    return ranks.select(F.col("u").alias("node"), "pr")

@@ -99,3 +99,46 @@ def train_test_split_col(
     return (
         F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test")
     )
+
+
+def temperature_sample(
+    df: DataFrame, key: str, group: str, size_col: str
+) -> DataFrame:
+    """Deterministic temperature resampling (τ = 1/2) of a grouped
+    corpus: post-sample group mass becomes ∝ sqrt(original mass), the
+    standard flattening used to up-weight small domains in training
+    mixtures (uniform mixture is the τ→0 limit,
+    ``stratified_sample_to_uniform``).
+
+    Keep-rate per group is ``sqrt(W_min / W_g)`` (the smallest group
+    passes through whole; larger groups shrink sqrt-proportionally),
+    and membership is content-addressed off a 20-bit md5 bucket.
+    The sqrt NEVER materializes: ``b / 2²⁰ < sqrt(W_min/W_g)`` is
+    squared into ``b² · W_g < W_min · 2⁴⁰`` — exact integer
+    arithmetic in DECIMAL(38,0) (oracle: HUGEINT), so membership is
+    bit-stable across engines at any corpus size (b² ≤ 2⁴⁰ times a
+    100 TB token count stays < 10²⁶ ≪ 10³⁸).
+
+    Scale: one group-sized aggregation broadcast onto the scan; the
+    keep filter is a pure column expression — nothing data-sized
+    shuffles."""
+    s = df.groupBy(group).agg(
+        F.sum(size_col).cast("long").alias("_w_grp")
+    )
+    t = s.agg(F.min("_w_grp").cast("long").alias("_w_min"))
+    rates = s.crossJoin(F.broadcast(t))
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 5), 16, 10
+    ).cast("bigint")
+
+    def d(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    return (
+        df.join(F.broadcast(rates), group)
+        .filter(
+            d(bucket) * d(bucket) * d(F.col("_w_grp"))
+            < d(F.col("_w_min")) * F.lit(1 << 40).cast("decimal(38,0)")
+        )
+        .drop("_w_grp", "_w_min")
+    )

@@ -920,3 +920,195 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sv"), 6).cast("double").alias("sum_value"),
     )
     return out_daily.unionByName(out_monthly)
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+p AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM e
+)
+SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+       round(count(*) / sum(count(*)) OVER (PARTITION BY from_type),
+             6)::DOUBLE AS p_transition
+FROM p WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type, to_type) pair, how many times a
+    user's event of one type was immediately followed by the other,
+    and the row-normalized transition probability.
+
+    Scale shape: ONE shuffle on user_id for the lag window (high
+    cardinality — no single-partition window), then a hash agg onto
+    the |event_types|² key space, which is tiny; the row
+    normalization is a window over that tiny aggregate, not over the
+    event stream. Determinism: sequence order is (ts, event_id) —
+    event_id breaks timestamp ties identically on both engines; the
+    probability is one bigint/bigint division (IEEE correctly rounded,
+    engine-independent), then round(6)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(norm),
+            6,
+        ).cast("double").alias("p_transition"),
+    )
+
+
+@query(
+    "user_value_ewma",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM events GROUP BY 1, 2
+),
+s AS (SELECT user_id, list(rev ORDER BY day) AS arr FROM d GROUP BY 1)
+SELECT user_id, len(arr)::BIGINT AS n_days,
+       round(list_reduce(arr, (acc, x) -> acc * 0.5 + x * 0.5),
+             6)::DOUBLE AS ewma_value
+FROM s
+""",
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's daily
+    event value (alpha = 0.5): the classic time-decay smoothing
+    operator, computed as an ORDERED per-user fold.
+
+    Float discipline (why this is oracle-exact where a window-sum
+    formulation would not be): daily sums are exact DECIMAL before the
+    double conversion; the EWMA recurrence ewma_t = acc*0.5 + x*0.5 is
+    then a fixed SEQUENCE of IEEE ops over identical doubles —
+    multiplication by 0.5 is exact, each add is correctly rounded, and
+    both engines fold in the same (day-sorted) order, so the result is
+    bit-identical (NOTES.md float discipline: ordered folds are the
+    deterministic alternative to unordered float sums).
+
+    Scale shape: one shuffle for the (user, day) aggregation, one for
+    the per-user collect_list; series length is bounded by the day
+    range, not the event count, so the per-user array stays small at
+    any corpus size. The fold is O(len) per user (the full running
+    series would be O(len²) interpreted — deliberately not returned)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "rev"))),
+            lambda p: p.rev,
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    ewma = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return series.select(
+        "user_id",
+        F.size("arr").cast("long").alias("n_days"),
+        F.round(ewma, 6).cast("double").alias("ewma_value"),
+    )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-CTE DuckDB mirror of operators/graph.py:pagerank —
+    one CTE per iteration, ordered list_reduce folds matching Spark's
+    sorted aggregate() folds bit-for-bit."""
+    iters = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT e.u,
+         CAST(0.125 AS DOUBLE) / nn.n
+           + CAST(0.875 AS DOUBLE) * list_reduce(
+               list(r.pr / d.deg ORDER BY e.v), (a, b) -> a + b) AS pr
+  FROM e
+  JOIN {prev} r ON r.u = e.v
+  JOIN deg d ON d.u = e.v
+  CROSS JOIN nn
+  GROUP BY e.u, nn.n
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS u,
+                  's' || l_suppkey::VARCHAR AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM e GROUP BY u),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+r0 AS (SELECT u, CAST(1 AS DOUBLE) / nn.n AS pr FROM deg CROSS JOIN nn),
+{",".join(iters)}
+SELECT u AS node, round(pr, 6)::DOUBLE AS pagerank FROM {prev}
+"""
+
+
+@query("pagerank_purchase_graph", oracle=_pagerank_oracle(5))
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer–supplier transaction
+    graph (an edge per distinct (customer, supplier) trading pair,
+    symmetrized): which entities sit at the center of the purchase
+    network. The iterative-algorithm counterpart to
+    ``dedup_clusters``'s label propagation — weighted mass moves each
+    round instead of min-labels (operators/graph.py:pagerank).
+
+    Oracle-exact despite 5 rounds of float arithmetic: neighbor
+    contributions fold in sorted order (never an unordered SUM),
+    damping 7/8 multiplies exactly, and the DuckDB oracle unrolls the
+    same five iterations as chained CTEs with identical expression
+    trees — ranks match bit-for-bit before the final round(6).
+
+    Scale: the graph derives from one fact-table distinct (edge list
+    ≪ lineitem); each iteration shuffles the edge list, not a base
+    table."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("v"),
+        )
+        .distinct()
+    )
+    from vspace_spark.operators.graph import pagerank
+
+    pr = pagerank(edges, iterations=5, damping=0.875)
+    return pr.select(
+        "node", F.round("pr", 6).cast("double").alias("pagerank")
+    )

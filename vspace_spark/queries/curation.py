@@ -606,3 +606,47 @@ def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(
         docs.select("doc_id"), key="doc_id", epoch=0
     ).select("doc_id", "position")
+
+
+@query(
+    "temperature_resample",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'),
+             t -> t != ''))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 5))::BIGINT AS b
+  FROM documents
+),
+s AS (SELECT source, sum(n_tokens)::BIGINT AS w_src FROM w GROUP BY source),
+t AS (SELECT min(w_src)::BIGINT AS w_min FROM s)
+SELECT w.doc_id, w.source, w.n_tokens
+FROM w JOIN s USING (source), t
+WHERE w.b::HUGEINT * w.b * s.w_src < t.w_min::HUGEINT * 1099511627776
+""",
+)
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture (τ = 1/2,
+    operators/sampling.py:temperature_sample): draw the training
+    subset whose per-source token mass is ∝ sqrt(original mass) —
+    the standard compromise between natural and uniform mixtures
+    (sibling of ``stratified_sample_uniform``, which is the τ→0
+    limit). The sqrt keep-rate is enforced by SQUARED integer
+    arithmetic on the 20-bit md5 bucket (b²·W_src < W_min·2⁴⁰) —
+    no float rate exists anywhere, so membership is bit-identical
+    on both engines at any scale.
+
+    Scale shape: one #sources-row aggregation broadcast back; the
+    keep decision is a pure column predicate on the single corpus
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize_col("text")).cast("long").alias("n_tokens"),
+    )
+    from vspace_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(
+        w, key="doc_id", group="source", size_col="n_tokens"
+    ).select("doc_id", "source", "n_tokens")

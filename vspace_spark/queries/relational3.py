@@ -481,3 +481,108 @@ def q22_lapsed_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum(dec("c_acctbal", 2))).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(8,4))
+                 - CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(0.5 AS DECIMAL(8,4))
+                   * CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE
+           AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    order year. Adapted to the fixture (no partsupp): supply cost is
+    half the part's retail price instead of ps_supplycost, keeping
+    the distinguishing structure — a five-way join where the part
+    filter (name LIKE) prunes the fact scan through a broadcast
+    dimension, and profit mixes revenue and cost terms inside ONE
+    exact-decimal aggregate (ref workload: per-key aggregates over a
+    joined fact table, /root/reference/vspace/pipelines/base.py).
+
+    Plan shape: part/supplier/nation broadcast; orders joins shuffle
+    on the order key ONLY because both sides are fact-sized; the
+    single wide shuffle is the (nation, year) aggregation of the
+    pre-combined profit term (map-side partial agg applies — the
+    expression folds to one decimal per row before the exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = dec("l_extendedprice", 2) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)") - dec("p_retailprice", 2) * F.lit(0.5).cast(
+        "decimal(8,4)"
+    ) * dec("l_quantity", 2)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(money(F.sum(profit)).alias("profit"))
+    )
+
+
+@query(
+    "q12_late_priority_counts",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: how many critical- vs normal-priority orders
+    ride each shipping class, restricted to late shipments. Adapted to
+    the fixture (no l_shipmode/l_commitdate/l_receiptdate): the
+    grouping class is l_returnflag and "late" is shipped > 60 days
+    after the order date. The distinguishing structure is intact —
+    a fact-fact equi-join with a non-equi residual predicate, then
+    conditional CASE-sums splitting one count by a dimension of the
+    OTHER join side.
+
+    The shipdate range pushes to the parquet scan; the residual
+    late predicate evaluates join-side. Both CASE branches aggregate
+    in one pass (no second scan), with map-side partial agg on the
+    3-value grouping key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
