@@ -58,6 +58,12 @@ EXPECTED_QUERIES = {
     "q13_customer_distribution", "q18_large_quantity_orders",
     "q8_market_share", "q17_small_quantity_revenue", "q15_top_supplier",
     "q21_waiting_suppliers", "q22_lapsed_customer_balance",
+    "q9_product_profit", "q12_late_priority_counts",
+    # round-3 session-3 additions
+    "event_transition_matrix", "user_value_ewma",
+    "pagerank_purchase_graph", "events_anomaly_zscore",
+    "user_rfm_segments", "funnel_conversion_window",
+    "temperature_resample", "corpus_jsonl_roundtrip",
     # extras (out-of-window variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
     "ann_bruteforce_top5_fast", "ann_ivf_pq_top5_fast",

@@ -197,3 +197,27 @@ def test_span_scrub_removes_planted_duplicate_span(spark, sf_dir):
     # covered by some duplicated 8-gram window; kilo/lima/mike survive
     assert out[2]["n_removed"] == 8
     assert out[3]["n_removed"] == 0
+
+
+def test_ntile_scalable_matches_window_ntile(spark):
+    """ntile_scalable must reproduce the SQL-standard ntile exactly,
+    including the uneven-bucket case (n not divisible by k) and a
+    repartitioned input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vspace_spark.operators.ordering import ntile_scalable
+
+    df = spark.range(103).select(
+        F.col("id"), (F.col("id") * 37 % 11).alias("v")
+    )
+    want = df.select(
+        "id",
+        F.ntile(7).over(Window.orderBy("v", "id")).alias("b"),
+    )
+    got = ntile_scalable(df.repartition(5), 7, ["v", "id"], "b").select(
+        "id", "b"
+    )
+    w = {r["id"]: r["b"] for r in want.collect()}
+    g = {r["id"]: r["b"] for r in got.collect()}
+    assert g == w

@@ -80,3 +80,30 @@ def epoch_shuffle(
         ),
     )
     return assign_global_positions(keyed, ["_h", key], out_col).drop("_h")
+
+
+def ntile_scalable(
+    df: DataFrame,
+    k: int,
+    order_cols: list[str],
+    out_col: str,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY order_cols)`` without the
+    single-partition global window: two-phase global numbering
+    (:func:`assign_global_positions`), then the exact ntile bucket
+    formula in integer arithmetic — the first ``n mod k`` buckets
+    take ``ceil(n/k)`` rows, the rest ``floor(n/k)``, identical to
+    the SQL-standard definition on every engine. ``order_cols`` must
+    be a total order (include a unique tie-break) or bucket
+    boundaries are nondeterministic."""
+    pos = assign_global_positions(df, order_cols, "_ntpos")
+    n = pos.count()  # bounded-collect: one scalar
+    q, rem = divmod(n, k)
+    big, small, cut = q + 1, max(q, 1), rem * (q + 1)
+    r = F.col("_ntpos") + 1  # 1-based rank
+    bucket = (
+        F.when(r <= cut, F.expr(f"(_ntpos + {big}) div {big}"))
+        .otherwise(rem + F.expr(f"(_ntpos - {cut} + {small}) div {small}"))
+        .cast("int")
+    )
+    return pos.withColumn(out_col, bucket).drop("_ntpos")

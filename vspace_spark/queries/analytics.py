@@ -1112,3 +1112,247 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", F.round("pr", 6).cast("double").alias("pagerank")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH d AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         sum(n_events)::BIGINT AS s1,
+         sum(n_events * n_events)::BIGINT AS s2
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n_events,
+       round((d.n_events - s.s1 / s.n_days)
+             / sqrt(s.s2 / s.n_days
+                    - (s.s1 / s.n_days) * (s.s1 / s.n_days)),
+             6)::DOUBLE AS zscore
+FROM d JOIN s USING (event_type)
+WHERE abs((d.n_events - s.s1 / s.n_days)
+          / sqrt(s.s2 / s.n_days
+                 - (s.s1 / s.n_days) * (s.s1 / s.n_days))) >= 1.5
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days whose per-type event count
+    deviates ≥ 1.5 standard deviations from that type's daily mean —
+    the classic monitoring query over an event stream's daily profile.
+
+    Determinism: the population moments feeding the z-score are EXACT
+    BIGINT sums (count and count² never round); mean and variance are
+    then a fixed tree of correctly-rounded IEEE ops (s1/n, s2/n −
+    mean², sqrt) written identically in both engines, so z-scores are
+    bit-identical and the ≥ 1.5 cut cannot disagree.
+
+    Scale shape: one shuffle to (type, day) — high-cardinality keys —
+    then a #types-row moment table broadcast back onto the daily
+    aggregate. Nothing event-sized shuffles twice."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    z = (F.col("n_events") - mean) / F.sqrt(
+        F.col("s2") / F.col("n_days") - mean * mean
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) >= 1.5)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(z, 6).cast("double").alias("zscore"),
+        )
+    )
+
+
+@query(
+    "user_rfm_segments",
+    oracle="""
+WITH g AS (SELECT max(CAST(ts AS TIMESTAMP)) AS horizon FROM events),
+u AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS TIMESTAMP)),
+                   any_value(horizon))::BIGINT AS recency_days,
+         count(*)::BIGINT AS frequency,
+         round(sum(CAST(value AS DECIMAL(18,6)))
+               FILTER (event_type = 'purchase'), 2)::DOUBLE AS monetary
+  FROM events CROSS JOIN g
+  GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days, user_id)::INT AS r_quartile,
+       ntile(4) OVER (ORDER BY frequency DESC, user_id)::INT AS f_quartile,
+       ntile(4) OVER (
+         ORDER BY monetary DESC NULLS LAST, user_id)::INT AS m_quartile
+FROM u
+""",
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last event,
+    against the dataset horizon), frequency (event count), monetary
+    (exact-decimal purchase value), each cut into quartiles — the
+    standard customer-scoring pipeline.
+
+    Determinism: every ntile ordering carries user_id as the final
+    tie-break, so quartile boundaries are identical on both engines;
+    monetary sums are DECIMAL before the display rounding; recency is
+    integer day arithmetic.
+
+    Scale shape: one per-user aggregation (exact, combinable) with the
+    one-row horizon broadcast. The three quartile assignments use
+    ``operators/ordering.py:ntile_scalable`` — two-phase
+    range-partitioned numbering plus the exact ntile bucket formula —
+    NOT a global ntile window, so no single-partition WindowExec
+    exists even though the ordering is corpus-global (descending
+    orders become ascending negated keys; NULL monetary maps to +inf
+    for NULLS LAST)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("horizon"))
+    u = (
+        e.crossJoin(F.broadcast(g))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("horizon"), F.max("ts"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    from vspace_spark.operators.ordering import ntile_scalable
+
+    keyed = u.withColumn("_negf", -F.col("frequency")).withColumn(
+        "_negm",
+        F.coalesce(-F.col("monetary"), F.lit(float("inf"))),
+    )
+    out = ntile_scalable(
+        keyed, 4, ["recency_days", "user_id"], "r_quartile"
+    )
+    out = ntile_scalable(out, 4, ["_negf", "user_id"], "f_quartile")
+    out = ntile_scalable(out, 4, ["_negm", "user_id"], "m_quartile")
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+    )
+
+
+@query(
+    "funnel_conversion_window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              ELSE 3 END AS tc
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+arr AS (
+  SELECT user_id,
+         list(tc::BIGINT * 17592186044416 + epoch_ms(ts)
+              ORDER BY ts, event_id) AS a
+  FROM e GROUP BY user_id
+),
+fin AS (
+  SELECT user_id,
+         (list_reduce([0::BIGINT] || a, (acc, x) ->
+            CASE WHEN (x >> 44) = (acc >> 44) + 1
+                  AND ((acc >> 44) = 0
+                       OR (x & 17592186044415)
+                          - (acc & 17592186044415) <= 3600000)
+                 THEN x ELSE acc END) >> 44) AS stage
+  FROM arr
+)
+SELECT stage::INT AS funnel_stage, count(*)::BIGINT AS n_users
+FROM fin GROUP BY 1
+""",
+)
+def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel (ClickHouse ``windowFunnel``-style):
+    how far each user progresses through view → click → purchase when
+    every step must land within 1 hour of the previous one, anchored
+    greedily at the user's FIRST view. Complements
+    ``funnel_view_click_purchase``, which orders first-occurrences
+    without a time budget.
+
+    The per-user pass is an ordered fold over an INTEGER-ENCODED event
+    list — code = type·2⁴⁴ + epoch_ms — so the whole state machine
+    (stage + last-step timestamp) lives in one BIGINT and every fold
+    step is exact integer arithmetic: bit-identical across engines, no
+    float anywhere. The DuckDB oracle folds the same encoding with a
+    prepended zero accumulator.
+
+    Scale shape: one shuffle to collect each user's (bounded) event
+    list; the fold is O(events-per-user); the final stage histogram
+    aggregates onto 4 keys. No window over the full stream, no
+    self-join per step (the join-chain funnel formulation doubles the
+    shuffles per added stage; the fold is one pass regardless of
+    funnel depth)."""
+    T = 1 << 44
+    MASK = T - 1
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tc = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    coded = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (tc * F.lit(T) + F.unix_millis("ts")).alias("code"),
+    )
+    arr = coded.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "code"))
+            ),
+            lambda p: p.code,
+        ).alias("a")
+    )
+
+    def step(acc, x):
+        stage_up = F.shiftright(x, 44) == F.shiftright(acc, 44) + 1
+        in_window = (F.shiftright(acc, 44) == 0) | (
+            x.bitwiseAND(F.lit(MASK)) - acc.bitwiseAND(F.lit(MASK))
+            <= 3600000
+        )
+        return F.when(stage_up & in_window, x).otherwise(acc)
+
+    stage = F.shiftright(
+        F.aggregate(F.col("a"), F.lit(0).cast("long"), step), 44
+    )
+    return (
+        arr.select(stage.cast("int").alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -409,3 +409,67 @@ def term_stats_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         term_stats(existing, min_n=1, max_n=1),
         term_stats(ingest, min_n=1, max_n=1),
     )
+
+
+@query(
+    "corpus_jsonl_roundtrip",
+    oracle="""
+SELECT doc_id, lang, source, n_chars,
+       md5(text) AS text_md5
+FROM documents
+""",
+)
+def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus interchange: export the documents table as
+    newline-delimited JSON with Spark writers (parallel part files —
+    the LLM-corpus wire format), then read it back through an
+    EXPLICIT schema in PERMISSIVE mode with a ``_corrupt_record``
+    column, dropping a deliberately injected malformed line. The
+    oracle is the parquet ground truth — matching md5(text) per doc
+    proves the JSON encode/decode preserves every byte of every field
+    (unicode escapes included) with zero schema drift.
+
+    Scale shape: export and re-scan are both full-parallel (no
+    single-file coalesce — consumers glob the part files); schema-
+    explicit reads skip Spark's sampling-based JSON inference pass,
+    which at 100 TB is a full extra scan. The corrupt-line filter is
+    the production posture for crawled JSONL: quarantine, don't
+    abort."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="vspace_jsonl_")
+    docs.select(
+        F.to_json(
+            F.struct("doc_id", "text", "lang", "source", "n_chars")
+        ).alias("value")
+    ).write.mode("overwrite").text(f"{root}/docs")
+    spark.createDataFrame(
+        [('{"doc_id": 1, "text": CORRUPT',), ("not json at all",)],
+        "value string",
+    ).write.mode("overwrite").text(f"{root}/corrupt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json([f"{root}/docs", f"{root}/corrupt"])
+    )
+    return back.filter(F.col("_corrupt_record").isNull()).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
