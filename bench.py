@@ -56,6 +56,12 @@ HEADLINE = [
     "doc_training_order",
     "dedup_keep_best",
     "ann_bruteforce_top5_fast",
+    # added r3 session 3 (additive): iterative weighted propagation
+    # (5 joined rounds), the integer-encoded ordered-fold funnel, and
+    # three chained two-phase global numberings
+    "pagerank_purchase_graph",
+    "funnel_conversion_window",
+    "user_rfm_segments",
 ]
 
 

@@ -64,6 +64,8 @@ EXPECTED_QUERIES = {
     "pagerank_purchase_graph", "events_anomaly_zscore",
     "user_rfm_segments", "funnel_conversion_window",
     "temperature_resample", "corpus_jsonl_roundtrip",
+    "stream_transition_matrix", "q16_supplier_part_counts",
+    "q20_dominant_suppliers", "events_zorder_keys",
     # extras (out-of-window variants)
     "dedup_minhash_lsh_fast", "dedup_simhash_fast", "ann_lsh_top5_fast",
     "ann_bruteforce_top5_fast", "ann_ivf_pq_top5_fast",

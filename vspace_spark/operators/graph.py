@@ -172,21 +172,22 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = deg.count()  # bounded-collect: one scalar, the node count
-    ranks = deg.select("u", F.lit(1.0 / n).alias("pr")).persist(
+    # state carries (u, deg, pr) together so each iteration joins the
+    # edge list ONCE (state keyed by the emitting node) instead of
+    # separate rank and degree probes — one edge-sized join per round,
+    # plus one node-sized rejoin of deg onto the new ranks.
+    state = deg.select("u", "deg", F.lit(1.0 / n).alias("pr")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
-        contribs = (
-            sym.join(
-                ranks.select(F.col("u").alias("v"), "pr"), "v"
-            )
-            .join(
-                deg.select(F.col("u").alias("v"), F.col("deg").alias("vdeg")),
-                "v",
-            )
-            .select("u", "v", (F.col("pr") / F.col("vdeg")).alias("c"))
-        )
+        contribs = sym.join(
+            state.select(
+                F.col("u").alias("v"),
+                (F.col("pr") / F.col("deg")).alias("c"),
+            ),
+            "v",
+        ).select("u", "v", "c")
         summed = contribs.groupBy("u").agg(
             F.aggregate(
                 F.transform(
@@ -197,13 +198,16 @@ def pagerank(
                 lambda a, b: a + b,
             ).alias("s")
         )
-        new_ranks = summed.select(
+        new_state = deg.join(
+            summed.select(
+                "u",
+                (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("pr"),
+            ),
             "u",
-            (F.lit(teleport) + F.lit(damping) * F.col("s")).alias("pr"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+        new_state.count()
+        state.unpersist()
+        state = new_state
     sym.unpersist()
     deg.unpersist()
-    return ranks.select(F.col("u").alias("node"), "pr")
+    return state.select(F.col("u").alias("node"), "pr")

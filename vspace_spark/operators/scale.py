@@ -114,3 +114,60 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def morton_key(x, y) -> "F.Column":
+    """Z-order (Morton) key: bit-interleave two non-negative 32-bit
+    integer columns into one BIGINT whose range order is a space-
+    filling curve over (x, y) — rows close in BOTH dimensions land
+    close in the sort, so range-partitioned parquet gets min/max
+    row-group pruning on EITHER column, where a lexicographic
+    (x, y) sort prunes only the leading one.
+
+    The interleave is the classic 5-step bit spread — pure integer
+    shifts and masks, exact and engine-portable (the DuckDB oracle
+    mirrors it with ``<< | &``). Callers normalize inputs into
+    [0, 2³²) first (ids: modulo; timestamps: coarse buckets —
+    pruning granularity, not semantics, is what the bucket width
+    tunes)."""
+    def spread(c):
+        c = c.cast("long")
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+        return c
+
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    return spread(cx).bitwiseOR(F.shiftleft(spread(cy), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    target_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered along the Z-order curve of
+    (x, y): range-partition on the morton key (balanced files), sort
+    within partitions (tight per-row-group min/max on both
+    dimensions), drop the key. Point/range predicates on x OR y then
+    skip whole files and row groups via parquet statistics — the
+    data-layout lever for 100 TB scans that partitioning by one
+    column can't give both query shapes. Measured in
+    scripts/zorder_bench.py."""
+    keyed = df.withColumn("_zk", morton_key(x, y))
+    part = (
+        keyed.repartitionByRange(target_files, "_zk")
+        if target_files
+        else keyed.repartitionByRange("_zk")
+    )
+    part.sortWithinPartitions("_zk").drop("_zk").write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -1356,3 +1356,52 @@ def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def _spread_sql(base: str) -> str:
+    """DuckDB mirror of morton_key's 5-step bit spread (textual
+    expansion — the expression tree is identical to the Spark side's,
+    so the interleave is exact integer arithmetic on both engines)."""
+    e = base
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+@query(
+    "events_zorder_keys",
+    oracle=f"""
+WITH b AS (
+  SELECT event_id, user_id::BIGINT AS x,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 60000 AS y
+  FROM events
+)
+SELECT event_id,
+       ({_spread_sql("x")} | ({_spread_sql("y")} << 1)) AS zkey
+FROM b
+""",
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys for the events table: Morton-interleave
+    of (user_id, event minute) — the data-layout operator behind
+    ``operators/scale.py:write_zordered``. Sorting/range-partitioning
+    by this key clusters rows that are close in BOTH dimensions, so
+    parquet min/max statistics prune selective predicates on EITHER
+    column (a single-column sort prunes only its leading column);
+    measured in scripts/zorder_bench.py. The key itself is exact
+    integer shift/mask arithmetic, identical on both engines."""
+    from vspace_spark.operators.scale import morton_key
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("x"),
+        F.expr("unix_millis(ts) div 60000").alias("y"),
+    )
+    return b.select("event_id", morton_key("x", "y").alias("zkey"))

@@ -586,3 +586,123 @@ def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
         F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
     )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+WITH excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+),
+sp AS (
+  SELECT DISTINCT p_brand, p_type, l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size IN (1, 9, 17, 25, 33, 41, 49)
+    AND p_brand <> 'Brand#13'
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+)
+SELECT p_brand, p_type, count(*)::BIGINT AS supplier_cnt
+FROM sp GROUP BY p_brand, p_type
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can serve each
+    (brand, type) part class, excluding a complained-about supplier
+    set. Adapted to the fixture (no partsupp): the part–supplier
+    relation derives from lineitem history, and the exclusion list is
+    a name pattern (suffix '7' ≈ 10% of suppliers) instead of the
+    comment-field complaint scan. The distinguishing shape is intact:
+    a NOT IN anti-join against a subquery, DISTINCT over a three-
+    column relation, then a count-distinct-by-proxy aggregation.
+
+    Plan: part (size-filtered, pushed IN predicate) and the exclusion
+    list broadcast; distinct is one hash-shuffle of the pruned
+    (brand, type, suppkey) triple — the count then aggregates the
+    ALREADY-distinct relation, avoiding count_distinct's second
+    expand-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+        & (F.col("p_brand") != "Brand#13")
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "l_suppkey")
+        .distinct()
+    )
+    return sp.groupBy("p_brand", "p_type").agg(
+        F.count("*").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+pt AS (SELECT l_partkey, sum(sq) AS tq FROM pq GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM pq JOIN pt USING (l_partkey)
+  WHERE pq.sq * 10 > pt.tq * 3
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+""",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant position
+    (> 30% of 1997 shipped quantity) in at least one part. Adapted to
+    the fixture (no partsupp): dominance is measured against lineitem
+    history instead of available stock. The distinguishing structure —
+    a NESTED aggregate (per (part, supplier) then per part) feeding a
+    threshold comparison inside an IN/semi-join — survives the
+    adaptation.
+
+    Float discipline: quantities sum as exact DECIMAL and the 30%
+    threshold is the cross-multiplied integer form (sq·10 > tq·3) —
+    no division, no rounding. Plan: the rollup pt reuses pq's shuffle
+    partitioning (one partial-agg tree); the dominant set is tiny and
+    broadcast into the supplier semi-join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity", 2)).alias("sq")
+    )
+    pt = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        pq.join(pt, "l_partkey")
+        .filter(F.col("sq") * 10 > F.col("tq") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(dominant),
+            supp.s_suppkey == dominant.l_suppkey,
+            "left_semi",
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )

@@ -391,3 +391,40 @@ def stream_purchase_view_full_join(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.col("v_ts") < F.lit(view_horizon))
         )
     ).select("purchase_id", "view_id", "user_id")
+
+
+@query(
+    "stream_transition_matrix",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+p AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM e
+)
+SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+FROM p WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+)
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-type transition matrix maintained INCREMENTALLY:
+    per-user last-event state bridges micro-batches
+    (streaming/events.py:stateful_transition_counts), per-user pair
+    counts stream out, and a batch sum over the finite replay yields
+    the same integer counts as the batch lag-window query
+    (``event_transition_matrix``) — its oracle, minus the probability
+    column (a ratio over a still-growing stream is not incremental
+    state; downstream normalization is one tiny batch window away)."""
+    from vspace_spark.streaming.events import stateful_transition_counts
+
+    events = read_events_stream(spark, sf_dir)
+    per_user = run_stream_to_memory(
+        stateful_transition_counts(events), "update"
+    )
+    return per_user.groupBy("from_type", "to_type").agg(
+        F.sum("n").cast("long").alias("n_transitions")
+    )

@@ -54,6 +54,12 @@ def get_spark(
         # Keep scan partitions a sane size; at 100 TB this, not file
         # count, controls task fan-out.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # statistics, so every time-range probe scans every row group
+        # regardless of layout (measured in scripts/zorder_bench.py).
+        # INT64 micros restores stats-based pruning and is what every
+        # other engine (DuckDB included) reads natively.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))

@@ -382,3 +382,75 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     ).select("event_id", "user_id", "event_type")
+
+
+def stateful_transition_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    first-order transition counts (which event type follows which),
+    with the user's LAST event held in state so sequences bridge
+    micro-batch boundaries — the streaming twin of the batch
+    ``event_transition_matrix`` lag-window.
+
+    Each micro-batch sorts its rows by (ts, event_id), prepends the
+    stored last event, counts adjacent (from, to) pairs vectorized
+    (shift + value_counts — no per-row Python), emits the pair counts,
+    and stores the new last event. State is one (ts_ns, event_id,
+    type) triple per user — O(1) per key, never the event history.
+    Counts are integers end-to-end, so the finite replay is exactly
+    batch-oracle-checkable after a downstream sum (ordering across
+    micro-batches follows file order; exact parity assumes the replay
+    respects event-time order, as the single-batch fixture replay
+    does)."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("from_type", T.StringType()),
+            T.StructField("to_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts", T.LongType()),
+            T.StructField("last_eid", T.LongType()),
+            T.StructField("last_type", T.StringType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            seq = pdf["event_type"].tolist()
+            if not seq:
+                continue
+            prev = ([last[2]] if last is not None else []) + seq[:-1]
+            cur = seq if last is not None else seq[1:]
+            if cur:
+                frames.append(pd.DataFrame({"f": prev, "t": cur}))
+            ts_ns = int(pdf["ts"].iloc[-1].value)
+            last = (ts_ns, int(pdf["event_id"].iloc[-1]), seq[-1])
+        if last is not None:
+            state.update(last)
+        if frames:
+            pairs = pd.concat(frames)
+            counts = (
+                pairs.groupby(["f", "t"]).size().reset_index(name="n")
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(counts),
+                    "from_type": counts["f"],
+                    "to_type": counts["t"],
+                    "n": counts["n"].astype("int64"),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
