@@ -205,3 +205,29 @@ def test_tfidf_search_df_agg_after_term_filter(spark, sf_dir):
     plan = formatted_plan(QUERIES["tfidf_search"](spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_no_unbounded_per_key_array_in_engine_source():
+    """VERDICT r3 #5: every ``collect_list`` in the engine must carry a
+    ``bounded-list`` marker on the same or an adjacent line, naming the
+    bound on the per-key array (doc-length, calendar, dimension size,
+    or an explicit row_number cap). An unmarked collect_list is treated
+    as an unbounded per-key materialization — the hot-vertex/bot-user
+    OOM shape that killed the old PageRank fold — until justified."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "vspace_spark"
+    offenders: list[str] = []
+    for path in sorted(root.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if re.search(r"\bcollect_list\(", line):
+                context = lines[max(0, i - 2) : min(len(lines), i + 2)]
+                if not any("bounded-list" in c for c in context):
+                    offenders.append(f"{path.relative_to(root)}:{i + 1}")
+    assert not offenders, (
+        f"unmarked collect_list(s): {offenders} — justify with a "
+        f"'bounded-list: <bound>' comment, cap with a row_number "
+        f"filter, or restructure as a partial-aggregable SUM"
+    )

@@ -164,3 +164,74 @@ class TestIncrementalIndexDedup:
             F.col("count") > 1
         ).count() == 0
         _ = schema  # schema probe doubles as an in-dir sanity check
+
+def test_stateful_transition_counts_spanning_arrow_chunks(
+    spark, sf_dir, duck, tmp_path
+):
+    """ADVICE r3 regression: applyInPandasWithState delivers one
+    group's micro-batch rows as arbitrarily split, UNORDERED Arrow
+    chunks. Replay a row-shuffled copy of the events fixture (the real
+    file happens to be ts-sorted, which hid the bug) with 2-row Arrow
+    batches, so every user's micro-batch spans many chunks in
+    scrambled order, and require the summed transition counts to still
+    equal the batch lag-window oracle — the old per-chunk
+    sort-and-bridge miscounted exactly this shape."""
+    import random
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vspace_spark.io.tables import normalize_event_ts
+    from vspace_spark.streaming.events import (
+        events_schema,
+        run_stream_to_memory,
+        stateful_transition_counts,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = list(range(tbl.num_rows))
+    random.Random(13).shuffle(idx)
+    src = tmp_path / "shuffled"
+    src.mkdir()
+    pq.write_table(tbl.take(idx), str(src / "events.parquet"))
+
+    stream = normalize_event_ts(
+        spark.readStream.schema(
+            events_schema(spark, str(src / "events.parquet"))
+        )
+        .format("parquet")
+        .load(str(src))
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        per_user = run_stream_to_memory(
+            stateful_transition_counts(stream), "update"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in per_user.groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    }
+    want = {
+        (f, t): n
+        for f, t, n in duck.execute(
+            """
+            WITH p AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ) AS f, event_type AS t
+              FROM events
+            )
+            SELECT f, t, count(*)::BIGINT FROM p
+            WHERE f IS NOT NULL GROUP BY f, t
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -134,6 +134,7 @@ def load_sources(
         "source", F.explode(F.split("subsources", ",")).alias("subsource")
     )
     return exploded.groupBy("subsource").agg(
+        # bounded-list: one entry per parent source (dimension-sized)
         F.sort_array(F.collect_list("source")).alias("sources")
     )
 
@@ -141,6 +142,7 @@ def load_sources(
 def sources_from_pairs(pairs: DataFrame) -> DataFrame:
     """S3 (table form) — same mapping from a ``[source, subsource]`` DF."""
     return pairs.groupBy("subsource").agg(
+        # bounded-list: one entry per parent source (dimension-sized)
         F.sort_array(F.collect_list("source")).alias("sources")
     )
 

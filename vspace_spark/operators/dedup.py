@@ -63,7 +63,15 @@ def shingle_pairs_jaccard(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # persisted: consumed three times (sizes + both sides of the
     # self-join) — without it the tokenize/shingle pipeline re-runs per
-    # consumer
+    # consumer. MATERIALIZED eagerly so join planning sees the cache's
+    # ACTUAL size: the static estimate for scan→explode descends from
+    # the COMPRESSED file size, and a dictionary-encoded corpus
+    # under-reports its shingle fan-out by 1000× — measured at the
+    # 100×-replica bench, the planner broadcast a 4 GiB self-join side
+    # it had estimated in the MBs (driver OOM at any real scale). With
+    # honest InMemoryRelation stats the planner still broadcasts small
+    # corpora (fast local path) and shuffles big ones.
+    shingles.count()  # bounded-collect: one scalar, forces the cache
     sizes = shingles.groupBy("_id").agg(F.count("*").alias("_sz"))
     left = shingles.select(
         *block, F.col("_id").alias("a"), F.col("shingle")

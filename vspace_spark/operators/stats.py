@@ -636,6 +636,7 @@ def corpus_histograms(
     toks = tokenized_documents(docs, text_col, id_col, min_n=min_n, max_n=max_n)
     return toks.groupBy(id_col, "wc").agg(
         F.map_from_entries(
+            # bounded-list: one entry per distinct token of ONE document
             F.collect_list(F.struct("token", "tf"))
         ).alias("token_counts")
     )

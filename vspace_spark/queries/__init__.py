@@ -45,80 +45,84 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-3 window composition:
-#   - the 15 queries that had never earned a driver row in r1/r2
-#     (VERDICT r2 "missing" #1) — relational3's TPC-H shapes, the
-#     xxhash64 *_fast twins, ann_ivf_fixed_top5 (the oracled IVF twin,
-#     swapped in for rows-only ann_ivf_top5 per VERDICT #4),
-#     stream_dedup_embeddings, multimodal audio/features;
-#   - every query whose code or input type changed this round
-#     (corpus_job_ini de-collect, tfidf_search df-after-filter,
-#     µs-exact sessionize, and all events consumers — Spark 4.1 now
-#     reads the NANOS events column as TIMESTAMP_NTZ);
-#   - the flagship corpus/streaming rows kept green every round.
-# Rotated out: long-green dedup/similarity/text-analysis/UDF rows
-# (two rounds of green evidence) and the two rows-only entries
-# (ann_ivf_top5, ml_tfidf_features) whose families are covered by
-# oracled twins inside the window.
+# Round-4 window composition (VERDICT r3 "Next round" #1/#2/#8):
+#   - ALL 37 oracled queries that have never earned a driver row
+#     (every round-3 addition): TPC-H q9/q12/q16/q20/q21/q22,
+#     pagerank, EWMA/transition/funnel/RFM/z-score analytics, the
+#     portable sketch suite (CMS/HLL/Bloom), rollup cascade, revenue
+#     interpolation, keep-best canonicalization, IVF-PQ ANN, the
+#     span/PII/boilerplate/length/report curation ops, shard manifest
+#     + training order + sampling, the streaming additions, the
+#     incremental stats merge, the JSONL round-trip, and z-order keys;
+#   - multimodal_features, now FULLY ORACLED (r3's driver crash on its
+#     raw array<float> column is fixed by the exact byte projection);
+#   - the dedup/term-stats family representatives whose input path
+#     changed this round (rebalance_for_compute gained the min-bytes
+#     floor — results invariant, but the evidence should postdate the
+#     change);
+#   - flagship §2.11 continuity rows.
+# Permanently OUT of future windows per VERDICT #8: the rows-only
+# xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
+# ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
+# ann_ivf_pq_top5_fast) — their evidence is the recall/rank-agreement
+# property tests against their oracled portable twins, so window
+# slots go to oracled queries only (zero no_oracle rows by design).
 _WINDOW = [
-    # never driver-checked before round 3
-    "q4_priority_late_orders",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
-    "dedup_minhash_lsh_fast",
-    "ann_lsh_top5_fast",
-    "dedup_simhash_fast",
-    "ann_ivf_fixed_top5",
-    "stream_dedup_embeddings",
-    "multimodal_audio_chunks",
+    # never driver-checked before round 4 (all oracled)
+    "q9_product_profit",
+    "q12_late_priority_counts",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_lapsed_customer_balance",
+    "pagerank_purchase_graph",
+    "user_value_ewma",
+    "event_transition_matrix",
+    "funnel_conversion_window",
+    "user_rfm_segments",
+    "events_anomaly_zscore",
+    "token_cms_estimates",
+    "user_hll_distinct",
+    "vocab_bloom_membership",
+    "events_rollup_cascade",
+    "daily_revenue_interpolated",
+    "dedup_keep_best",
+    "ann_ivf_pq_top5",
+    "doc_span_novelty",
+    "doc_span_scrub",
+    "doc_pii_scrub",
+    "doc_boilerplate_share",
+    "doc_length_outliers",
+    "corpus_report",
+    "source_wc_profile",
+    "shard_manifest",
+    "doc_training_order",
+    "temperature_resample",
+    "stratified_sample_uniform",
+    "stream_dedup_docs_minhash",
+    "stream_dedup_docs_incremental",
+    "stream_purchase_view_full_join",
+    "stream_transition_matrix",
+    "term_stats_incremental_merge",
+    "corpus_jsonl_roundtrip",
+    "events_zorder_keys",
+    # crashed the r3 harness; now oracled (exact md5-byte projection)
     "multimodal_features",
-    # changed this round
-    "corpus_job_ini",
-    "tfidf_search",
-    "user_sessions",
-    # events consumers (input type changed to TIMESTAMP_NTZ)
-    "stream_hourly_counts",
-    "stream_sliding_counts",
-    "stream_user_sessions",
-    "stream_dedup_events",
-    "stream_stateful_user_totals",
-    "stream_purchase_view_join",
-    "stream_purchase_view_left_join",
-    "stream_category_counts",
-    "funnel_view_click_purchase",
-    "cohort_daily_retention",
-    "events_json_stats",
-    "daily_event_pivot",
-    "distinct_users_per_type",
-    "asof_purchase_prior_view",
-    # flagship continuity
-    "term_stats_unigram",
-    "term_stats_ngram",
-    "term_stats_by_source",
-    "doc_term_frequencies",
-    "doc_wordcount",
-    "normalize_corpus",
-    "vocabulary",
-    "vocab_gated_stats",
-    "source_language_map",
-    "tfidf_top3_per_doc",
-    "stream_term_stats",
-    "stream_term_stats_ngram",
-    "stream_dedup_docs",
-    # family representatives — every remaining consumer of an operator
-    # changed this round (tokenized_documents / signature builders
-    # gained the conditional rebalance): their r2 evidence predates the
-    # change, so they re-prove here
+    # input path changed this round (rebalance_for_compute min-bytes
+    # floor) — re-prove one consumer per affected operator family
+    "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_jaccard_pairs",
-    "dedup_clusters",
-    "doc_oov_rate",
+    "term_stats_ngram",
+    # flagship §2.11 continuity
+    "term_stats_unigram",
+    "term_stats_by_source",
+    "doc_term_frequencies",
+    "normalize_corpus",
+    "vocabulary",
+    "corpus_job_ini",
+    "stream_term_stats",
+    "stream_term_stats_ngram",
 ]
 
 

@@ -1024,6 +1024,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = daily.groupBy("user_id").agg(
         F.transform(
+            # bounded-list: one entry per distinct day (calendar-bounded)
             F.sort_array(F.collect_list(F.struct("day", "rev"))),
             lambda p: p.rev,
         ).alias("arr")
@@ -1043,8 +1044,10 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_oracle(iterations: int = 5) -> str:
     """Unrolled-CTE DuckDB mirror of operators/graph.py:pagerank —
-    one CTE per iteration, ordered list_reduce folds matching Spark's
-    sorted aggregate() folds bit-for-bit."""
+    one CTE per iteration, fixed-point contribution sums (each
+    neighbor's pr/deg scaled by 2⁴⁰ and floored to a long; the longs
+    SUM exactly and commutatively) matching Spark's hash aggregate
+    bit-for-bit."""
     iters = []
     prev = "r0"
     for k in range(1, iterations + 1):
@@ -1052,8 +1055,10 @@ def _pagerank_oracle(iterations: int = 5) -> str:
 r{k} AS (
   SELECT e.u,
          CAST(0.125 AS DOUBLE) / nn.n
-           + CAST(0.875 AS DOUBLE) * list_reduce(
-               list(r.pr / d.deg ORDER BY e.v), (a, b) -> a + b) AS pr
+           + CAST(0.875 AS DOUBLE)
+             * (CAST(sum(CAST(floor(r.pr / d.deg * 1099511627776.0)
+                              AS BIGINT)) AS DOUBLE)
+                / 1099511627776.0) AS pr
   FROM e
   JOIN {prev} r ON r.u = e.v
   JOIN deg d ON d.u = e.v
@@ -1086,10 +1091,13 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     round instead of min-labels (operators/graph.py:pagerank).
 
     Oracle-exact despite 5 rounds of float arithmetic: neighbor
-    contributions fold in sorted order (never an unordered SUM),
-    damping 7/8 multiplies exactly, and the DuckDB oracle unrolls the
-    same five iterations as chained CTEs with identical expression
-    trees — ranks match bit-for-bit before the final round(6).
+    contributions are FIXED-POINT longs (pr/deg × 2⁴⁰, floored) whose
+    SUM is exact and order-independent — partial-aggregable, so hub
+    nodes skew-combine map-side instead of materializing neighbor
+    arrays; damping 7/8 multiplies exactly, and the DuckDB oracle
+    unrolls the same five iterations as chained CTEs with identical
+    expression trees — ranks match bit-for-bit before the final
+    round(6).
 
     Scale: the graph derives from one fact-table distinct (edge list
     ≪ lineitem); each iteration shuffles the edge list, not a base
@@ -1273,11 +1281,17 @@ WITH e AS (
               ELSE 3 END AS tc
   FROM events WHERE event_type IN ('view', 'click', 'purchase')
 ),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM e
+),
 arr AS (
   SELECT user_id,
          list(tc::BIGINT * 17592186044416 + epoch_ms(ts)
               ORDER BY ts, event_id) AS a
-  FROM e GROUP BY user_id
+  FROM r WHERE rn <= 65536 GROUP BY user_id
 ),
 fin AS (
   SELECT user_id,
@@ -1308,12 +1322,20 @@ def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     float anywhere. The DuckDB oracle folds the same encoding with a
     prepended zero accumulator.
 
-    Scale shape: one shuffle to collect each user's (bounded) event
-    list; the fold is O(events-per-user); the final stage histogram
-    aggregates onto 4 keys. No window over the full stream, no
-    self-join per step (the join-chain funnel formulation doubles the
-    shuffles per added stage; the fold is one pass regardless of
+    Scale shape: one shuffle to collect each user's event list, with a
+    HARD per-user cap of 65,536 events (earliest by (ts, event_id) —
+    a row_number filter on the same user partitioning, so the cap adds
+    no shuffle): funnel progression is defined over a user's first 64k
+    funnel events, which bounds the collected array against
+    bot/crawler users whose event streams would otherwise materialize
+    unboundedly in one task (VERDICT r3 #5); the oracle applies the
+    identical cap. The fold is O(events-per-user); the final stage
+    histogram aggregates onto 4 keys. No window over the full stream,
+    no self-join per step (the join-chain funnel formulation doubles
+    the shuffles per added stage; the fold is one pass regardless of
     funnel depth)."""
+    from pyspark.sql import Window
+
     T = 1 << 44
     MASK = T - 1
     e = load_table(spark, sf_dir, "events").filter(
@@ -1325,15 +1347,19 @@ def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .cast("long")
     )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     coded = e.select(
         "user_id",
         "ts",
         "event_id",
         (tc * F.lit(T) + F.unix_millis("ts")).alias("code"),
+    ).withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 65536
     )
     arr = coded.groupBy("user_id").agg(
         F.transform(
             F.sort_array(
+                # bounded-list: hard-capped at 65536 by the rn filter
                 F.collect_list(F.struct("ts", "event_id", "code"))
             ),
             lambda p: p.code,
@@ -1361,8 +1387,9 @@ def funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _spread_sql(base: str) -> str:
     """DuckDB mirror of morton_key's 5-step bit spread (textual
     expansion — the expression tree is identical to the Spark side's,
-    so the interleave is exact integer arithmetic on both engines)."""
-    e = base
+    so the interleave is exact integer arithmetic on both engines).
+    The leading pmod mirrors morton_key's own [0, 2³²) reduction."""
+    e = f"((({base}) % 4294967296 + 4294967296) % 4294967296)"
     for shift, mask in (
         (16, 0x0000FFFF0000FFFF),
         (8, 0x00FF00FF00FF00FF),

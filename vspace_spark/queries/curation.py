@@ -496,6 +496,7 @@ def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.array_join(
             F.transform(
+                # bounded-list: per-doc token positions (doc-length bounded)
                 F.array_sort(F.collect_list(F.struct("j", "tok"))),
                 lambda x: x["tok"],
             ),

@@ -5,6 +5,7 @@ batch plumbing itself is under the correctness gate."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from vspace_spark.io.tables import load_table
 from vspace_spark.operators.multimodal import (
@@ -95,18 +96,43 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_chunk_plan(docs)
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    oracle="""
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+i AS (SELECT doc_id, hx, unnest(range(8))::INT AS feature_idx FROM h)
+SELECT doc_id, feature_idx,
+       ((strpos('0123456789abcdef',
+                substr(hx, feature_idx * 2 + 1, 1)) - 1) * 16
+        + strpos('0123456789abcdef',
+                 substr(hx, feature_idx * 2 + 2, 1)) - 1)::INT
+           AS feature_byte
+FROM i
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-inference batch shape with a deterministic fake model
-    (md5-derived float32 vectors). Hash-derived output → rows-only
-    driver check, exact vectors unit-tested (tests/test_multimodal.py).
-
-    Registered AFTER the oracle-backed multimodal queries: rows-only
-    evidence is the weakest driver signal, so it is first to rotate
-    out of the driver's 50-query checked window.
-    """
+    (md5-derived float32 vectors, operators/multimodal.py:
+    extract_features_fake — the REAL Arrow mapInPandas inference
+    plumbing). The raw ``array<float>`` column crashed the driver's
+    hash comparator in r3 ("unhashable type: 'list'"), so the query
+    now projects each vector to its exact byte decomposition: feature
+    f = byte/255 in float32, so round(f·255) recovers the md5 byte
+    EXACTLY (float32 relative error ≤ 2⁻²⁴ ⇒ |f·255 − byte| < 10⁻⁵)
+    — making the whole inference path fully ORACLED: DuckDB rebuilds
+    the same bytes from md5(text) hex (the payload is UTF-8 of text).
+    Exact float vectors stay unit-tested in tests/test_multimodal.py."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features_fake(docs)
+    feats = extract_features_fake(docs)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feature_idx", "f")
+    ).select(
+        "doc_id",
+        "feature_idx",
+        F.round(F.col("f").cast("double") * 255)
+        .cast("int")
+        .alias("feature_byte"),
+    )
 
 
 @query(

@@ -706,3 +706,72 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", "n_name")
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)))
+              AS DECIMAL(28,4)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+),
+t AS (SELECT CAST(sum(val) AS DECIMAL(28,4)) AS tot,
+             count(*)::BIGINT AS n FROM v)
+SELECT l_partkey AS partkey, round(val, 2)::DOUBLE AS value
+FROM v CROSS JOIN t
+WHERE val * n > tot * 2
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part
+    traded value from one nation's suppliers, kept only where the
+    part's share exceeds a global threshold — the classic
+    HAVING-vs-scalar-subquery pattern. Adapted to the fixture (no
+    partsupp): value = Σ extendedprice·quantity over lineitem, and
+    the threshold is 2× the average per-part value (cross-multiplied
+    ``val·n > tot·2``), which unlike Q11's fixed 1/10000 fraction
+    stays non-vacuous at every fixture scale.
+
+    Float discipline: exact DECIMAL sums; the share test is
+    cross-multiplied (no division — a decimal quotient's scale
+    differs between engines, q22's proven form). Scale shape: the
+    nation's supplier set broadcasts into the lineitem scan, the
+    per-part agg is one shuffle, and the (sum, count) scalar
+    broadcasts back over the part-sized aggregate — nothing but the
+    filtered fact scan is data-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    nat_sup = sup.join(
+        F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice", 2) * dec("l_quantity", 2))
+            .cast("decimal(28,4)")
+            .alias("val")
+        )
+    )
+    t = v.agg(
+        F.sum("val").cast("decimal(28,4)").alias("_tot"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("val") * F.col("_n") > F.col("_tot") * F.lit(2))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            money(F.col("val")).alias("value"),
+        )
+    )

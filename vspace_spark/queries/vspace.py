@@ -434,13 +434,23 @@ def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit reads skip Spark's sampling-based JSON inference pass,
     which at 100 TB is a full extra scan. The corrupt-line filter is
     the production posture for crawled JSONL: quarantine, don't
-    abort."""
+    abort. The export lands at one FIXED overwritten path (ADVICE r3:
+    a fresh mkdtemp per call leaked a corpus-sized directory on every
+    correctness/bench run; the returned DataFrame reads lazily, so the
+    directory must outlive this function — overwrite-in-place is the
+    leak-free form, same as the other I/O queries)."""
+    import os
     import tempfile
 
     from pyspark.sql import types as T
 
     docs = load_table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="vspace_jsonl_")
+    # per-sf path so a later run at another scale can't overwrite data
+    # a still-lazy earlier result would re-read
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"vspace_jsonl_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
     docs.select(
         F.to_json(
             F.struct("doc_id", "text", "lang", "source", "n_chars")

@@ -63,7 +63,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — all $cpus task
+        # threads share this one heap, so size it like an executor
+        # (~1.5 GB/core on the 128 GiB test box; 8g OOMed the 100×
+        # scaled bench under a ~4 GiB cached shingle index + 32
+        # shuffling tasks). On a real cluster this reverts to a normal
+        # driver size and spark.executor.memory takes over.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -391,16 +391,22 @@ def stateful_transition_counts(events: DataFrame) -> DataFrame:
     micro-batch boundaries — the streaming twin of the batch
     ``event_transition_matrix`` lag-window.
 
-    Each micro-batch sorts its rows by (ts, event_id), prepends the
-    stored last event, counts adjacent (from, to) pairs vectorized
-    (shift + value_counts — no per-row Python), emits the pair counts,
-    and stores the new last event. State is one (ts_ns, event_id,
-    type) triple per user — O(1) per key, never the event history.
-    Counts are integers end-to-end, so the finite replay is exactly
-    batch-oracle-checkable after a downstream sum (ordering across
-    micro-batches follows file order; exact parity assumes the replay
-    respects event-time order, as the single-batch fixture replay
-    does)."""
+    Each micro-batch CONCATENATES the group's Arrow chunks and sorts
+    them ONCE by (ts, event_id) before pairing — applyInPandasWithState
+    hands a group's rows as arbitrarily split, unordered chunks
+    (default ~10k-row Arrow batches), so the earlier per-chunk
+    sort-and-bridge was wrong whenever one user's micro-batch rows
+    spanned chunks (ADVICE r3). The stored last event is prepended,
+    adjacent (from, to) pairs count vectorized (shift + groupby size —
+    no per-row Python), and the globally-last row becomes the new
+    state. State is one (ts_ns, event_id, type) triple per user — O(1)
+    per key, never the event history; the concat holds one user's ONE
+    micro-batch in memory (bounded by trigger size per key, not by the
+    stream). Counts are integers end-to-end, so the finite replay is
+    exactly batch-oracle-checkable after a downstream sum (ordering
+    across micro-batches follows file order; exact parity assumes the
+    replay respects event-time order, as the single-batch fixture
+    replay does)."""
     from pyspark.sql.streaming.state import GroupState
 
     out_schema = T.StructType(
@@ -422,34 +428,32 @@ def stateful_transition_counts(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        last = state.get if state.exists else None
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts", "event_id"])
+            last = state.get if state.exists else None
             seq = pdf["event_type"].tolist()
-            if not seq:
-                continue
             prev = ([last[2]] if last is not None else []) + seq[:-1]
             cur = seq if last is not None else seq[1:]
-            if cur:
-                frames.append(pd.DataFrame({"f": prev, "t": cur}))
             ts_ns = int(pdf["ts"].iloc[-1].value)
-            last = (ts_ns, int(pdf["event_id"].iloc[-1]), seq[-1])
-        if last is not None:
-            state.update(last)
-        if frames:
-            pairs = pd.concat(frames)
-            counts = (
-                pairs.groupby(["f", "t"]).size().reset_index(name="n")
-            )
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(counts),
-                    "from_type": counts["f"],
-                    "to_type": counts["t"],
-                    "n": counts["n"].astype("int64"),
-                }
-            )
+            state.update((ts_ns, int(pdf["event_id"].iloc[-1]), seq[-1]))
+            if cur:
+                pairs = pd.DataFrame({"f": prev, "t": cur})
+                counts = (
+                    pairs.groupby(["f", "t"]).size().reset_index(name="n")
+                )
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(counts),
+                        "from_type": counts["f"],
+                        "to_type": counts["t"],
+                        "n": counts["n"].astype("int64"),
+                    }
+                )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
