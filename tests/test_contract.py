@@ -59,6 +59,7 @@ EXPECTED_QUERIES = {
     "q8_market_share", "q17_small_quantity_revenue", "q15_top_supplier",
     "q21_waiting_suppliers", "q22_lapsed_customer_balance",
     "q9_product_profit", "q12_late_priority_counts",
+    "q11_important_stock",
     # round-3 session-3 additions
     "event_transition_matrix", "user_value_ewma",
     "pagerank_purchase_graph", "events_anomaly_zscore",
@@ -90,7 +91,8 @@ ROWS_ONLY = {
     "approx_distinct_users", "dedup_minhash_lsh_fast", "dedup_simhash_fast",
     "ann_lsh_top5_fast", "ann_bruteforce_top5_fast", "ann_ivf_top5",
     "ann_ivf_pq_top5_fast", "ml_tfidf_features",
-    "multimodal_features",
+    # multimodal_features left this set in r4: the exact md5-byte
+    # projection made the inference path fully oracled
 }
 
 

@@ -108,6 +108,9 @@ _WINDOW = [
     "events_zorder_keys",
     # crashed the r3 harness; now oracled (exact md5-byte projection)
     "multimodal_features",
+    # added this round (TPC-H Q11 shape) — never checked, so it takes
+    # a slot ahead of a third-time flagship re-proof
+    "q11_important_stock",
     # input path changed this round (rebalance_for_compute min-bytes
     # floor) — re-prove one consumer per affected operator family
     "dedup_jaccard_pairs",
@@ -117,7 +120,6 @@ _WINDOW = [
     # flagship §2.11 continuity
     "term_stats_unigram",
     "term_stats_by_source",
-    "doc_term_frequencies",
     "normalize_corpus",
     "vocabulary",
     "corpus_job_ini",
