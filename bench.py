@@ -307,10 +307,10 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_100X=0.
     heavy_100x = [
         "user_rfm_segments",
+        "dedup_keep_best",
         "ann_bruteforce_top5",
         "pagerank_purchase_graph",
         "dedup_jaccard_pairs",
-        "dedup_keep_best",
     ]
     timings_100x: dict[str, float] = {}
     skipped_100x: list[str] = []

@@ -342,3 +342,65 @@ def test_ann_lsh_twins_find_duplicated_vectors(spark, sf_dir):
                 f"planes={'portable' if planes else 'fast'} missed "
                 f"{r.vec_id}"
             )
+
+
+def test_keep_best_exact_collapse_matches_uncollapsed_oracle(
+    spark, tmp_path
+):
+    """The r4 exact→near prepass in dedup_keep_best (collapse verbatim
+    clones per (source, text) before Jaccard pair-gen) must be output-
+    IDENTICAL to the uncollapsed formulation — which is exactly what
+    the DuckDB oracle still computes. The bundled fixtures carry few
+    verbatim clones, so this plants the adversarial shapes: a clone
+    group, a near-dup bridging INTO a clone group (connectivity must
+    route through the canonical), identical text in a DIFFERENT source
+    (blocked — must NOT merge), and singletons."""
+    import duckdb
+    import pandas as pd
+
+    from vspace_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    base = [f"w{i}" for i in range(30)]
+    t1 = " ".join(base)
+    # near-dup of t1: ONE word changed -> 3 of 28 trigram shingles
+    # differ, J = 25/31 ~ 0.81 >= 0.6
+    t1b = " ".join(w if i != 15 else "xx" for i, w in enumerate(base))
+    rows = [
+        (1, t1, "s1"), (2, t1, "s1"), (3, t1, "s1"),   # clones in s1
+        (4, t1b, "s1"),                                  # near-dup bridge
+        (5, t1, "s2"), (6, t1, "s2"),                    # clones in s2
+        (7, "completely different words entirely unrelated text here",
+         "s1"),                                          # singleton
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    d = str(tmp_path / "sfclone")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = (
+        QUERIES["dedup_keep_best"](spark, d)
+        .toPandas()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(ORACLES["dedup_keep_best"]).df()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    # docs 1-4 one component (near-dup bridges the clone group),
+    # docs 5-6 their own (source block), doc 7 singleton
+    assert sorted(got["n_members"].tolist()) == [1, 2, 4]
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, check_exact=True,
+    )
