@@ -404,3 +404,68 @@ def test_keep_best_exact_collapse_matches_uncollapsed_oracle(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False, check_exact=True,
     )
+
+
+def test_jaccard_exact_collapse_matches_uncollapsed_oracle(spark, tmp_path):
+    """shingle_pairs_jaccard's r4 exact-collapse path must emit the
+    IDENTICAL pair list (ids, jaccard doubles, a<b ordering) as the
+    raw inverted-index formulation — which the DuckDB oracle and the
+    collapse_exact=False path both compute. Planted shapes: clone
+    group, near-dup bridging into it, cross-source identical text
+    (blocked), sub-n-token docs (no shingles — must never pair), and
+    singletons."""
+    import duckdb
+    import pandas as pd
+
+    from vspace_spark.operators.dedup import shingle_pairs_jaccard
+    from vspace_spark.queries import ORACLES, load_all
+
+    load_all()
+    base = [f"w{i}" for i in range(30)]
+    t1 = " ".join(base)
+    t1b = " ".join(w if i != 15 else "xx" for i, w in enumerate(base))
+    rows = [
+        (1, t1, "s1"), (2, t1, "s1"), (3, t1, "s1"),
+        (4, t1b, "s1"),
+        (5, t1, "s2"), (6, t1, "s2"),
+        (7, "tiny doc", "s1"), (8, "tiny doc", "s1"),  # < 3 tokens
+        (9, "some completely different unrelated content here", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+    def canon(df):
+        df = df[["a", "b", "jaccard"]].copy()
+        df["jaccard"] = df["jaccard"].round(6)
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    collapsed = canon(
+        shingle_pairs_jaccard(
+            docs, n=3, threshold=0.6, block_col="source",
+            collapse_exact=True,
+        ).toPandas()
+    )
+    raw = canon(
+        shingle_pairs_jaccard(
+            docs, n=3, threshold=0.6, block_col="source",
+            collapse_exact=False,
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(collapsed, raw, check_dtype=False)
+    # and both against the registered oracle over the same rows
+    d = str(tmp_path / "sfjac")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = canon(con.execute(ORACLES["dedup_jaccard_pairs"]).df())
+    pd.testing.assert_frame_equal(collapsed, want, check_dtype=False)
+    # sanity: the planted shapes actually exercised each branch
+    assert (1, 2) in set(zip(collapsed["a"], collapsed["b"]))  # intra
+    assert (1, 4) in set(zip(collapsed["a"], collapsed["b"]))  # cross
+    assert 7 not in set(collapsed["a"]) | set(collapsed["b"])  # no shingles
+    assert not {(1, 5), (2, 5)} & set(zip(collapsed["a"], collapsed["b"]))

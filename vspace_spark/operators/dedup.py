@@ -35,25 +35,102 @@ def shingle_pairs_jaccard(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard similar pairs via an INVERTED INDEX join.
+    """Exact n-gram-Jaccard similar pairs via an INVERTED INDEX join,
+    with an EXACT-DEDUP PREPASS (the production exact→near pipeline).
 
     ``J(a,b) = |A∩B| / |A∪B|`` over distinct word n-gram shingle sets.
-    Any pair with J > 0 shares ≥1 shingle, so joining the exploded
-    (shingle → doc) index to itself enumerates exactly the candidate
-    pairs with nonzero similarity — never the O(N²) cross join. Common
-    shingles are counted per pair in the same aggregation; set sizes
-    join back in. ``block_col`` (e.g. source) further restricts pairs
-    and bounds the skew of hot shingles.
+    With ``collapse_exact`` (default): verbatim clones collapse per
+    (block, md5(text)) in one hash aggregation, the inverted-index
+    join runs on canonical representatives only, and the result
+    expands back — cross-group member pairs inherit their canonicals'
+    jaccard (identical texts ⇒ identical shingle sets ⇒ the same
+    c/(sza+szb−c) double, bit-for-bit), intra-group pairs are exactly
+    1.0 (= sz/(2sz−sz)). Output is IDENTICAL to pairing the raw
+    corpus (planted-fixture equality test in tests/test_dedup.py);
+    what changes is that a clone cluster of k docs costs k² only in
+    final OUTPUT rows, never in shingle-join rows — measured 483 s →
+    see PERF.md at the 100×-replica clone-stress bench. Docs with
+    fewer than ``n`` tokens have no shingles and never pair (both
+    paths agree).
+
+    Raw path (``collapse_exact=False``): any pair with J > 0 shares
+    ≥1 shingle, so joining the exploded (shingle → doc) index to
+    itself enumerates exactly the candidate pairs with nonzero
+    similarity — never the O(N²) cross join. Common shingles are
+    counted per pair in one aggregation; set sizes join back in.
+    ``block_col`` (e.g. source) restricts pairs and bounds hot-shingle
+    skew in both paths.
 
     Returns ``[a, b, jaccard]`` with a < b and jaccard ≥ threshold.
     """
     from pyspark import StorageLevel
 
+    block = [block_col] if block_col else []
+    if not collapse_exact:
+        return _shingle_pairs_raw(
+            docs, id_col, text_col, n, threshold, block
+        )
+    keyed = docs.select(
+        F.col(id_col).alias("_id"),
+        *block,
+        F.col(text_col).alias("_t"),
+        F.md5(text_col).alias("_h"),
+    ).filter(F.size(tokenize_col("_t")) >= n)
+    canon = keyed.groupBy(*block, "_h").agg(F.min("_id").alias("_canon"))
+    with_canon = keyed.join(canon, [*block, "_h"])
+    canon_docs = with_canon.filter(
+        F.col("_id") == F.col("_canon")
+    ).select(F.col("_id").alias(id_col), *block, F.col("_t").alias(text_col))
+    raw = _shingle_pairs_raw(
+        canon_docs, id_col, text_col, n, threshold, block
+    )
+    members = with_canon.select("_canon", F.col("_id").alias("_m")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # materialized for honest join-size stats (same reason as the
+    # shingle index below)
+    members.count()  # bounded-collect: one scalar, forces the cache
+    ma = members.select(F.col("_canon").alias("a"), F.col("_m").alias("_ma"))
+    mb = members.select(F.col("_canon").alias("b"), F.col("_m").alias("_mb"))
+    cross = (
+        raw.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("_ma", "_mb").alias("a"),
+            F.greatest("_ma", "_mb").alias("b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "_canon")
+        .filter(F.col("x._m") < F.col("y._m"))
+        .select(
+            F.col("x._m").alias("a"),
+            F.col("y._m").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _shingle_pairs_raw(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    block: list[str],
+) -> DataFrame:
+    """The inverted-index pair generation itself (see
+    :func:`shingle_pairs_jaccard`)."""
+    from pyspark import StorageLevel
+
     from vspace_spark.operators.scale import rebalance_for_compute
 
     docs = rebalance_for_compute(docs)
-    block = [block_col] if block_col else []
     shingles = docs.select(
         F.col(id_col).alias("_id"),
         *block,

@@ -390,7 +390,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("_canon").alias("a"), F.col("doc_id").alias("b"))
     pairs = (
         shingle_pairs_jaccard(
-            canon_docs, n=3, threshold=0.6, block_col="source"
+            canon_docs,
+            n=3,
+            threshold=0.6,
+            block_col="source",
+            # already canonical — skip the operator's own collapse pass
+            collapse_exact=False,
         )
         .select("a", "b")
         .unionByName(member_edges)
