@@ -306,11 +306,15 @@ def main() -> None:
     # scale — measured numbers live in PERF.md. Disable with
     # SPARK_GRAFT_BENCH_100X=0.
     heavy_100x = [
+        "user_sessions",
+        "q3_top_unshipped_orders",
+        "term_stats_ngram",
+        "tfidf_top3_per_doc",
         "user_rfm_segments",
+        "dedup_jaccard_pairs",
         "dedup_keep_best",
         "ann_bruteforce_top5",
         "pagerank_purchase_graph",
-        "dedup_jaccard_pairs",
     ]
     timings_100x: dict[str, float] = {}
     skipped_100x: list[str] = []
