@@ -72,26 +72,79 @@ def shingle_pairs_jaccard(
         return _shingle_pairs_raw(
             docs, id_col, text_col, n, threshold, block
         )
-    keyed = docs.select(
-        F.col(id_col).alias("_id"),
-        *block,
-        F.col(text_col).alias("_t"),
-        F.md5(text_col).alias("_h"),
-    ).filter(F.size(tokenize_col("_t")) >= n)
-    canon = keyed.groupBy(*block, "_h").agg(F.min("_id").alias("_canon"))
-    with_canon = keyed.join(canon, [*block, "_h"])
-    canon_docs = with_canon.filter(
-        F.col("_id") == F.col("_canon")
-    ).select(F.col("_id").alias(id_col), *block, F.col("_t").alias(text_col))
+    canon_docs, members = _collapse_docs(
+        docs, id_col, text_col, min_tokens=n, block=block
+    )
     raw = _shingle_pairs_raw(
         canon_docs, id_col, text_col, n, threshold, block
     )
-    members = with_canon.select("_canon", F.col("_id").alias("_m")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    return _expand_pairs(
+        raw.select("a", "b", "jaccard"), members, {"jaccard": F.lit(1.0)}
     )
-    # materialized for honest join-size stats (same reason as the
-    # shingle index below)
+
+
+def _collapse_docs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    block: list[str] | tuple = (),
+    max_group: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup prepass shared by every pair generator: group docs
+    by (block, md5(text)), pick min-id canonicals, return
+    ``(canon_docs, members)`` where members maps every doc to its
+    canonical. ``min_tokens`` drops docs that cannot produce a
+    signature/shingle (they never pair in the raw formulation either,
+    so the expansion stays output-identical). ``max_group`` mirrors
+    the hot-bucket guard: clone groups larger than it are excluded
+    outright (the raw guard drops their — always hot — buckets, which
+    silences the same pairs). The members map is cached and
+    materialized so the expansion joins plan from honest sizes."""
+    from pyspark import StorageLevel
+
+    keyed = docs.select(
+        F.col(id_col).alias("_cid"),
+        *block,
+        F.col(text_col).alias("_ct"),
+        F.md5(text_col).alias("_ch"),
+    ).filter(F.size(tokenize_col("_ct")) >= min_tokens)
+    canon = keyed.groupBy(*block, "_ch").agg(F.min("_cid").alias("_canon"))
+    with_canon = keyed.join(canon, [*block, "_ch"])
+    members = with_canon.select("_canon", F.col("_cid").alias("_m"))
+    if max_group is not None:
+        ok = (
+            members.groupBy("_canon")
+            .agg(F.count("*").alias("_gn"))
+            .filter(F.col("_gn") <= max_group)
+            .select("_canon")
+        )
+        members = members.join(F.broadcast(ok), "_canon")
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
     members.count()  # bounded-collect: one scalar, forces the cache
+    canon_docs = with_canon.filter(F.col("_cid") == F.col("_canon"))
+    if max_group is not None:
+        canon_docs = canon_docs.join(
+            members.select(F.col("_canon").alias("_cid")).distinct(), "_cid"
+        )
+    canon_docs = canon_docs.select(
+        F.col("_cid").alias(id_col), *block, F.col("_ct").alias(text_col)
+    )
+    return canon_docs, members
+
+
+def _expand_pairs(
+    raw: DataFrame,
+    members: DataFrame,
+    intra_metrics: dict[str, F.Column],
+) -> DataFrame:
+    """Expand canonical-level pairs back to member-level pairs:
+    cross-group pairs inherit their canonicals' metric columns
+    verbatim (identical texts ⇒ identical signatures/shingle sets ⇒
+    identical metric arithmetic), intra-group pairs take the supplied
+    exact-duplicate literals (jaccard/est_jaccard 1.0, hamming 0)."""
+    metric_names = [c for c in raw.columns if c not in ("a", "b")]
+    dtypes = dict(raw.dtypes)
     ma = members.select(F.col("_canon").alias("a"), F.col("_m").alias("_ma"))
     mb = members.select(F.col("_canon").alias("b"), F.col("_m").alias("_mb"))
     cross = (
@@ -100,7 +153,7 @@ def shingle_pairs_jaccard(
         .select(
             F.least("_ma", "_mb").alias("a"),
             F.greatest("_ma", "_mb").alias("b"),
-            "jaccard",
+            *metric_names,
         )
     )
     intra = (
@@ -110,7 +163,10 @@ def shingle_pairs_jaccard(
         .select(
             F.col("x._m").alias("a"),
             F.col("y._m").alias("b"),
-            F.lit(1.0).alias("jaccard"),
+            *[
+                intra_metrics[m].cast(dtypes[m]).alias(m)
+                for m in metric_names
+            ],
         )
     )
     return cross.unionByName(intra)
@@ -279,6 +335,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs — the sub-quadratic near-dup path.
 
@@ -288,18 +345,37 @@ def minhash_lsh_pairs(
     iff some band matches exactly; P(candidate) ≈ 1-(1-J^r)^b. A pair
     sharing several bands is emitted once (distinct).
 
+    ``collapse_exact`` (default) runs the exact-dedup prepass first
+    (see :func:`shingle_pairs_jaccard`): identical texts have
+    identical signatures, so clone groups collapse to one canonical
+    before banding and expand back afterwards with est_jaccard 1.0 —
+    output-identical while a k-clone cluster costs k² only in OUTPUT
+    rows, never in bucket-join rows. With ``max_bucket_size`` the
+    collapse excludes over-cap clone GROUPS outright, matching what
+    the raw guard does (a clone group's buckets are always hot, so
+    :func:`drop_hot_buckets` silences the same pairs); bucket
+    occupancy is then counted over canonicals, so the guard fires
+    only on genuinely-distinct near-identical crowds.
+
     Everything before the bucket self-join is narrow (no shuffle); the
     join shuffles on (band, hash) — at 100 TB, bucket sizes stay small
-    because a hot bucket means genuinely near-identical docs; for
-    degenerate corpora (one giant duplicate cluster) pass
-    ``max_bucket_size`` to cap per-bucket join fan-out
-    (:func:`drop_hot_buckets`).
+    because a hot bucket means genuinely near-identical docs.
 
     Returns ``[a, b, est_jaccard]`` (signature agreement fraction,
     a cheap estimate computed from the two signatures — no text rejoin).
     """
     from pyspark import StorageLevel
 
+    if collapse_exact:
+        canon_docs, members = _collapse_docs(
+            docs, id_col, text_col, min_tokens=shingle_n,
+            max_group=max_bucket_size,
+        )
+        raw = minhash_lsh_pairs(
+            canon_docs, id_col, text_col, shingle_n, num_hashes, bands,
+            max_bucket_size, collapse_exact=False,
+        )
+        return _expand_pairs(raw, members, {"est_jaccard": F.lit(1.0)})
     rows = num_hashes // bands
     tokens = ngrams_col(tokenize_col(text_col), shingle_n)
     # compact (num_hashes longs per doc) and consumed by both sides of
@@ -361,6 +437,7 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash + LSH with PORTABLE hashing: md5-derived 60-bit ints
     instead of ``xxhash64``, so an ANSI-SQL engine reproduces every
@@ -376,10 +453,22 @@ def minhash_lsh_pairs_portable(
     trap), per-seed MIN with map-side partial aggregation, band bucket
     key = the band's min-values joined as a string (no second-level
     hash — fewer cross-engine moving parts; the extra bytes ride only
-    the bucket shuffle). Returns ``[a, b, est_jaccard]``.
+    the bucket shuffle). ``collapse_exact`` is the same output-
+    identical exact-dedup prepass as :func:`minhash_lsh_pairs`.
+    Returns ``[a, b, est_jaccard]``.
     """
     from pyspark import StorageLevel
 
+    if collapse_exact:
+        canon_docs, members = _collapse_docs(
+            docs, id_col, text_col, min_tokens=shingle_n,
+            max_group=max_bucket_size,
+        )
+        raw = minhash_lsh_pairs_portable(
+            canon_docs, id_col, text_col, shingle_n, num_hashes, bands,
+            max_bucket_size, collapse_exact=False,
+        )
+        return _expand_pairs(raw, members, {"est_jaccard": F.lit(1.0)})
     rows = num_hashes // bands
     tokens = ngrams_col(tokenize_col(text_col), shingle_n)
     from vspace_spark.operators.scale import rebalance_for_compute
@@ -536,6 +625,7 @@ def simhash_near_pairs(
     max_hamming: int = 7,
     n_chunks: int = 8,
     max_bucket_size: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with PIGEONHOLE chunk blocking: the 64-bit
     signature splits into ``n_chunks`` equal chunks; a pair within
@@ -546,7 +636,10 @@ def simhash_near_pairs(
 
     Candidate volume scales with 2^(64/n_chunks) bucket granularity;
     8×8-bit chunks is the standard sweet spot (Manku et al.'s simhash
-    dedup uses the same pigeonhole construction).
+    dedup uses the same pigeonhole construction). ``collapse_exact``
+    is the same output-identical exact-dedup prepass as
+    :func:`minhash_lsh_pairs` (identical texts ⇒ identical
+    signatures ⇒ hamming 0, always within radius).
     """
     from pyspark import StorageLevel
 
@@ -556,6 +649,16 @@ def simhash_near_pairs(
             f"only for hamming <= {n_chunks - 1}; got max_hamming="
             f"{max_hamming} — raise n_chunks to at least {max_hamming + 1}"
         )
+    if collapse_exact:
+        canon_docs, members = _collapse_docs(
+            docs, id_col, text_col, min_tokens=1,
+            max_group=max_bucket_size,
+        )
+        raw = simhash_near_pairs(
+            canon_docs, id_col, text_col, max_hamming, n_chunks,
+            max_bucket_size, collapse_exact=False,
+        )
+        return _expand_pairs(raw, members, {"hamming": F.lit(0)})
     width = 64 // n_chunks
     tokens = tokenize_col(text_col)
     sigs = simhash_signatures(docs, id_col, tokens).persist(
@@ -600,6 +703,7 @@ def simhash_near_pairs_portable(
     n_chunks: int = 6,
     bits: int = 60,
     max_bucket_size: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with PORTABLE hashing: md5-derived
     60-bit token patterns (15 hex chars → always-positive BIGINT, so
@@ -624,6 +728,16 @@ def simhash_near_pairs_portable(
             f"recall only for hamming <= {n_chunks - 1}; got "
             f"max_hamming={max_hamming}"
         )
+    if collapse_exact:
+        canon_docs, members = _collapse_docs(
+            docs, id_col, text_col, min_tokens=1,
+            max_group=max_bucket_size,
+        )
+        raw = simhash_near_pairs_portable(
+            canon_docs, id_col, text_col, max_hamming, n_chunks, bits,
+            max_bucket_size, collapse_exact=False,
+        )
+        return _expand_pairs(raw, members, {"hamming": F.lit(0)})
     width = bits // n_chunks
     from vspace_spark.operators.scale import rebalance_for_compute
 
