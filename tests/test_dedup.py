@@ -469,3 +469,43 @@ def test_jaccard_exact_collapse_matches_uncollapsed_oracle(spark, tmp_path):
     assert (1, 4) in set(zip(collapsed["a"], collapsed["b"]))  # cross
     assert 7 not in set(collapsed["a"]) | set(collapsed["b"])  # no shingles
     assert not {(1, 5), (2, 5)} & set(zip(collapsed["a"], collapsed["b"]))
+
+
+def test_embedding_collapse_matches_raw_pairs(spark):
+    """Vector edition of the exact-collapse equality: identical
+    vectors (clones), a genuine near pair, a blocked cross-label
+    identical pair, and a ZERO vector (raw cosine NaN — never pairs,
+    must not gain a pair through collapse) produce the identical id
+    pair set through both paths."""
+    from vspace_spark.operators.dedup import embedding_near_pairs
+
+    v = [1.0, 0.0, 2.0, 0.5]
+    near = [1.0, 0.1, 2.0, 0.5]
+    other = [-1.0, 5.0, -2.0, 3.0]
+    rows = [
+        (1, "x", v), (2, "x", v), (3, "x", v),      # clones in x
+        (4, "x", near),                              # near pair
+        (5, "y", v),                                 # blocked by label
+        (6, "x", [0.0, 0.0, 0.0, 0.0]),              # zero vector
+        (7, "x", [0.0, 0.0, 0.0, 0.0]),              # identical zero
+        (8, "x", other),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = {
+        (r.a, r.b)
+        for r in embedding_near_pairs(
+            emb, threshold=0.4, collapse_exact=True
+        ).collect()
+    }
+    want = {
+        (r.a, r.b)
+        for r in embedding_near_pairs(
+            emb, threshold=0.4, collapse_exact=False
+        ).collect()
+    }
+    assert got == want
+    assert {(1, 2), (1, 3), (2, 3), (1, 4)} <= got
+    assert not any(6 in p or 7 in p for p in got)
+    assert not any(5 in p for p in got)

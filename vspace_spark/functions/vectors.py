@@ -31,7 +31,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an error) when either vector has zero norm: under
+    ANSI mode a bare ``/`` raises divideByZeroError the first time a
+    zero vector appears in data, and a threshold filter on NULL is
+    simply false — the behavior every caller wants for degenerate
+    vectors."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def l2_normalize(a: Column) -> Column:

@@ -83,32 +83,27 @@ def shingle_pairs_jaccard(
     )
 
 
-def _collapse_docs(
+def _collapse_by_key(
     docs: DataFrame,
     id_col: str,
-    text_col: str,
-    min_tokens: int,
+    keep_cols: list[str],
+    key: F.Column,
     block: list[str] | tuple = (),
     max_group: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Exact-dedup prepass shared by every pair generator: group docs
-    by (block, md5(text)), pick min-id canonicals, return
-    ``(canon_docs, members)`` where members maps every doc to its
-    canonical. ``min_tokens`` drops docs that cannot produce a
-    signature/shingle (they never pair in the raw formulation either,
-    so the expansion stays output-identical). ``max_group`` mirrors
-    the hot-bucket guard: clone groups larger than it are excluded
-    outright (the raw guard drops their — always hot — buckets, which
-    silences the same pairs). The members map is cached and
-    materialized so the expansion joins plan from honest sizes."""
+    """Exact-dedup prepass shared by every pair generator: group rows
+    by (block, ``key``), pick min-id canonicals, return
+    ``(canon_docs, members)`` where members maps every row to its
+    canonical. ``max_group`` mirrors the hot-bucket guard: clone
+    groups larger than it are excluded outright (the raw guard drops
+    their — always hot — buckets, which silences the same pairs). The
+    members map is cached and materialized so the expansion joins plan
+    from honest sizes."""
     from pyspark import StorageLevel
 
     keyed = docs.select(
-        F.col(id_col).alias("_cid"),
-        *block,
-        F.col(text_col).alias("_ct"),
-        F.md5(text_col).alias("_ch"),
-    ).filter(F.size(tokenize_col("_ct")) >= min_tokens)
+        F.col(id_col).alias("_cid"), *block, *keep_cols, key.alias("_ch")
+    )
     canon = keyed.groupBy(*block, "_ch").agg(F.min("_cid").alias("_canon"))
     with_canon = keyed.join(canon, [*block, "_ch"])
     members = with_canon.select("_canon", F.col("_cid").alias("_m"))
@@ -128,9 +123,31 @@ def _collapse_docs(
             members.select(F.col("_canon").alias("_cid")).distinct(), "_cid"
         )
     canon_docs = canon_docs.select(
-        F.col("_cid").alias(id_col), *block, F.col("_ct").alias(text_col)
+        F.col("_cid").alias(id_col), *block, *keep_cols
     )
     return canon_docs, members
+
+
+def _collapse_docs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    block: list[str] | tuple = (),
+    max_group: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Text-corpus front end of :func:`_collapse_by_key`: key =
+    md5(text); ``min_tokens`` drops docs that cannot produce a
+    signature/shingle (they never pair in the raw formulation either,
+    so the expansion stays output-identical)."""
+    return _collapse_by_key(
+        docs.filter(F.size(tokenize_col(text_col)) >= min_tokens),
+        id_col,
+        [text_col],
+        F.md5(text_col),
+        block=block,
+        max_group=max_group,
+    )
 
 
 def _expand_pairs(
@@ -811,12 +828,47 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (label,
     cluster id from LSH/IVF, etc.). The block join bounds pair counts;
     an unblocked variant at scale would first LSH-bucket the vectors
-    (see operators/similarity.py)."""
+    (see operators/similarity.py).
+
+    ``collapse_exact``: the exact-dedup prepass, vector edition —
+    verbatim-identical vectors collapse per (block, md5(json(vec)))
+    before the within-block pair join and expand back afterwards.
+    Output-identical for thresholds < 0.999: a nonzero vector's self-
+    cosine computes within one ulp of 1.0 (≥ any such threshold), and
+    zero-norm vectors — whose raw cosine is NaN and never passes the
+    filter — are excluded from the collapse entirely. At the
+    100×-replica bench the raw within-label join is 10⁴× the base
+    pair count in cosine FOLDS; collapsed, the fold count stays at
+    base scale and the 10⁴× lives only in the expanded id list."""
     block = [block_col] if block_col else []
+    if collapse_exact and threshold < 0.999:
+        nonzero = (
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") * x
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            > 0
+        )
+        canon_vecs, members = _collapse_by_key(
+            embeddings.filter(nonzero),
+            id_col,
+            [vec_col],
+            F.md5(F.to_json(F.struct(F.col(vec_col)))),
+            block=block,
+        )
+        raw = embedding_near_pairs(
+            canon_vecs, id_col, vec_col, block_col, threshold,
+            collapse_exact=False,
+        )
+        return _expand_pairs(raw, members, {})
     left = embeddings.select(
         *block, F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
     )
