@@ -75,10 +75,15 @@ def tokenized_documents(
     """
     from vspace_spark.operators.scale import rebalance_for_compute
 
-    # tokenize+explode is compute-bound (O(tokens) per byte): spread a
-    # scan that packed the corpus into few IO-sized partitions before
-    # doing that work (measured 8.8× on the 10×-replica bench corpus)
-    docs = rebalance_for_compute(docs)
+    # tokenize+explode is compute-bound (O(tokens · max_n) per byte):
+    # spread a scan that packed the corpus into few IO-sized partitions
+    # before doing that work (measured 8.8× on the 10×-replica bench
+    # corpus). min_bytes=0: unlike the 3-shingle dedup builders, the
+    # up-to-6-gram explode costs tens of seconds per MB single-task —
+    # the repartition pays for itself at ANY input size (measured r4:
+    # the default 4 MB floor cost term_stats_ngram +40% at sf0.1 and
+    # 12× on the baseline pipeline's dictionary phase)
+    docs = rebalance_for_compute(docs, min_bytes=0)
     if normalizer is not None:
         text = normalizer(F.col(text_col))
     elif normalize:
