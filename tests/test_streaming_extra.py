@@ -235,3 +235,61 @@ def test_stateful_transition_counts_spanning_arrow_chunks(
         ).fetchall()
     }
     assert got == want
+
+
+def test_stream_dedup_docs_minhash_collapse_on_planted_clones(
+    spark, tmp_path
+):
+    """The static-index clone collapse (r4) must leave the streaming
+    near-dup output identical to the uncollapsed batch oracle on a
+    clone-heavy corpus — the bundled fixtures carry few verbatim
+    clones, so plant them: a clone group (intra pairs must surface
+    with est 1.0 through the member expansion), a near-dup bridging
+    into it, and sub-3-token docs (no shingles, never pair)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vspace_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    base = [f"w{i}" for i in range(30)]
+    t1 = " ".join(base)
+    t1b = " ".join(w if i != 15 else "xx" for i, w in enumerate(base))
+    rows = [
+        (1, t1, "s1"), (2, t1, "s1"), (3, t1, "s2"),
+        (4, t1b, "s1"),
+        (5, "tiny doc", "s1"),
+        (6, "some completely different unrelated content here", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    d = str(tmp_path / "sfsm")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = (
+        QUERIES["stream_dedup_docs_minhash"](spark, d)
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(ORACLES["stream_dedup_docs_minhash"]).df()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, check_exact=True,
+    )
+    pairs = set(zip(got["a"], got["b"]))
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs  # clones, incl. cross-source
+    assert not any(5 in p for p in pairs)

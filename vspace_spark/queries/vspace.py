@@ -470,11 +470,26 @@ def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("_corrupt_record", T.StringType()),
         ]
     )
+    # text-read + from_json instead of the raw JSON source: filtering a
+    # raw-source read on ONLY its corrupt-record column is unsupported
+    # once downstream pruning drops every data column (count() over the
+    # quarantine filter raised UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    # RECORD_COLUMN); from_json carries the corrupt column inside an
+    # ordinary struct, so any projection of the result is legal. Same
+    # PERMISSIVE quarantine semantics, same full-parallel scan.
     back = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json([f"{root}/docs", f"{root}/corrupt"])
+        spark.read.text([f"{root}/docs", f"{root}/corrupt"])
+        .select(
+            F.from_json(
+                "value",
+                schema,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt_record",
+                },
+            ).alias("r")
+        )
+        .select("r.*")
     )
     return back.filter(F.col("_corrupt_record").isNull()).select(
         "doc_id",
