@@ -111,15 +111,20 @@ _WINDOW = [
     # added this round (TPC-H Q11 shape) — never checked, so it takes
     # a slot ahead of a third-time flagship re-proof
     "q11_important_stock",
-    # input path changed this round (rebalance_for_compute min-bytes
-    # floor) — re-prove one consumer per affected operator family
+    # operator code changed this round (exact-collapse prepass +
+    # rebalance floor) — re-prove one consumer per affected family;
+    # embedding_cosine and clusters inherit the collapse through the
+    # shared operator, so their pre-change green rows (r2/r3) predate
+    # the code now running
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
     "term_stats_ngram",
-    # flagship §2.11 continuity
-    "term_stats_unigram",
-    "term_stats_by_source",
+    # flagship §2.11 continuity (unigram/by_source rotate out this
+    # round: r2+r3 green, unchanged semantics, and the changed
+    # term-stats input path re-proves through term_stats_ngram)
     "normalize_corpus",
     "vocabulary",
     "corpus_job_ini",
