@@ -223,6 +223,45 @@ def test_simhash_hot_bucket_cutoff_bounds_candidate_volume(spark):
     assert capped <= 8 * 10 * 9 // 2, f"capped={capped}"
 
 
+def test_minhash_guard_diverges_under_collapse_documented(spark):
+    """max_bucket_size semantics intentionally CHANGE under
+    collapse_exact (documented in the minhash_lsh_pairs docstring —
+    ADVICE r4): the raw path counts bucket occupancy over ALL docs, so
+    an under-cap clone group plus one colliding near-dup pushes the
+    shared buckets over cap and the clone-vs-near-dup pairs drop; the
+    collapsed path caps clone GROUPS and counts occupancy over
+    CANONICALS (2 here), so those pairs survive. This test pins the
+    documented difference so it can't drift silently."""
+    base = [f"w{i}" for i in range(30)]
+    t = " ".join(base)
+    t_near = " ".join(w if i != 15 else "xx" for i, w in enumerate(base))
+    corpus = spark.createDataFrame(
+        [(1, t), (2, t), (3, t), (4, t_near)], "doc_id long, text string"
+    )
+    kw = dict(num_hashes=64, bands=16, max_bucket_size=3)
+    collapsed = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(
+            corpus, collapse_exact=True, **kw
+        ).collect()
+    }
+    raw = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(
+            corpus, collapse_exact=False, **kw
+        ).collect()
+    }
+    intra = {(1, 2), (1, 3), (2, 3)}
+    cross = {(1, 4), (2, 4), (3, 4)}
+    # collapsed: the clone group of 3 is under the group cap and the
+    # canonical-level bucket holds only {canon, near-dup} -> all kept
+    assert collapsed == intra | cross, f"collapsed={collapsed}"
+    # raw: buckets where doc 4 collides with the clones hold 4 members
+    # (> cap) and are dropped; clone-only buckets hold exactly 3
+    # (= cap) and keep the intra pairs
+    assert raw == intra, f"raw={raw}"
+
+
 def test_hot_bucket_cutoff_preserves_normal_recall(spark, sf_dir):
     """On a NON-degenerate corpus a generous cutoff must not change the
     result at all: real buckets stay far below the cap."""
@@ -354,7 +393,10 @@ def test_keep_best_exact_collapse_matches_uncollapsed_oracle(
     verbatim clones, so this plants the adversarial shapes: a clone
     group, a near-dup bridging INTO a clone group (connectivity must
     route through the canonical), identical text in a DIFFERENT source
-    (blocked — must NOT merge), and singletons."""
+    (blocked — must NOT merge), singletons, and identical SUB-3-TOKEN
+    clones (no shingles → the oracle never pairs them, so they must
+    stay separate singletons; ADVICE r4 found a hand-rolled collapse
+    merging them)."""
     import duckdb
     import pandas as pd
 
@@ -372,6 +414,9 @@ def test_keep_best_exact_collapse_matches_uncollapsed_oracle(
         (5, t1, "s2"), (6, t1, "s2"),                    # clones in s2
         (7, "completely different words entirely unrelated text here",
          "s1"),                                          # singleton
+        (8, "too short", "s1"), (9, "too short", "s1"),  # short clones:
+        # < 3 tokens -> no shingles -> oracle keeps them as TWO
+        # singletons; the collapse must not merge them
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string"
@@ -398,8 +443,9 @@ def test_keep_best_exact_collapse_matches_uncollapsed_oracle(
         .reset_index(drop=True)
     )
     # docs 1-4 one component (near-dup bridges the clone group),
-    # docs 5-6 their own (source block), doc 7 singleton
-    assert sorted(got["n_members"].tolist()) == [1, 2, 4]
+    # docs 5-6 their own (source block), docs 7/8/9 singletons (8 and
+    # 9 are identical but sub-3-token — never paired by the oracle)
+    assert sorted(got["n_members"].tolist()) == [1, 1, 1, 2, 4]
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)],
         check_dtype=False, check_exact=True,

@@ -94,11 +94,12 @@ def _collapse_by_key(
     """Exact-dedup prepass shared by every pair generator: group rows
     by (block, ``key``), pick min-id canonicals, return
     ``(canon_docs, members)`` where members maps every row to its
-    canonical. ``max_group`` mirrors the hot-bucket guard: clone
-    groups larger than it are excluded outright (the raw guard drops
-    their — always hot — buckets, which silences the same pairs). The
-    members map is cached and materialized so the expansion joins plan
-    from honest sizes."""
+    canonical. ``max_group`` is the collapse-path analogue of the
+    hot-bucket guard: clone groups larger than it are excluded
+    outright. NOTE the semantics are intentionally DIFFERENT from the
+    raw guard, not a pair-for-pair match — see
+    :func:`minhash_lsh_pairs`. The members map is cached and
+    materialized so the expansion joins plan from honest sizes."""
     from pyspark import StorageLevel
 
     keyed = docs.select(
@@ -108,13 +109,18 @@ def _collapse_by_key(
     with_canon = keyed.join(canon, [*block, "_ch"])
     members = with_canon.select("_canon", F.col("_cid").alias("_m"))
     if max_group is not None:
-        ok = (
+        # Broadcast the OVER-cap set and anti-join, never the ok set:
+        # groups over cap number at most |corpus|/cap (small by
+        # construction — same argument as drop_hot_buckets), while the
+        # ok set is essentially every distinct text in the corpus — a
+        # guaranteed driver OOM to broadcast at real scale.
+        bad = (
             members.groupBy("_canon")
             .agg(F.count("*").alias("_gn"))
-            .filter(F.col("_gn") <= max_group)
+            .filter(F.col("_gn") > max_group)
             .select("_canon")
         )
-        members = members.join(F.broadcast(ok), "_canon")
+        members = members.join(F.broadcast(bad), "_canon", "left_anti")
     members = members.persist(StorageLevel.MEMORY_AND_DISK)
     members.count()  # bounded-collect: one scalar, forces the cache
     canon_docs = with_canon.filter(F.col("_cid") == F.col("_canon"))
@@ -368,11 +374,21 @@ def minhash_lsh_pairs(
     before banding and expand back afterwards with est_jaccard 1.0 —
     output-identical while a k-clone cluster costs k² only in OUTPUT
     rows, never in bucket-join rows. With ``max_bucket_size`` the
-    collapse excludes over-cap clone GROUPS outright, matching what
-    the raw guard does (a clone group's buckets are always hot, so
-    :func:`drop_hot_buckets` silences the same pairs); bucket
-    occupancy is then counted over canonicals, so the guard fires
-    only on genuinely-distinct near-identical crowds.
+    guard semantics intentionally CHANGE under collapse: the cap
+    applies at two different granularities. The collapsed path drops
+    over-cap clone GROUPS outright and counts bucket occupancy over
+    CANONICALS; the raw path counts occupancy over all docs (clones
+    included), so it can also drop pairs among other docs that merely
+    share a hot clone-contaminated bucket, and can drop
+    clone-vs-near-dup pairs when the group is under cap but a bucket
+    is over. The canonical-level accounting is the one you want at
+    scale (the guard fires only on genuinely-distinct near-identical
+    crowds, not on bucket contamination by verbatim clones), but the
+    two paths are NOT pair-for-pair identical when both
+    ``max_bucket_size`` and ``collapse_exact`` are set —
+    tests/test_dedup.py documents the divergence on a planted
+    fixture. Without ``max_bucket_size`` the paths are
+    output-identical (equality-tested).
 
     Everything before the bucket self-join is narrow (no shuffle); the
     join shuffles on (band, hash) — at 100 TB, bucket sizes stay small

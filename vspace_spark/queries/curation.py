@@ -558,14 +558,23 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reproduces the prefix-sum arithmetic exactly (integer
     division on exclusive running sums), so the driver checks the
     actual shard boundaries, not just counts."""
+    import hashlib
     import os
-    import uuid
+    import tempfile
 
     from vspace_spark.io.shards import write_token_shards
 
     docs = load_table(spark, sf_dir, "documents")
+    # fixed overwritten path keyed by corpus (same leak class ADVICE
+    # r3/r4 flagged for the JSONL/INI queries: a fresh uuid dir per
+    # call accumulated a corpus-sized directory every bench run);
+    # write_token_shards uses static overwrite, so the whole root is
+    # replaced each run — no stale shard dirs survive
     out = os.path.join(
-        "/tmp", f"vspace_shards_{uuid.uuid4().hex[:12]}"
+        tempfile.gettempdir(),
+        "vspace_shards_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
     )
     return write_token_shards(
         docs,

@@ -361,7 +361,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a jaccard-1 edge by definition, so components and their
     min-id labels are unchanged — the oracle still computes the
     uncollapsed form; equality proven on planted clone/bridge/
-    cross-source fixtures in tests/test_dedup.py), but the pair-gen
+    cross-source/short-clone fixtures in tests/test_dedup.py). Docs
+    with fewer than n=3 tokens are EXCLUDED from the collapse (the
+    shared operator's min_tokens gate): they have no shingles, so the
+    oracle never pairs them, and identical short docs must stay
+    separate singletons. The pair-gen
     input shrinks from the corpus to its distinct texts: on the
     100×-replica bench (99 verbatim clones per doc) this took the
     query from 946 s to 48 s. The cluster pass is
@@ -371,23 +375,24 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the corpus). The quality value is the oracle-proven
     round(6) composite, so the cross-engine argmax compares identical
     doubles."""
+    from vspace_spark.operators.dedup import _collapse_docs
     from vspace_spark.operators.graph import dedup_clusters
     from vspace_spark.operators.textanalysis import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id", "source", "text", F.md5("text").alias("_h")
+    # Shared collapse operator, NOT a hand-rolled copy: its
+    # min_tokens=n gate is load-bearing for output identity. Docs with
+    # fewer than n tokens have no shingles and never pair in the
+    # uncollapsed (oracle) formulation, so two identical sub-n-token
+    # docs must stay separate singletons — collapsing them would merge
+    # components the oracle keeps apart. They fall through to
+    # dedup_clusters below as singletons.
+    canon_docs, members = _collapse_docs(
+        docs, "doc_id", "text", min_tokens=3, block=["source"]
     )
-    canon = keyed.groupBy("source", "_h").agg(
-        F.min("doc_id").alias("_canon")
-    )
-    with_canon = keyed.join(canon, ["source", "_h"])
-    canon_docs = with_canon.filter(
-        F.col("doc_id") == F.col("_canon")
-    ).select("doc_id", "text", "source")
-    member_edges = with_canon.filter(
-        F.col("doc_id") != F.col("_canon")
-    ).select(F.col("_canon").alias("a"), F.col("doc_id").alias("b"))
+    member_edges = members.filter(
+        F.col("_m") != F.col("_canon")
+    ).select(F.col("_canon").alias("a"), F.col("_m").alias("b"))
     pairs = (
         shingle_pairs_jaccard(
             canon_docs,

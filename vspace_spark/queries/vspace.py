@@ -252,8 +252,23 @@ def corpus_job_ini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vspace_spark.io.sources import RECORD_DELIMITER
     from vspace_spark.pipelines.corpus_job import JobConfig, run_job
 
+    import hashlib
+    import os
+
     docs = load_table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="vspace_job_")
+    # Fixed overwritten staging dir (ADVICE r4: mkdtemp per call leaked
+    # a corpus-sized directory on every correctness/bench run). Keyed
+    # by sf basename + a hash of the absolute path so two corpora
+    # sharing a basename (or concurrent sessions on different sf dirs)
+    # can't clobber each other's still-lazy reads.
+    abs_sf = os.path.abspath(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "vspace_job_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{hashlib.md5(abs_sf.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(root, exist_ok=True)
     # one scalar to the driver — bounded-collect: min-id gate for the
     # sentinel prefix (first record carries no leading delimiter)
     min_id = docs.agg(F.min("doc_id")).first()[0]
@@ -439,6 +454,7 @@ def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness/bench run; the returned DataFrame reads lazily, so the
     directory must outlive this function — overwrite-in-place is the
     leak-free form, same as the other I/O queries)."""
+    import hashlib
     import os
     import tempfile
 
@@ -446,10 +462,14 @@ def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # per-sf path so a later run at another scale can't overwrite data
-    # a still-lazy earlier result would re-read
+    # a still-lazy earlier result would re-read; the abs-path hash
+    # disambiguates two corpora whose sf dirs share a basename
+    # (.../runA/sf1 vs .../runB/sf1 — ADVICE r4)
     root = os.path.join(
         tempfile.gettempdir(),
-        f"vspace_jsonl_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+        "vspace_jsonl_roundtrip_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
     )
     docs.select(
         F.to_json(

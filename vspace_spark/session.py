@@ -21,6 +21,24 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _default_driver_mem() -> str:
+    """Size the local-mode heap from the machine, not a constant: in
+    local mode the driver JVM IS the executor (all task threads share
+    its heap), so it should get a large share of RAM — but a fixed
+    ``48g`` would happily start with ``-Xmx48g`` on a 16 GB laptop and
+    swap the machine to death (ADVICE r4). 40% of physical memory,
+    clamped to [4g, 48g]: 48g on the 128 GiB bench box (where 8g OOMed
+    the 100× sweep), ~6g on a 16 GB contributor machine. Explicit
+    ``SPARK_DRIVER_MEM`` always wins."""
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1 << 30)
+    except (OSError, ValueError, AttributeError):  # non-POSIX fallback
+        total_gb = 16.0
+    return f"{max(4, min(48, int(total_gb * 0.4)))}g"
+
+
 def get_spark(
     app_name: str = "vspace_spark",
     master: str | None = None,
@@ -64,12 +82,14 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         # local mode: the driver JVM IS the executor — all $cpus task
-        # threads share this one heap, so size it like an executor
-        # (~1.5 GB/core on the 128 GiB test box; 8g OOMed the 100×
-        # scaled bench under a ~4 GiB cached shingle index + 32
-        # shuffling tasks). On a real cluster this reverts to a normal
-        # driver size and spark.executor.memory takes over.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # threads share this one heap, so size it like an executor.
+        # Derived from physical RAM (see _default_driver_mem); on a
+        # real cluster this reverts to a normal driver size and
+        # spark.executor.memory takes over.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
