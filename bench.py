@@ -125,6 +125,7 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
     # 27-62 s for identical work); every rep does the FULL pipeline
     # (unpersist between) so the timed work is identical.
     elapsed = float("inf")
+    rep_times = []
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
         t0 = time.perf_counter()
         vocab = (
@@ -148,6 +149,7 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
             F.sum("term_frequency").alias("term_frequency"),
             F.sum("tdsum").alias("tdsum"),
         ).count()
+        rep_times.append(round(time.perf_counter() - t0, 1))
         elapsed = min(elapsed, time.perf_counter() - t0)
         by_source.unpersist()
         dictionary.unpersist()
@@ -155,6 +157,12 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
         "gb_per_hour": round(text_gb / (elapsed / 3600), 2),
         "corpus_gb": round(text_gb, 3),
         "elapsed_sec": round(elapsed, 1),
+        # all reps on record: the host is SHARED and contention windows
+        # outlast the whole phase (r5 bisect of the r4 "regression":
+        # identical 8g runs measured 6.9 s and 19.4 s minutes apart
+        # while in-container CPU was idle and host load went 5→15) —
+        # spread between reps is the contention signal
+        "elapsed_reps": rep_times,
         "reference_1gb_6gram": 6.7,
     }
 
@@ -236,6 +244,7 @@ def materialize_scaled_sf(spark, sf_dir: str, replicas: int = 10) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_start = os.getloadavg()  # host contention marker (see below)
     load_all()
     spark = get_spark("vspace-bench")
     # JIT/IO warmup on a trivial action so q1 doesn't pay session costs.
@@ -347,6 +356,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "baseline_pipeline": baseline,
+        # The box is SHARED with load from OUTSIDE the container
+        # (observed 1-min load 5→15 with zero in-container CPU use);
+        # contention windows outlast entire phases, so identical runs
+        # vary up to ~3× (the r4 "regression" root cause — see
+        # PERF.md round 5). These markers let a reader judge whether a
+        # cross-round delta is code or neighbors.
+        "host_load_1m": [round(load_start[0], 1),
+                         round(os.getloadavg()[0], 1)],
     }
     if timings_scaled:
         out["queries_scaled_10x"] = timings_scaled
@@ -357,8 +374,31 @@ def main() -> None:
         out["value_scaled_100x"] = round(sum(timings_100x.values()), 3)
         if skipped_100x:
             out["skipped_100x_over_budget"] = skipped_100x
-    print(json.dumps(out))
+
+    # The driver records only the LAST 2000 chars of output and parses
+    # the final JSON line out of that window — BENCH_r04 lost the
+    # line's head when the 10×/100× per-query blocks pushed it past
+    # 2000 chars ("parsed": null). Two defenses: the FULL result is
+    # written to bench_result.json next to this file, and the printed
+    # line is compacted (scaled per-query detail stays in the file;
+    # headline queries stay inline per the driver contract) with a
+    # hard length guard. Printed AFTER spark.stop() so no stop-time
+    # stderr can land after it in a merged capture.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    line_out = dict(out)
+    line_out.pop("queries_scaled_10x", None)
+    line_out.pop("queries_scaled_100x", None)
+    line_out["detail"] = "bench_result.json"
+    line = json.dumps(line_out)
+    if len(line) > 1900:  # last resort: headline total still parses
+        line_out.pop("queries", None)
+        line = json.dumps(line_out)
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -41,7 +41,11 @@ def shingle_pairs_jaccard(
     with an EXACT-DEDUP PREPASS (the production exact→near pipeline).
 
     ``J(a,b) = |A∩B| / |A∪B|`` over distinct word n-gram shingle sets.
-    With ``collapse_exact`` (default): verbatim clones collapse per
+    With ``collapse_exact`` (default): a clone-density probe
+    (:func:`_clone_light`, one scalar aggregate) first skips the
+    prepass on clone-light corpora where it is pure overhead (VERDICT
+    r4 #3 — both paths are output-identical, so the probe affects
+    cost only); otherwise verbatim clones collapse per
     (block, md5(text)) in one hash aggregation, the inverted-index
     join runs on canonical representatives only, and the result
     expands back — cross-group member pairs inherit their canonicals'
@@ -68,7 +72,7 @@ def shingle_pairs_jaccard(
     from pyspark import StorageLevel
 
     block = [block_col] if block_col else []
-    if not collapse_exact:
+    if not collapse_exact or _clone_light(docs, text_col):
         return _shingle_pairs_raw(
             docs, id_col, text_col, n, threshold, block
         )
@@ -132,6 +136,33 @@ def _collapse_by_key(
         F.col("_cid").alias(id_col), *block, *keep_cols
     )
     return canon_docs, members
+
+
+_CLONE_LIGHT_RATIO = 0.9
+
+
+def _clone_light(docs: DataFrame, key) -> bool:
+    """Scalar probe (bounded-collect: one aggregated row) deciding
+    whether the exact-collapse prepass pays for itself on this corpus:
+    ``approx_count_distinct(key) ≈ count`` means (almost) no verbatim
+    clones, so the collapse's groupBy + join + cache-materialization
+    jobs are pure overhead (VERDICT r4 measured ~+1.8 s per dedup
+    query at sf0.1 on the clone-light fixtures) while the raw path is
+    output-identical — skip straight to it. The 0.9 ratio absorbs
+    approx_count_distinct's ~5% rsd; genuinely clone-heavy corpora
+    (the 100×-replica stress: ratio ≈ 0.01) always collapse. Callers
+    consult this ONLY when ``max_group`` is None: with a group cap
+    the collapsed path's guard semantics are intentionally different
+    (see :func:`minhash_lsh_pairs`), and which semantics apply must
+    not depend on a data probe. Cost: one scan + one
+    map-side-combined HLL aggregate — far below the collapse
+    machinery it can save, negligible beside the pair joins it
+    cannot."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key).alias("d"),
+    ).first()
+    return row.n == 0 or row.d / row.n >= _CLONE_LIGHT_RATIO
 
 
 def _collapse_docs(
@@ -399,7 +430,12 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    if collapse_exact:
+    if collapse_exact and (
+        # with a group cap the guard semantics REQUIRE the collapsed
+        # path (see docstring) — only clone-light-skip when output
+        # identity is proven
+        max_bucket_size is not None or not _clone_light(docs, text_col)
+    ):
         canon_docs, members = _collapse_docs(
             docs, id_col, text_col, min_tokens=shingle_n,
             max_group=max_bucket_size,
@@ -492,7 +528,9 @@ def minhash_lsh_pairs_portable(
     """
     from pyspark import StorageLevel
 
-    if collapse_exact:
+    if collapse_exact and (
+        max_bucket_size is not None or not _clone_light(docs, text_col)
+    ):
         canon_docs, members = _collapse_docs(
             docs, id_col, text_col, min_tokens=shingle_n,
             max_group=max_bucket_size,
@@ -682,7 +720,9 @@ def simhash_near_pairs(
             f"only for hamming <= {n_chunks - 1}; got max_hamming="
             f"{max_hamming} — raise n_chunks to at least {max_hamming + 1}"
         )
-    if collapse_exact:
+    if collapse_exact and (
+        max_bucket_size is not None or not _clone_light(docs, text_col)
+    ):
         canon_docs, members = _collapse_docs(
             docs, id_col, text_col, min_tokens=1,
             max_group=max_bucket_size,
@@ -761,7 +801,9 @@ def simhash_near_pairs_portable(
             f"recall only for hamming <= {n_chunks - 1}; got "
             f"max_hamming={max_hamming}"
         )
-    if collapse_exact:
+    if collapse_exact and (
+        max_bucket_size is not None or not _clone_light(docs, text_col)
+    ):
         canon_docs, members = _collapse_docs(
             docs, id_col, text_col, min_tokens=1,
             max_group=max_bucket_size,
@@ -862,7 +904,11 @@ def embedding_near_pairs(
     pair count in cosine FOLDS; collapsed, the fold count stays at
     base scale and the 10⁴× lives only in the expanded id list."""
     block = [block_col] if block_col else []
-    if collapse_exact and threshold < 0.999:
+    if (
+        collapse_exact
+        and threshold < 0.999
+        and not _clone_light(embeddings, F.col(vec_col))
+    ):
         nonzero = (
             F.aggregate(
                 F.transform(

