@@ -45,89 +45,89 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-4 window composition (VERDICT r3 "Next round" #1/#2/#8):
-#   - ALL 37 oracled queries that have never earned a driver row
-#     (every round-3 addition): TPC-H q9/q12/q16/q20/q21/q22,
-#     pagerank, EWMA/transition/funnel/RFM/z-score analytics, the
-#     portable sketch suite (CMS/HLL/Bloom), rollup cascade, revenue
-#     interpolation, keep-best canonicalization, IVF-PQ ANN, the
-#     span/PII/boilerplate/length/report curation ops, shard manifest
-#     + training order + sampling, the streaming additions, the
-#     incremental stats merge, the JSONL round-trip, and z-order keys;
-#   - multimodal_features, now FULLY ORACLED (r3's driver crash on its
-#     raw array<float> column is fixed by the exact byte projection);
-#   - the dedup/term-stats family representatives whose input path
-#     changed this round (rebalance_for_compute gained the min-bytes
-#     floor — results invariant, but the evidence should postdate the
-#     change);
+# Round-5 window composition (VERDICT r4 "Next round" #3 + re-prove-
+# what-changed):
+#   - every query whose implementation changed in round 5: the whole
+#     exact-collapse family now behind the clone-density probe
+#     (jaccard/minhash/simhash/embedding/clusters/keep_best), the
+#     keep_best shared-collapse fix (ADVICE r4 high), and the four
+#     keyed-temp-dir queries (corpus_job_ini, corpus_jsonl_roundtrip,
+#     shard_manifest, stream_dedup_docs_incremental);
+#   - the eight streaming consumers refactored in r4
+#     (streaming/events.py: chunk-concat stateful fix + shared stream
+#     reader) whose last driver rows predate that refactor (r3);
+#   - term_stats_unigram / term_stats_by_source rotated back in
+#     (NOTES r4: swapped out at round close for the collapse-affected
+#     dedup rows);
+#   - every r2-latest row (20: the ANN/LSH pair, exact dedup pair,
+#     curation/quality/text family, multimodal meta/resize, UDF
+#     shapes) — oldest evidence most exposed to drift from the r3/r4
+#     text-path changes (rebalance floor, tokenizer reuse);
+#   - four r1-latest rows on the same argument (text arrays/positions
+#     + two window-function suites);
 #   - flagship §2.11 continuity rows.
-# Permanently OUT of future windows per VERDICT #8: the rows-only
+# Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
 # ann_ivf_pq_top5_fast) — their evidence is the recall/rank-agreement
 # property tests against their oracled portable twins, so window
 # slots go to oracled queries only (zero no_oracle rows by design).
 _WINDOW = [
-    # never driver-checked before round 4 (all oracled)
-    "q9_product_profit",
-    "q12_late_priority_counts",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_lapsed_customer_balance",
-    "pagerank_purchase_graph",
-    "user_value_ewma",
-    "event_transition_matrix",
-    "funnel_conversion_window",
-    "user_rfm_segments",
-    "events_anomaly_zscore",
-    "token_cms_estimates",
-    "user_hll_distinct",
-    "vocab_bloom_membership",
-    "events_rollup_cascade",
-    "daily_revenue_interpolated",
+    # --- r5 code changes (probe + shared collapse + keyed temp dirs)
     "dedup_keep_best",
-    "ann_ivf_pq_top5",
-    "doc_span_novelty",
-    "doc_span_scrub",
-    "doc_pii_scrub",
-    "doc_boilerplate_share",
-    "doc_length_outliers",
-    "corpus_report",
-    "source_wc_profile",
-    "shard_manifest",
-    "doc_training_order",
-    "temperature_resample",
-    "stratified_sample_uniform",
-    "stream_dedup_docs_minhash",
-    "stream_dedup_docs_incremental",
-    "stream_purchase_view_full_join",
-    "stream_transition_matrix",
-    "term_stats_incremental_merge",
-    "corpus_jsonl_roundtrip",
-    "events_zorder_keys",
-    # crashed the r3 harness; now oracled (exact md5-byte projection)
-    "multimodal_features",
-    # added this round (TPC-H Q11 shape) — never checked, so it takes
-    # a slot ahead of a third-time flagship re-proof
-    "q11_important_stock",
-    # operator code changed this round (exact-collapse prepass +
-    # rebalance floor) — re-prove one consumer per affected family;
-    # embedding_cosine and clusters inherit the collapse through the
-    # shared operator, so their pre-change green rows (r2/r3) predate
-    # the code now running
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "stream_dedup_docs_minhash",
+    "stream_dedup_docs_incremental",
+    "corpus_job_ini",
+    "corpus_jsonl_roundtrip",
+    "shard_manifest",
+    # --- streaming/events.py consumers refactored in r4, last green r3
+    "stream_hourly_counts",
+    "stream_sliding_counts",
+    "stream_user_sessions",
+    "stream_stateful_user_totals",
+    "stream_dedup_events",
+    "stream_purchase_view_join",
+    "stream_purchase_view_left_join",
+    "stream_category_counts",
+    # --- rotated back in per NOTES r4 round-close swap
+    "term_stats_unigram",
+    "term_stats_by_source",
+    # --- r2-latest rows (oldest evidence; text/ANN/curation families
+    #     touched by later rebalance/tokenizer changes)
+    "ann_bruteforce_top5",
+    "ann_lsh_top5",
+    "curated_corpus",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "doc_decontamination",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_pack_sequences",
+    "doc_quality",
+    "doc_repetition",
+    "doc_token_counts",
+    "doc_train_test_split",
+    "domain_mixture_weights",
+    "embedding_norms",
+    "grouped_map_source_ranks",
+    "map_functions_suite",
+    "multimodal_image_meta",
+    "multimodal_resize_plan",
+    "udtf_token_chunks",
+    # --- r1-latest rows: text-path + window-function suites
+    "doc_token_arrays",
+    "token_positions",
+    "trailing_30d_spend",
+    "top3_orders_per_customer",
+    # --- flagship §2.11 continuity
     "term_stats_ngram",
-    # flagship §2.11 continuity (unigram/by_source rotate out this
-    # round: r2+r3 green, unchanged semantics, and the changed
-    # term-stats input path re-proves through term_stats_ngram)
     "normalize_corpus",
     "vocabulary",
-    "corpus_job_ini",
     "stream_term_stats",
     "stream_term_stats_ngram",
 ]

@@ -380,10 +380,24 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key (no cartesian anywhere). The supplier dim broadcasts;
     numwait counts qualifying LINEITEMS per the TPC-H semantics (an
     order with two late co-suppliers is disqualified by the anti
-    side, not double-counted)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    supp = load_table(spark, sf_dir, "supplier")
+    side, not double-counted).
+
+    At 100 TB the three orderkey shuffles dominate; with lineitem and
+    orders BUCKETED by orderkey the same plan runs exchange-free
+    (``_q21_plan`` takes the inputs directly;
+    scripts/q21_bucket_bench.py measures the layout's effect at the
+    100× replica scale — results in PERF.md)."""
+    return _q21_plan(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q21_plan(li: DataFrame, orders: DataFrame, supp: DataFrame) -> DataFrame:
+    """The q21 logical plan over caller-supplied inputs — identical
+    for parquet scans and bucketed tables (the layout changes the
+    physical exchanges, never the semantics)."""
     lo = li.join(
         orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
         li.l_orderkey == F.col("o_orderkey"),

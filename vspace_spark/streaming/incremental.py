@@ -123,6 +123,7 @@ def incremental_minhash_dedup(
     bands: int = 8,
     min_agree: int = 16,
     n_input_files: int = 8,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Replay ``docs`` as a multi-batch file stream and dedup each
     micro-batch against the accreting signature index. Returns the
@@ -251,6 +252,19 @@ def incremental_minhash_dedup(
     q = stream.writeStream.foreachBatch(process).start()
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            # per-micro-batch durations for the marginal-cost curve
+            # (scripts/incremental_dedup_bench.py): batchId +
+            # batchDuration straight from the engine's progress log
+            progress_out.extend(
+                {
+                    "batch_id": p["batchId"],
+                    "duration_ms": p["batchDuration"],
+                    "rows": p["numInputRows"],
+                }
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            )
     finally:
         q.stop()
     return (
