@@ -28,6 +28,10 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
 
 
 def test_delta_connector_gated(spark):
+    from vspace_spark.io.connectors import delta_available
+
+    if delta_available(spark):
+        pytest.skip("delta jars present — gate test is vacuous here")
     with pytest.raises(ConnectorUnavailable, match="delta-spark"):
         read_delta(spark, "/tmp/nope")
 
@@ -35,6 +39,61 @@ def test_delta_connector_gated(spark):
 def test_iceberg_connector_gated(spark):
     with pytest.raises(ConnectorUnavailable, match="iceberg-spark-runtime"):
         read_iceberg(spark, "db.tbl")
+
+
+def _index_batches(spark):
+    return [
+        spark.createDataFrame(
+            [(i * 10 + j, f"sig{i}_{j}") for j in range(5)],
+            "doc_id long, sig string",
+        )
+        for i in range(3)
+    ]
+
+
+def test_append_index_parquet_idempotent_replay(spark, tmp_path):
+    """The accreting-index storage contract on bare parquet (the form
+    this container can run end-to-end): three batch appends land in
+    batch=<id> partitions; REPLAYING one batch overwrites its own
+    partition only (dynamic partition overwrite), so the index never
+    double-counts and other batches are untouched."""
+    from vspace_spark.io.connectors import append_index_batch, read_index
+
+    path = str(tmp_path / "idx")
+    for i, b in enumerate(_index_batches(spark)):
+        append_index_batch(spark, b, path, i, fmt="parquet")
+    idx = read_index(spark, path, fmt="parquet")
+    assert idx.count() == 15
+    # replay batch 1 (failure recovery): same rows, no duplication
+    append_index_batch(
+        spark, _index_batches(spark)[1], path, 1, fmt="parquet"
+    )
+    after = read_index(spark, path, fmt="parquet")
+    assert after.count() == 15
+    assert after.filter("batch = 1").count() == 5
+    assert after.select("doc_id").distinct().count() == 15
+
+
+def test_append_index_delta_roundtrip(spark, tmp_path):
+    """The SAME contract through the Delta writer (ACID replaceWhere).
+    Runs for real when the Delta jars are on the classpath; skips
+    cleanly here (this container ships no lakehouse jars — VERDICT r4
+    #8 / NOTES r3 #4)."""
+    from vspace_spark.io.connectors import (
+        append_index_batch,
+        delta_available,
+        read_index,
+    )
+
+    if not delta_available(spark):
+        pytest.skip("delta jars absent in this container")
+    path = str(tmp_path / "idx_delta")
+    for i, b in enumerate(_index_batches(spark)):
+        append_index_batch(spark, b, path, i, fmt="delta")
+    append_index_batch(spark, _index_batches(spark)[1], path, 1)
+    after = read_index(spark, path, fmt="delta")
+    assert after.count() == 15
+    assert after.filter("batch = 1").count() == 5
 
 
 def test_stream_dedup_drops_late_duplicates(spark, sf_dir, tmp_path):
