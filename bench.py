@@ -124,9 +124,7 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
     # inside a JVM that just executed the whole query suite (measured:
     # 27-62 s for identical work); every rep does the FULL pipeline
     # (unpersist between) so the timed work is identical.
-    elapsed = float("inf")
-    rep_times = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+    def run_once() -> float:
         t0 = time.perf_counter()
         vocab = (
             term_stats(base, min_n=1, max_n=2)
@@ -149,10 +147,20 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
             F.sum("term_frequency").alias("term_frequency"),
             F.sum("tdsum").alias("tdsum"),
         ).count()
-        rep_times.append(round(time.perf_counter() - t0, 1))
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
         by_source.unpersist()
         dictionary.unpersist()
+        return dt
+
+    rep_times = [
+        round(run_once(), 1)
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    ]
+    # adaptive extra rep on >2× spread — same shared-host rationale as
+    # timed_min in main(): one neighbor burst can swallow both reps
+    if len(rep_times) >= 2 and max(rep_times) / max(min(rep_times), 1e-9) > 2:
+        rep_times.append(round(run_once(), 1))
+    elapsed = min(rep_times)
     return {
         "gb_per_hour": round(text_gb / (elapsed / 3600), 2),
         "corpus_gb": round(text_gb, 3),
@@ -256,17 +264,31 @@ def main() -> None:
     # min isolates the plan's steady-state cost, which is the thing
     # plan changes actually move.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    def timed_min(fn, sf):
+        """min over reps, plus ONE adaptive extra rep when the spread
+        exceeds 2× — on this shared host a neighbor's burst can
+        swallow both standard reps (measured: identical baseline reps
+        of 169.9 s and 19.0 s in one run), and a third sample cheaply
+        raises the odds that at least one rep lands in a quiet
+        window."""
+        times = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            fn(spark, sf).count()
+            times.append(time.perf_counter() - start)
+        if len(times) >= 2 and max(times) / max(min(times), 1e-9) > 2:
+            start = time.perf_counter()
+            fn(spark, sf).count()
+            times.append(time.perf_counter() - start)
+        return min(times)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        best = float("inf")
-        for _ in range(reps):
-            start = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        timings[name] = round(timed_min(fn, sf_dir), 3)
         # queries persist intermediates and (deliberately) leave
         # unpersist to session teardown; drop them between queries so
         # each timing reflects ITS cost, not eviction thrash from the
@@ -291,12 +313,7 @@ def main() -> None:
             fn = QUERIES.get(name)
             if fn is None:
                 continue
-            best = float("inf")
-            for _ in range(reps):
-                start = time.perf_counter()
-                fn(spark, scaled_dir).count()
-                best = min(best, time.perf_counter() - start)
-            timings_scaled[name] = round(best, 3)
+            timings_scaled[name] = round(timed_min(fn, scaled_dir), 3)
             spark.catalog.clearCache()
 
     # 100×-scale pass (synthetic ~sf10) for the HEAVIEST queries only
