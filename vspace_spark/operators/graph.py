@@ -173,6 +173,18 @@ def pagerank(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
         .distinct()
+        # ONE upfront hash-repartition on the aggregation key: the
+        # rank vector is node-sized and broadcasts (even at the 100×
+        # replica scale it is a few MB), so each iteration's edge join
+        # is a BroadcastHashJoin that PRESERVES this partitioning —
+        # the degree agg, every per-iteration contribution agg, and
+        # the deg⋈summed state rejoin then all run exchange-free.
+        # Trades 1 full edge shuffle for (1 + iterations) combined agg
+        # exchanges plus the node rejoins. When the graph is so large
+        # the rank vector cannot broadcast, the v-keyed join reshuffles
+        # sym exactly as the (u,v)-partitioned distinct output would —
+        # no regression in that mode.
+        .repartition("u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
