@@ -119,11 +119,16 @@ _WINDOW = [
     "multimodal_image_meta",
     "multimodal_resize_plan",
     "udtf_token_chunks",
-    # --- r1-latest rows: text-path + window-function suites
+    # --- r1-latest rows: text-path suites
     "doc_token_arrays",
     "token_positions",
-    "trailing_30d_spend",
-    "top3_orders_per_customer",
+    # --- r5 plan changes late in the session (pagerank edge
+    #     repartition; q21 refactored into _q21_plan) — re-prove over
+    #     the stale-but-unchanged r1 window rows (trailing_30d_spend /
+    #     top3_orders_per_customer keep their r1 evidence + the local
+    #     oracle-parity re-run)
+    "pagerank_purchase_graph",
+    "q21_waiting_suppliers",
     # --- flagship §2.11 continuity
     "term_stats_ngram",
     "normalize_corpus",
