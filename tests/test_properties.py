@@ -189,3 +189,36 @@ def test_hll_estimate_accuracy_across_cardinalities():
             zip(df.exact_distinct, df.hll_estimate)]
     assert all(abs(r) <= 0.40 for r in rels), rels
     assert abs(sum(rels) / len(rels)) <= 0.12, rels
+
+
+# Collapse-path equality under the r5 clone-density probe: corpora
+# drawn to straddle the probe boundary (duplicate docs likely, so some
+# examples collapse and some skip) — both paths must emit the
+# identical pair list either way. Small word pool makes shared
+# shingles and verbatim clones common.
+_DEDUP_DOC = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6
+).map(" ".join)
+_DEDUP_CORPUS = st.lists(_DEDUP_DOC, min_size=1, max_size=10)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_DEDUP_CORPUS)
+def test_jaccard_collapse_and_raw_paths_identical(spark, corpus):
+    from vspace_spark.operators.dedup import shingle_pairs_jaccard
+
+    docs = _docs_df(spark, corpus)
+    rows = lambda df: sorted(
+        (r.a, r.b, round(r.jaccard, 12)) for r in df.collect()
+    )
+    collapsed = rows(
+        shingle_pairs_jaccard(docs, n=2, threshold=0.4, collapse_exact=True)
+    )
+    raw = rows(
+        shingle_pairs_jaccard(docs, n=2, threshold=0.4, collapse_exact=False)
+    )
+    assert collapsed == raw
