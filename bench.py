@@ -335,6 +335,10 @@ def main() -> None:
         "user_sessions",
         "q3_top_unshipped_orders",
         "term_stats_ngram",
+        # added r5 once the shared-relation persist took it 104→~14 s
+        # (cheapest-first ordering preserved; additive, earlier keys
+        # keep their cross-round series)
+        "q21_waiting_suppliers",
         "tfidf_top3_per_doc",
         "user_rfm_segments",
         "dedup_jaccard_pairs",
