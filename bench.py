@@ -152,14 +152,17 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
         dictionary.unpersist()
         return dt
 
+    # exact floats throughout; rounding happens only in the REPORTED
+    # fields (rounding before min() both inflated gb_per_hour ~0.6%
+    # and could divide by a rep rounded to 0.0 on a tiny fixture)
     rep_times = [
-        round(run_once(), 1)
+        run_once()
         for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     ]
     # adaptive extra rep on >2× spread — same shared-host rationale as
     # timed_min in main(): one neighbor burst can swallow both reps
     if len(rep_times) >= 2 and max(rep_times) / max(min(rep_times), 1e-9) > 2:
-        rep_times.append(round(run_once(), 1))
+        rep_times.append(run_once())
     elapsed = min(rep_times)
     return {
         "gb_per_hour": round(text_gb / (elapsed / 3600), 2),
@@ -170,7 +173,7 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
         # identical 8g runs measured 6.9 s and 19.4 s minutes apart
         # while in-container CPU was idle and host load went 5→15) —
         # spread between reps is the contention signal
-        "elapsed_reps": rep_times,
+        "elapsed_reps": [round(t, 1) for t in rep_times],
         "reference_1gb_6gram": 6.7,
     }
 

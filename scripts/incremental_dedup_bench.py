@@ -38,7 +38,18 @@ from vspace_spark.streaming.incremental import incremental_minhash_dedup
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    spark = get_spark("incremental-dedup-bench")
+    # recentProgress keeps only the last N updates (default 100) — a
+    # run past that cap would silently truncate the curve and mislabel
+    # the first-quartile stats, so raise the cap above any plausible
+    # batch count and assert completeness after the run
+    spark = get_spark(
+        "incremental-dedup-bench",
+        extra_conf={
+            "spark.sql.streaming.numRecentProgressUpdates": str(
+                max(1000, 2 * n_batches)
+            )
+        },
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     base = load_table(spark, sf_dir, "documents").select(
@@ -82,6 +93,10 @@ def main() -> None:
 
     progress.sort(key=lambda p: p["batch_id"])
     durs = [p["duration_ms"] for p in progress]
+    assert len(durs) == n_batches, (
+        f"progress log truncated: {len(durs)} of {n_batches} batches "
+        f"captured — raise spark.sql.streaming.numRecentProgressUpdates"
+    )
     q = max(1, len(durs) // 4)
     first_q = sum(durs[:q]) / q
     last_q = sum(durs[-q:]) / q

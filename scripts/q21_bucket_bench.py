@@ -47,9 +47,13 @@ def n_exchanges(df) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    bcast = len(re.findall(r"BroadcastExchange", plan))
-    shuffle = len(re.findall(r"(?<!Broadcast)Exchange", plan)) - plan.count(
-        "ReusedExchange"
+    # count tree nodes only: the tree prints "Exchange (34)", the
+    # detail section "(34) Exchange" — counting the bare substring
+    # doubles every node, and naively subtracting ReusedExchange
+    # misattributed reused BROADCASTS to the shuffle tally
+    bcast = len(re.findall(r"BroadcastExchange \(\d+\)", plan))
+    shuffle = len(
+        re.findall(r"(?<![A-Za-z])Exchange \(\d+\)", plan)
     )
     return f"{shuffle} shuffle / {bcast} broadcast"
 
@@ -67,19 +71,28 @@ def main() -> None:
     supp = load_table(spark, scaled, "supplier")
 
     def timed(frame_fn):
+        """Every rep COLD: _q21_plan may persist+materialize its
+        shared relation during plan CONSTRUCTION, so the cache is
+        cleared before each rep and the plan is constructed inside
+        the timed region — building a plan outside timing (e.g. for
+        explain) would leave a warm cache that lets rep 1 skip the
+        dominant, layout-sensitive join."""
         best, result = float("inf"), None
         for _ in range(reps):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             result = frame_fn().count()
             best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+        spark.catalog.clearCache()
         return best, result
 
-    plain = _q21_plan(li, orders, supp)
     t_plain, n_plain = timed(lambda: _q21_plan(li, orders, supp))
+    # explain AFTER timing — constructing the plan materializes caches
+    plain_exchanges = n_exchanges(_q21_plan(li, orders, supp))
+    spark.catalog.clearCache()
     print(
         f"plain parquet: {t_plain:.1f} s, rows={n_plain}, "
-        f"exchanges={n_exchanges(plain)}",
+        f"exchanges={plain_exchanges}",
         flush=True,
     )
 
@@ -100,11 +113,12 @@ def main() -> None:
     t_write = time.perf_counter() - t0
     li_b = spark.table("q21_li_bucketed")
     orders_b = spark.table("q21_orders_bucketed")
-    bucketed = _q21_plan(li_b, orders_b, supp)
     t_buck, n_buck = timed(lambda: _q21_plan(li_b, orders_b, supp))
+    buck_exchanges = n_exchanges(_q21_plan(li_b, orders_b, supp))
+    spark.catalog.clearCache()
     print(
         f"bucketed({buckets}): {t_buck:.1f} s, rows={n_buck}, "
-        f"exchanges={n_exchanges(bucketed)}, one-time write {t_write:.1f} s",
+        f"exchanges={buck_exchanges}, one-time write {t_write:.1f} s",
         flush=True,
     )
     assert n_plain == n_buck, "layout changed the answer"

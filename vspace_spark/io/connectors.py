@@ -96,14 +96,22 @@ def append_index_batch(
         return
     if fmt != "parquet":
         raise ValueError(f"unknown index format: {fmt}")
-    prev = spark.conf.get(
+    # set the conf on the BATCH's OWN session, not the caller's:
+    # inside foreachBatch the micro-batch DataFrame is bound to a
+    # cloned SparkSession whose conf was snapshotted at stream start —
+    # setting the mode on the outer session leaves the clone on
+    # static overwrite, which silently WIPES every earlier partition
+    # on each append (caught live: the accreting index kept only its
+    # last batch)
+    sess = out.sparkSession
+    prev = sess.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         out.write.mode("overwrite").partitionBy("batch").parquet(path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_index(spark: SparkSession, path: str, fmt: str = "delta") -> DataFrame:

@@ -41,6 +41,28 @@ def write_text(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").text(path)
 
 
+def keyed_tmp_dir(prefix: str, sf_dir: str) -> str:
+    """Fixed OVERWRITTEN temp directory keyed by corpus identity — the
+    leak-free form for queries that materialize fixtures/exports
+    (ADVICE r3/r4: a fresh mkdtemp/uuid dir per call accumulated
+    corpus-sized directories across every bench/correctness run).
+    Key = sf basename (human-readable) + md5(abspath)[:8] (two corpora
+    sharing a basename, or concurrent sessions on different sf dirs,
+    never collide). Repeated runs on the same corpus reuse ONE dir;
+    callers must write with overwrite semantics, never append."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def write_single_text_file(df: DataFrame, path: str) -> None:
     """Write a one-column (``value``) DataFrame as ONE plain text file
     at ``path``, preserving the DataFrame's partition-0 row order.

@@ -558,24 +558,14 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reproduces the prefix-sum arithmetic exactly (integer
     division on exclusive running sums), so the driver checks the
     actual shard boundaries, not just counts."""
-    import hashlib
-    import os
-    import tempfile
-
     from vspace_spark.io.shards import write_token_shards
+    from vspace_spark.io.sinks import keyed_tmp_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    # fixed overwritten path keyed by corpus (same leak class ADVICE
-    # r3/r4 flagged for the JSONL/INI queries: a fresh uuid dir per
-    # call accumulated a corpus-sized directory every bench run);
+    # fixed overwritten keyed path (leak class from ADVICE r3/r4);
     # write_token_shards uses static overwrite, so the whole root is
     # replaced each run — no stale shard dirs survive
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "vspace_shards_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}_"
-        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
-    )
+    out = keyed_tmp_dir("vspace_shards", sf_dir)
     return write_token_shards(
         docs,
         out,

@@ -507,27 +507,19 @@ def stream_dedup_docs_incremental(
     Delta/Iceberg table bucketed by (band, bucket) so probes prune to
     their buckets (module docstring has the full design).
     """
-    import hashlib
-    import os
-    import tempfile
-
     from vspace_spark.functions.text import tokenize_col
+    from vspace_spark.io.sinks import keyed_tmp_dir
     from vspace_spark.streaming.incremental import incremental_minhash_dedup
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.size(tokenize_col("text")) >= 3
     )
-    # fixed work_dir keyed by corpus (leak class from ADVICE r3/r4: the
+    # fixed keyed work_dir (leak class from ADVICE r3/r4: the
     # operator's uuid default accumulated a dir per call across bench/
     # correctness runs). Re-running over the same dir is exactly the
     # replay case the operator is idempotent under (each batch=<id>
     # subdir is overwritten, proven in test_replayed_batch_is_idempotent).
-    work = os.path.join(
-        tempfile.gettempdir(),
-        "vspace_incr_dedup_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}_"
-        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
-    )
+    work = keyed_tmp_dir("vspace_incr_dedup", sf_dir)
     pairs = incremental_minhash_dedup(
         spark, docs, work_dir=work,
         shingle_n=3, num_hashes=32, bands=8, min_agree=16,

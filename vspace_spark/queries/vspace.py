@@ -245,30 +245,16 @@ def corpus_job_ini(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-table ``collect()`` anywhere on the query path (VERDICT r2
     "what's wrong" #1: the old driver-side collect died at sf1+). The
     only driver-side values are two scalars (min doc_id, below)."""
-    import tempfile
     import textwrap
 
-    from vspace_spark.io.sinks import write_single_text_file
+    from vspace_spark.io.sinks import keyed_tmp_dir, write_single_text_file
     from vspace_spark.io.sources import RECORD_DELIMITER
     from vspace_spark.pipelines.corpus_job import JobConfig, run_job
 
-    import hashlib
-    import os
-
     docs = load_table(spark, sf_dir, "documents")
-    # Fixed overwritten staging dir (ADVICE r4: mkdtemp per call leaked
-    # a corpus-sized directory on every correctness/bench run). Keyed
-    # by sf basename + a hash of the absolute path so two corpora
-    # sharing a basename (or concurrent sessions on different sf dirs)
-    # can't clobber each other's still-lazy reads.
-    abs_sf = os.path.abspath(sf_dir)
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "vspace_job_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}_"
-        f"{hashlib.md5(abs_sf.encode()).hexdigest()[:8]}",
-    )
-    os.makedirs(root, exist_ok=True)
+    # fixed overwritten staging dir (ADVICE r4: mkdtemp per call
+    # leaked a corpus-sized directory on every correctness/bench run)
+    root = keyed_tmp_dir("vspace_job", sf_dir)
     # one scalar to the driver — bounded-collect: min-id gate for the
     # sentinel prefix (first record carries no leading delimiter)
     min_id = docs.agg(F.min("doc_id")).first()[0]
@@ -454,23 +440,14 @@ def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness/bench run; the returned DataFrame reads lazily, so the
     directory must outlive this function — overwrite-in-place is the
     leak-free form, same as the other I/O queries)."""
-    import hashlib
-    import os
-    import tempfile
-
     from pyspark.sql import types as T
 
+    from vspace_spark.io.sinks import keyed_tmp_dir
+
     docs = load_table(spark, sf_dir, "documents")
-    # per-sf path so a later run at another scale can't overwrite data
-    # a still-lazy earlier result would re-read; the abs-path hash
-    # disambiguates two corpora whose sf dirs share a basename
-    # (.../runA/sf1 vs .../runB/sf1 — ADVICE r4)
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "vspace_jsonl_roundtrip_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}_"
-        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
-    )
+    # per-sf keyed path so a later run at another scale can't
+    # overwrite data a still-lazy earlier result would re-read
+    root = keyed_tmp_dir("vspace_jsonl_roundtrip", sf_dir)
     docs.select(
         F.to_json(
             F.struct("doc_id", "text", "lang", "source", "n_chars")

@@ -31,12 +31,26 @@ def _default_driver_mem() -> str:
     the 100× sweep), ~6g on a 16 GB contributor machine. Explicit
     ``SPARK_DRIVER_MEM`` always wins."""
     try:
-        total_gb = (
-            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-        ) / (1 << 30)
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
     except (OSError, ValueError, AttributeError):  # non-POSIX fallback
-        total_gb = 16.0
-    return f"{max(4, min(48, int(total_gb * 0.4)))}g"
+        total = 16 << 30
+    # In a memory-capped container sysconf reports the HOST's RAM; an
+    # -Xmx sized from that gets the JVM cgroup-OOM-killed instead of
+    # GC-ing. Take the min with the cgroup limit (v2 then v1; the
+    # files hold a huge number or "max" when unlimited).
+    for limit_file in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(limit_file) as fh:
+                raw = fh.read().strip()
+            if raw != "max":
+                total = min(total, int(raw))
+            break
+        except (OSError, ValueError):
+            continue
+    return f"{max(4, min(48, int(total / (1 << 30) * 0.4)))}g"
 
 
 def get_spark(

@@ -9,17 +9,20 @@ batches, then appends its own signatures, so a document arriving at
 hour N is matched against everything ingested in hours 0..N without
 ever rebuilding the index.
 
-Engine mapping: ``foreachBatch`` + an append-only parquet signature
-index partitioned by batch id (``index_dir/batch=<id>/``) — the
-standard Spark recipe for a sink/state store without native streaming
-support. Per-batch writes go to a batch-id-keyed subdirectory with
-mode=overwrite, so replays after failure are idempotent (exactly-once
-effect, matching ``run_stream_foreach_batch_parquet``). At warehouse
-scale the same loop writes to a transactional table format (Delta /
-Iceberg) bucketed by (band, bucket) so each probe prunes to its
-buckets instead of scanning the whole signature history; the parquet
-directory here keeps the harness dependency-free while exercising the
-identical dataflow.
+Engine mapping: ``foreachBatch`` + an append-only signature index
+partitioned by batch id — the standard Spark recipe for a sink/state
+store without native streaming support. Index appends, result-batch
+writes, and probe reads all route through the shared accreting-index
+contract (``io/connectors.py:append_index_batch``/``read_index``):
+each batch replaces only its own ``batch=<id>`` partition, so replays
+after failure are idempotent (exactly-once effect, matching
+``run_stream_foreach_batch_parquet``), and the probe's ``batch <
+current`` filter statically prunes to the earlier partitions. The
+same calls with ``fmt='delta'`` write an ACID ``replaceWhere`` table;
+at warehouse scale that table is additionally bucketed by
+(band, bucket) so each probe prunes to its buckets instead of
+scanning the whole signature history. The parquet form keeps this
+harness dependency-free while exercising the identical dataflow.
 
 Correctness is batch-boundary-INDEPENDENT, which is what makes the
 operator exactly oracle-checkable: a qualifying pair (a < b) is
@@ -38,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vspace_spark.functions.text import ngrams_col, tokenize_col
+from vspace_spark.io.connectors import append_index_batch, read_index
 
 
 def _portable_minhash_sigs(
@@ -201,20 +205,20 @@ def incremental_minhash_dedup(
         # STRICTLY EARLIER than this one are probed — a replayed batch
         # (failure recovery, or a full reprocess over an existing
         # work_dir) must not see its own or later appends, or the
-        # rerun emits pairs twice
-        earlier = (
-            [
-                os.path.join(index_dir, e)
-                for e in os.listdir(index_dir)
-                if e.startswith("batch=")
-                and int(e.split("=", 1)[1]) < batch_id
-            ]
-            if os.path.isdir(index_dir)
-            else []
+        # rerun emits pairs twice. The read routes through the shared
+        # accreting-index contract (io/connectors.py): `batch` is a
+        # partition column, so the < filter statically prunes to the
+        # earlier partitions — same file set the old hand-built path
+        # list produced.
+        has_earlier = os.path.isdir(index_dir) and any(
+            e.startswith("batch=") and int(e.split("=", 1)[1]) < batch_id
+            for e in os.listdir(index_dir)
         )
-        if earlier:
-            idx = spark.read.option("basePath", index_dir).parquet(
-                *earlier
+        if has_earlier:
+            idx = (
+                read_index(spark, index_dir, fmt="parquet")
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
             )
             probe = new.join(idx, ["band", "bucket"]).filter(
                 F.col("nid") != F.col("_id")
@@ -239,14 +243,18 @@ def incremental_minhash_dedup(
             .filter(F.col("agree") >= min_agree)
             .distinct()  # one row per pair, however many bands matched
         )
-        flagged.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        # both sinks go through the shared contract: per-batch
+        # partition, dynamic-overwrite ⇒ a replayed batch replaces its
+        # own partition only, never doubles (idempotent)
+        append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
+        # this batch's signatures append AFTER probing
+        append_index_batch(
+            spark,
+            bb.select("_id", "sig", "band", "bucket"),
+            index_dir,
+            batch_id,
+            fmt="parquet",
         )
-        # append this batch's signatures AFTER probing (idempotent:
-        # a replayed batch overwrites its own subdir, never doubles)
-        bb.select("_id", "sig", "band", "bucket").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
         bb.unpersist()
 
     q = stream.writeStream.foreachBatch(process).start()
@@ -267,8 +275,6 @@ def incremental_minhash_dedup(
             )
     finally:
         q.stop()
-    return (
-        spark.read.option("basePath", out_dir)
-        .parquet(os.path.join(out_dir, "batch=*"))
-        .select("a", "b", "agree")
+    return read_index(spark, out_dir, fmt="parquet").select(
+        "a", "b", "agree"
     )
