@@ -195,6 +195,27 @@ class TestIncrementalIndexDedup:
         for r in pairs:
             assert r.agree == 32  # verbatim clones agree on all hashes
 
+    def test_zero_pair_corpus_returns_typed_empty(self, spark, tmp_path):
+        """All-unique corpus → no batch ever writes a result row →
+        the partitioned out dir has NO files; the read must return a
+        typed empty frame, not crash on schema inference (regression:
+        the old per-batch explicit-dir layout left empty schema'd
+        part files, the partitionBy layout does not)."""
+        from vspace_spark.streaming.incremental import (
+            incremental_minhash_dedup,
+        )
+
+        rows = [
+            (i, f"unique words {i} only here {i * 7} nothing {i * 13}")
+            for i in range(6)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = incremental_minhash_dedup(
+            spark, docs, work_dir=str(tmp_path / "w0"), n_input_files=3
+        )
+        assert pairs.count() == 0
+        assert [f.name for f in pairs.schema.fields] == ["a", "b", "agree"]
+
     def test_replayed_batch_is_idempotent(self, spark, tmp_path):
         import os
 

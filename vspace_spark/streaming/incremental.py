@@ -275,6 +275,14 @@ def incremental_minhash_dedup(
             )
     finally:
         q.stop()
+    # zero-pairs corpus: partitioned writes of all-empty batches emit
+    # NO files (unlike the old per-batch explicit-dir layout, which
+    # left empty schema'd part files), so the read would fail on
+    # schema inference — return a typed empty result instead
+    if not os.path.isdir(out_dir) or not any(
+        e.startswith("batch=") for e in os.listdir(out_dir)
+    ):
+        return spark.createDataFrame([], "a long, b long, agree integer")
     return read_index(spark, out_dir, fmt="parquet").select(
         "a", "b", "agree"
     )
