@@ -150,6 +150,20 @@ def incremental_minhash_dedup(
     index_dir = os.path.join(work_dir, "index")
     out_dir = os.path.join(work_dir, "out")
 
+    # A NEW run starts from an empty index/result. Under the
+    # partitioned contract an EMPTY batch writes no partition, so a
+    # stale batch=<id> partition from an EARLIER run over the same
+    # work_dir would silently survive into this run's probe and final
+    # read (caught live by the sf0.01 window sweep: range-partition
+    # boundaries shifted between runs and a pair surfaced from both
+    # runs' batch layouts). WITHIN-run replays of a micro-batch — the
+    # idempotency the contract exists for — still overwrite their own
+    # partition.
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     # materialize the replay with Spark writers (no driver collect);
     # range partitioning by id keeps file contents disjoint
     docs.repartitionByRange(n_input_files, "doc_id").write.mode(
