@@ -555,3 +555,28 @@ def test_embedding_collapse_matches_raw_pairs(spark):
     assert {(1, 2), (1, 3), (2, 3), (1, 4)} <= got
     assert not any(6 in p or 7 in p for p in got)
     assert not any(5 in p for p in got)
+
+
+def test_clone_light_probe_memoized_per_plan(spark):
+    """The clone-density probe memoizes per (plan semanticHash, key)
+    (ADVICE r5): repeated generators over the same corpus scan once.
+    A memo hit is cost-only by construction — collapsed and raw paths
+    are output-identical — so asserting cache behavior here is the
+    whole contract."""
+    from vspace_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text {i} tokens {i * 3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    D._CLONE_LIGHT_MEMO.clear()
+    first = D._clone_light(docs, "text")
+    assert first is True  # all-unique corpus
+    assert len(D._CLONE_LIGHT_MEMO) == 1
+    # second probe over an equivalent plan: memo hit, no new entry,
+    # same verdict
+    assert D._clone_light(docs, "text") is True
+    assert len(D._CLONE_LIGHT_MEMO) == 1
+    # different key expression -> distinct memo slot
+    assert D._clone_light(docs, "doc_id") is True
+    assert len(D._CLONE_LIGHT_MEMO) == 2

@@ -231,3 +231,21 @@ def test_no_unbounded_per_key_array_in_engine_source():
         f"'bounded-list: <bound>' comment, cap with a row_number "
         f"filter, or restructure as a partial-aggregable SUM"
     )
+
+
+def test_keyed_tmp_dir_concurrent_isolation(monkeypatch):
+    """SPARK_GRAFT_CONCURRENT=1 mixes a per-process token into the
+    keyed fixture dir so two processes benching the SAME sf dir stop
+    clobbering each other's staged fixtures (ADVICE r5); default stays
+    the single fixed leak-free dir."""
+    import os
+
+    from vspace_spark.io.sinks import keyed_tmp_dir
+
+    monkeypatch.delenv("SPARK_GRAFT_CONCURRENT", raising=False)
+    base = keyed_tmp_dir("t_adv5", "/root/testdata/sf0.001")
+    assert keyed_tmp_dir("t_adv5", "/root/testdata/sf0.001") == base
+    monkeypatch.setenv("SPARK_GRAFT_CONCURRENT", "1")
+    iso = keyed_tmp_dir("t_adv5", "/root/testdata/sf0.001")
+    assert iso != base
+    assert iso.endswith(f"_p{os.getpid()}")

@@ -74,6 +74,26 @@ def test_append_index_parquet_idempotent_replay(spark, tmp_path):
     assert after.select("doc_id").distinct().count() == 15
 
 
+def test_append_index_leaves_session_overwrite_mode_untouched(
+    spark, tmp_path
+):
+    """The parquet append scopes dynamic partition overwrite to the
+    WRITER (per-write option), never the session conf (ADVICE r5): a
+    concurrent static partitioned overwrite on the same session (e.g.
+    write_token_shards' whole-root replacement) must not observe a
+    'dynamic' window and silently keep stale partitions."""
+    from vspace_spark.io.connectors import append_index_batch
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "static")
+    assert before == "static"
+    append_index_batch(
+        spark, _index_batches(spark)[0], str(tmp_path / "idx2"), 0,
+        fmt="parquet",
+    )
+    assert spark.conf.get(key, "static") == "static"
+
+
 def test_append_index_delta_roundtrip(spark, tmp_path):
     """The SAME contract through the Delta writer (ACID replaceWhere).
     Runs for real when the Delta jars are on the classpath; skips
@@ -244,6 +264,33 @@ class TestIncrementalIndexDedup:
             F.col("count") > 1
         ).count() == 0
         _ = schema  # schema probe doubles as an in-dir sanity check
+
+    def test_result_frame_survives_reinvocation(self, spark, tmp_path):
+        """A returned pair frame must stay valid after the NEXT run
+        over the same fixed work_dir rmtree's the output dir
+        (ADVICE r5): the result is eagerly localCheckpoint'ed, so it
+        no longer references the files. The second run uses a SMALLER
+        corpus so a stale lazy re-read would return a different count
+        (identical reruns would mask the bug)."""
+        from vspace_spark.streaming.incremental import (
+            incremental_minhash_dedup,
+        )
+
+        work = str(tmp_path / "w3")
+        docs = self._clones(spark)
+        first = incremental_minhash_dedup(
+            spark, docs, work_dir=work, n_input_files=5
+        )
+        n_first = first.count()
+        assert n_first == 10  # all clone pairs
+        second = incremental_minhash_dedup(
+            spark,
+            docs.filter("doc_id < 4"),  # clones 0,2 -> exactly 1 pair
+            work_dir=work,
+            n_input_files=2,
+        )
+        assert second.count() == 1
+        assert first.count() == n_first  # held frame unaffected
 
 def test_stateful_transition_counts_spanning_arrow_chunks(
     spark, sf_dir, duck, tmp_path

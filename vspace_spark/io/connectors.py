@@ -96,22 +96,22 @@ def append_index_batch(
         return
     if fmt != "parquet":
         raise ValueError(f"unknown index format: {fmt}")
-    # set the conf on the BATCH's OWN session, not the caller's:
-    # inside foreachBatch the micro-batch DataFrame is bound to a
-    # cloned SparkSession whose conf was snapshotted at stream start —
-    # setting the mode on the outer session leaves the clone on
-    # static overwrite, which silently WIPES every earlier partition
-    # on each append (caught live: the accreting index kept only its
-    # last batch)
-    sess = out.sparkSession
-    prev = sess.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # per-WRITER option, not a session conf flip: the write-scoped
+    # option overrides spark.sql.sources.partitionOverwriteMode for
+    # this save only (Spark >= 2.4), so (a) it binds to whichever
+    # session the batch frame belongs to — inside foreachBatch that's
+    # a conf-snapshot CLONE, where setting the outer session's conf
+    # silently left the clone on static overwrite and WIPED every
+    # earlier partition (caught live) — and (b) no session-wide window
+    # exists during which a concurrent static partitioned overwrite
+    # (e.g. write_token_shards' whole-root replacement) would keep
+    # stale partitions.
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(path)
     )
-    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy("batch").parquet(path)
-    finally:
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_index(spark: SparkSession, path: str, fmt: str = "delta") -> DataFrame:

@@ -49,15 +49,30 @@ def keyed_tmp_dir(prefix: str, sf_dir: str) -> str:
     Key = sf basename (human-readable) + md5(abspath)[:8] (two corpora
     sharing a basename, or concurrent sessions on different sf dirs,
     never collide). Repeated runs on the same corpus reuse ONE dir;
-    callers must write with overwrite semantics, never append."""
+    callers must write with overwrite semantics, never append.
+
+    HAZARD (ADVICE r5): two CONCURRENT processes over the SAME sf dir
+    share the dir and clobber each other's staged fixtures mid-read —
+    the deliberate trade for leak-freedom under the single-runner
+    harness (the old per-call uuid dirs isolated them but accumulated
+    corpus-sized litter). Multi-process callers set
+    ``SPARK_GRAFT_CONCURRENT=1`` to mix a per-process token into the
+    key, restoring isolation at the cost of per-process dirs (cleaned
+    only by /tmp policy)."""
     import hashlib
     import os
     import tempfile
 
+    pid_part = (
+        f"_p{os.getpid()}"
+        if os.environ.get("SPARK_GRAFT_CONCURRENT") == "1"
+        else ""
+    )
     path = os.path.join(
         tempfile.gettempdir(),
         f"{prefix}_{os.path.basename(os.path.normpath(sf_dir))}_"
-        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}",
+        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+        f"{pid_part}",
     )
     os.makedirs(path, exist_ok=True)
     return path

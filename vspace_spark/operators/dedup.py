@@ -140,6 +140,17 @@ def _collapse_by_key(
 
 _CLONE_LIGHT_RATIO = 0.9
 
+# probe memo keyed by (plan semanticHash, key expr): every collapse-
+# capable operator probes eagerly at call time, so a query that builds
+# several generators over the SAME corpus (dedup_keep_best: probe +
+# _collapse_docs; a future foreachBatch caller: probe per micro-batch
+# over a static frame) would otherwise re-scan per invocation
+# (ADVICE r5). A hit is safe-by-construction: collapsed and raw paths
+# are output-identical, so a stale or hash-collided verdict can only
+# change COST, never results. Bounded; cleared implicitly per process.
+_CLONE_LIGHT_MEMO: dict[tuple[int, str], bool] = {}
+_CLONE_LIGHT_MEMO_CAP = 256
+
 
 def _clone_light(docs: DataFrame, key) -> bool:
     """Scalar probe (bounded-collect: one aggregated row) deciding
@@ -157,12 +168,24 @@ def _clone_light(docs: DataFrame, key) -> bool:
     not depend on a data probe. Cost: one scan + one
     map-side-combined HLL aggregate — far below the collapse
     machinery it can save, negligible beside the pair joins it
-    cannot."""
+    cannot; memoized per (plan, key) so repeated generators over the
+    same corpus scan once (see ``_CLONE_LIGHT_MEMO``)."""
+    try:
+        memo_key = (docs.semanticHash(), str(key))
+    except Exception:  # plan not hashable (e.g. some local relations)
+        memo_key = None
+    if memo_key is not None and memo_key in _CLONE_LIGHT_MEMO:
+        return _CLONE_LIGHT_MEMO[memo_key]
     row = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(key).alias("d"),
     ).first()
-    return row.n == 0 or row.d / row.n >= _CLONE_LIGHT_RATIO
+    light = row.n == 0 or row.d / row.n >= _CLONE_LIGHT_RATIO
+    if memo_key is not None:
+        if len(_CLONE_LIGHT_MEMO) >= _CLONE_LIGHT_MEMO_CAP:
+            _CLONE_LIGHT_MEMO.clear()
+        _CLONE_LIGHT_MEMO[memo_key] = light
+    return light
 
 
 def _collapse_docs(

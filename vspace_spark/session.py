@@ -36,20 +36,50 @@ def _default_driver_mem() -> str:
         total = 16 << 30
     # In a memory-capped container sysconf reports the HOST's RAM; an
     # -Xmx sized from that gets the JVM cgroup-OOM-killed instead of
-    # GC-ing. Take the min with the cgroup limit (v2 then v1; the
-    # files hold a huge number or "max" when unlimited).
-    for limit_file in (
-        "/sys/fs/cgroup/memory.max",
-        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
-    ):
+    # GC-ing. Take the min with the cgroup limit — resolved from THIS
+    # process's cgroup path (/proc/self/cgroup), not just the mount
+    # root: without a cgroup namespace the process can be capped in a
+    # subtree while the root files read "max" (ADVICE r5), so walk the
+    # own path and every ancestor and take the tightest limit. v2
+    # (memory.max) first, v1 (memory/.../memory.limit_in_bytes) as
+    # fallback; files hold a huge number or "max" when unlimited.
+    def _limits() -> "list[int]":
+        out: list[int] = []
         try:
-            with open(limit_file) as fh:
-                raw = fh.read().strip()
-            if raw != "max":
-                total = min(total, int(raw))
-            break
-        except (OSError, ValueError):
-            continue
+            with open("/proc/self/cgroup") as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            lines = []
+        rels: list[str] = []
+        for ln in lines:
+            parts = ln.split(":", 2)
+            if len(parts) != 3:
+                continue
+            hierarchy, ctrls, path = parts
+            if hierarchy == "0":  # v2 unified
+                rels.append("/sys/fs/cgroup" + path)
+            elif "memory" in ctrls.split(","):  # v1 memory controller
+                rels.append("/sys/fs/cgroup/memory" + path)
+        # own path + ancestors up to (and including) the mount root
+        candidates: list[str] = []
+        for base in rels or ["/sys/fs/cgroup", "/sys/fs/cgroup/memory"]:
+            d = base.rstrip("/")
+            while d.startswith("/sys/fs/cgroup"):
+                candidates.append(d)
+                d = os.path.dirname(d)
+        for d in candidates:
+            for name in ("memory.max", "memory.limit_in_bytes"):
+                try:
+                    with open(os.path.join(d, name)) as fh:
+                        raw = fh.read().strip()
+                    if raw != "max":
+                        out.append(int(raw))
+                except (OSError, ValueError):
+                    continue
+        return out
+
+    for lim in _limits():
+        total = min(total, lim)
     return f"{max(4, min(48, int(total / (1 << 30) * 0.4)))}g"
 
 

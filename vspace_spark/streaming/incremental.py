@@ -297,6 +297,15 @@ def incremental_minhash_dedup(
         e.startswith("batch=") for e in os.listdir(out_dir)
     ):
         return spark.createDataFrame([], "a long, b long, agree integer")
-    return read_index(spark, out_dir, fmt="parquet").select(
-        "a", "b", "agree"
+    # EAGER materialization, lineage truncated: the fixed keyed
+    # work_dir means the NEXT run over the same corpus rmtree's
+    # out_dir first — a lazy read returned here would be silently
+    # invalidated the moment the caller re-invokes (the stale-lazy-
+    # read class the jsonl round-trip documents). localCheckpoint
+    # computes the pairs NOW into block storage, so the returned frame
+    # no longer references the files at all.
+    return (
+        read_index(spark, out_dir, fmt="parquet")
+        .select("a", "b", "agree")
+        .localCheckpoint(eager=True)
     )
