@@ -580,3 +580,39 @@ def test_clone_light_probe_memoized_per_plan(spark):
     # different key expression -> distinct memo slot
     assert D._clone_light(docs, "doc_id") is True
     assert len(D._CLONE_LIGHT_MEMO) == 2
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup semantics on a planted fixture: verbatim and scaled
+    copies (cosine 1.0) land in the same cell and the larger ids drop
+    as duplicates of the smallest; orthogonal vectors keep. The greedy
+    first-writer-wins chain marks EVERY larger member of a duplicate
+    group with the group's min id, matching the oracle's min(a)."""
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    scaled = [2.0] + [0.0] * (dim - 1)  # same direction, cos = 1
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [
+        (1, base),
+        (2, scaled),
+        (3, base),
+        (4, ortho),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, portable_hyperplanes(dim, 16, salt="s"), threshold=0.95
+        ).collect()
+    }
+    assert out[1].kept and out[1].duplicate_of is None
+    assert not out[2].kept and out[2].duplicate_of == 1
+    assert not out[3].kept and out[3].duplicate_of == 1
+    assert out[4].kept and out[4].duplicate_of is None
+    # same-direction vectors share a cell (identical distances order)
+    assert out[1].cell == out[3].cell

@@ -975,3 +975,71 @@ def embedding_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster only — the cluster assignment
+    is the blocking key that keeps the pairwise pass linear in corpus
+    size instead of quadratic.
+
+    Mechanics: (1) every vector assigns to its nearest centroid
+    (broadcast argmin — the same deterministic (dist, cell) struct
+    sort as the fixed-codebook IVF, operators/similarity.py);
+    (2) within a cell, pairs with cosine ≥ ``threshold`` mark the
+    LARGER id a duplicate of the smallest qualifying smaller id —
+    greedy first-writer-wins, the deterministic stand-in for the
+    paper's keep-one-per-group policy; (3) output is one row per
+    vector: ``[vec_id, cell, kept, duplicate_of]`` (no float columns,
+    so the whole operator sits under the exact value-hash gate).
+
+    Scale: K must grow with the corpus (the paper uses 50k clusters
+    for LAION-scale data) so per-cell membership — and the cell-
+    blocked self-join's quadratic term — stays bounded: cost is
+    Σ|cell|², linear in N at fixed cell size. The join shuffles on
+    the cell id; with the corpus written bucketed by cell the probe
+    side is exchange-free. Per-pair cosine is an interpreted fold —
+    at production scale swap in the Arrow matmul twin per cell
+    (operators/similarity.py:ann_bruteforce pattern).
+    """
+    from vspace_spark.operators.similarity import _cell_dist_structs
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.array_sort(_cell_dist_structs(F.col(vec_col), centers))[0][
+            "cell"
+        ].alias("cell"),
+    )
+    left = assigned.select(
+        F.col("_id").alias("a"), F.col("_v").alias("_va"), "cell"
+    )
+    right = assigned.select(
+        F.col("_id").alias("b"), F.col("_v").alias("_vb"), "cell"
+    )
+    dup_of = (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("b")
+        .agg(F.min("a").alias("duplicate_of"))
+        .withColumnRenamed("b", "_id")
+    )
+    return assigned.join(dup_of, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "cell",
+        F.col("duplicate_of").isNull().alias("kept"),
+        "duplicate_of",
+    )

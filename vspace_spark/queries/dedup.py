@@ -439,3 +439,70 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.q").alias("keep_quality"),
         "n_members",
     )
+
+
+@query(
+    "dedup_semantic",
+    oracle="""
+WITH c AS (
+  SELECT k.k AS cell,
+         list_transform(range(0, 64),
+           i -> ('0x' || substr(md5('s' || k.k::VARCHAR || ':'
+                                 || i::VARCHAR), 1, 13))::BIGINT
+                / 2251799813685248.0 - 1) AS cv
+  FROM (SELECT unnest(range(16)) AS k) k
+),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                * (e.embedding[i]::DOUBLE - c.cv[i]))) AS dist
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM assign x JOIN assign y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE list_sum(list_transform(range(1, 65),
+          i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(x.embedding,
+                 v -> v::DOUBLE * v::DOUBLE)))
+           * sqrt(list_sum(list_transform(y.embedding,
+                 v -> v::DOUBLE * v::DOUBLE)))) >= 0.4
+),
+dup AS (SELECT b AS vec_id, min(a) AS duplicate_of
+        FROM pairs GROUP BY b)
+SELECT a.vec_id, a.cell, (dup.vec_id IS NULL) AS kept,
+       dup.duplicate_of
+FROM assign a LEFT JOIN dup ON dup.vec_id = a.vec_id
+""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-then-prune semantic
+    dedup — every vector assigns to its nearest of 16 fixed
+    md5-derived centroids (the portable-hyperplane scheme, so the
+    assignment is bit-reproducible in ANSI SQL), then within-cell
+    pairs with cosine ≥ 0.4 mark the larger id a duplicate of its
+    smallest qualifying neighbor. One row per vector
+    [vec_id, cell, kept, duplicate_of] — ids and booleans only, fully
+    under the value-hash gate. Threshold 0.4 for the same reason as
+    ``dedup_embedding_cosine``: the synthetic fixture's cosine range
+    tops out near 0.5, so a production 0.9+ cut would prove nothing.
+    At scale K grows with the corpus (SemDeDup uses 50k clusters) so
+    the in-cell quadratic term stays bounded; see
+    operators/dedup.py:semantic_dedup."""
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, portable_hyperplanes(64, 16, salt="s"), threshold=0.4
+    )
