@@ -167,3 +167,33 @@ def test_real_decode_reads_actual_image_dims(spark):
         for r in decode_image_meta(df, real_decode=True).collect()
     }
     assert got == {0: (3, 5, "RGB"), 1: (17, 2, "RGB"), 2: (128, 64, "RGB")}
+
+
+def test_perceptual_hash_prefix_invariance(spark):
+    """aHash on the fake decode is invariant to suffix edits (the
+    stand-in for a real pHash's invariance to small pixel changes)
+    and sensitive to prefix changes; bits are integer-exact
+    (gray[i]*64 > sum) and the signature stays a positive 60-bit
+    BIGINT."""
+    from pyspark.sql import functions as F
+
+    from vspace_spark.operators.multimodal import perceptual_hash
+
+    prefix = "the same thirty-two char prefix!"  # exactly 32 chars
+    assert len(prefix) == 32
+    rows = [
+        (1, prefix + " tail one"),
+        (2, prefix + " completely different ending"),
+        (3, "another prefix entirely here ok " + "tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(
+            docs.withColumn("payload", F.encode("text", "UTF-8"))
+        ).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    for v in got.values():
+        assert 0 <= v < 1 << 60

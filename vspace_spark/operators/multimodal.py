@@ -286,3 +286,61 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the fixtures carry no real blobs; the byte column is what matters
     to the plumbing."""
     return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    prefix_chars: int = 32,
+) -> DataFrame:
+    """Perceptual (average) hash over the DETERMINISTIC FAKE decode:
+    the binary payload "decodes" to an 8×8 grayscale thumbnail whose
+    64 pixel bytes are md5(prefix ':' j) for j in 0..3 — derived from
+    the payload's first ``prefix_chars`` characters, standing in for
+    the downsample step that makes a real pHash invariant to small
+    pixel edits (here: invariant to suffix changes). The aHash math on
+    top is the real algorithm: bit i set iff pixel i exceeds the
+    thumbnail mean, compared integer-exactly as
+    ``gray[i]*64 > sum(gray)``; 60 bits used so the hash stays a
+    positive BIGINT on every engine (same policy as the md5-portable
+    MinHash/SimHash signatures). Arrow-batched mapInPandas, one
+    (id, phash) row per input — swapping in a real decoder+resampler
+    changes only the thumbnail construction."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        weights = _np.left_shift(
+            _np.ones(60, dtype=_np.int64), _np.arange(60, dtype=_np.int64)
+        )
+        out_ids: list[int]
+        for pdf in batches:
+            hashes = []
+            for p in pdf[bin_col]:
+                prefix = bytes(p).decode("utf-8")[:prefix_chars]
+                gray = _np.frombuffer(
+                    b"".join(
+                        hashlib.md5(
+                            f"{prefix}:{j}".encode()
+                        ).digest()
+                        for j in range(4)
+                    ),
+                    dtype=_np.uint8,
+                ).astype(_np.int64)
+                total = int(gray.sum())
+                bits = (gray[:60] * 64) > total
+                hashes.append(int((bits * weights).sum()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": _np.array(hashes, dtype=_np.int64),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        compute, "doc_id long, phash long"
+    )

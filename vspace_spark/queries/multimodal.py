@@ -150,3 +150,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the binary payload."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(docs)
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> ('0x' || substr(md5(substr(text, 1, 32) || ':'
+                                 || (i // 16)::VARCHAR),
+                                (i % 16) * 2 + 1, 2))::BIGINT) AS gray
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 60),
+           i -> CASE WHEN gray[i + 1] * 64 > list_sum(gray)
+                THEN (1::BIGINT << i) ELSE 0 END)) AS phash
+  FROM g
+),
+k AS (SELECT phash, min(doc_id) AS keeper_id FROM h GROUP BY phash)
+SELECT h.doc_id, h.phash, k.keeper_id,
+       (h.doc_id = k.keeper_id) AS is_keeper
+FROM h JOIN k ON h.phash = k.phash
+""",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: fake-decode each binary payload to
+    an 8×8 thumbnail, aHash it (operators/multimodal.py:
+    perceptual_hash — Arrow-batched mapInPandas, 60-bit positive
+    signature), then canonicalize by exact hash — one hash
+    aggregation + an equi-join on the hash key, the same 100 TB shape
+    as exact text dedup. The md5-derived thumbnail keeps every bit
+    reproducible in ANSI SQL, so the full pipeline (worker included)
+    sits under the value-hash gate; 24 of 500 fixture docs share a
+    32-char prefix, so keeper groups are non-trivial at every sf."""
+    from vspace_spark.operators.multimodal import perceptual_hash
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    hashes = perceptual_hash(docs)
+    keepers = hashes.groupBy("phash").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    return hashes.join(keepers, "phash").select(
+        "doc_id",
+        "phash",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
