@@ -155,14 +155,24 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
     # exact floats throughout; rounding happens only in the REPORTED
     # fields (rounding before min() both inflated gb_per_hour ~0.6%
     # and could divide by a rep rounded to 0.0 on a tiny fixture)
-    rep_times = [
-        run_once()
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    ]
-    # adaptive extra rep on >2× spread — same shared-host rationale as
-    # timed_min in main(): one neighbor burst can swallow both reps
-    if len(rep_times) >= 2 and max(rep_times) / max(min(rep_times), 1e-9) > 2:
+    rep_times, rep_loads = [], []
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
         rep_times.append(run_once())
+        rep_loads.append(os.getloadavg()[0])
+    # adaptive extra rep on >2× spread — same shared-host rationale as
+    # timed_min in main(): one neighbor burst can swallow both reps —
+    # OR on high host load (r5: both reps ran under 1-min load ≈ 29 on
+    # 32 cores with a 1.6× spread, so the spread trigger alone missed
+    # a fully-contended phase; a third sample is cheap insurance that
+    # one rep lands in a quieter window)
+    spread = (
+        max(rep_times) / max(min(rep_times), 1e-9)
+        if len(rep_times) >= 2
+        else 1.0
+    )
+    if spread > 2 or min(rep_loads) > os.cpu_count() / 2:
+        rep_times.append(run_once())
+        rep_loads.append(os.getloadavg()[0])
     elapsed = min(rep_times)
     return {
         "gb_per_hour": round(text_gb / (elapsed / 3600), 2),
@@ -174,6 +184,9 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
         # while in-container CPU was idle and host load went 5→15) —
         # spread between reps is the contention signal
         "elapsed_reps": [round(t, 1) for t in rep_times],
+        # 1-min load sampled at each rep's END: reps that ran under
+        # heavy neighbor load are visibly suspect in the artifact
+        "load_1m_reps": [round(l, 1) for l in rep_loads],
         "reference_1gb_6gram": 6.7,
     }
 

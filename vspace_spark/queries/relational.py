@@ -623,3 +623,41 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("median_value_approx"),
     )
+
+
+@query(
+    "events_variant_stats",
+    oracle="""
+WITH k AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '[0-9]+') AS INT) AS kv
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(kv)::BIGINT AS sum_k,
+       min(kv)::INT AS min_k,
+       max(kv)::INT AS max_k,
+       count(*) FILTER (kv % 2 = 1)::BIGINT AS odd_k
+FROM k GROUP BY event_type
+""",
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured fast path via Spark 4's VARIANT type:
+    ``parse_json`` shreds ``props`` once into the binary variant
+    encoding, ``variant_get`` then reads ``$.k`` with a typed path —
+    at scale this replaces per-expression JSON string re-parsing
+    (``from_json``, events_json_stats) with one decode feeding any
+    number of typed extractions, and variant-aware readers can push
+    the shredding into the scan. Integer aggregates only, so the
+    value-hash gate is exact; the oracle reads the single numeric
+    field with a regex to stay engine-neutral."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k % 2 == 1, 1)).alias("odd_k"),
+    )
