@@ -616,3 +616,52 @@ def test_semantic_dedup_planted_duplicates(spark):
     assert out[4].kept and out[4].duplicate_of is None
     # same-direction vectors share a cell (identical distances order)
     assert out[1].cell == out[3].cell
+
+
+def test_semantic_dedup_collapse_matches_raw(spark):
+    """Exact-collapse prepass for semantic_dedup is output-identical
+    to the raw path on a planted fixture with verbatim clone groups
+    (incl. a clone of the cell's would-be keeper, a clone group whose
+    canonical is itself dropped, a zero vector, and untouched
+    singletons)."""
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.98, 0.199] + [0.0] * (dim - 2)  # cos ~0.98 with base
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)
+    zero = [0.0] * dim
+    rows = [
+        (1, base),
+        (2, base),        # clone of keeper
+        (3, near),        # dropped via 1; its clones chain to 1
+        (4, near),        # clone of a dropped canonical
+        (5, ortho),
+        (6, ortho),       # clone group elsewhere
+        (7, zero),        # zero-norm: never pairs, always kept
+        (8, [0.5] * dim), # singleton
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    centers = portable_hyperplanes(dim, 16, salt="s")
+    raw = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centers, threshold=0.9, collapse_exact=False
+        ).collect()
+    }
+    col = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centers, threshold=0.9, collapse_exact=True
+        ).collect()
+    }
+    assert col == raw
+    by_id = {t[0]: t for t in col}
+    assert by_id[2][2] is False and by_id[2][3] == 1   # clone of keeper
+    assert by_id[3][2] is False and by_id[3][3] == 1   # near-dup of 1
+    assert by_id[4][2] is False and by_id[4][3] == 1   # chained clone
+    assert by_id[6][2] is False and by_id[6][3] == 5
+    assert by_id[7][2] is True and by_id[7][3] is None  # zero vector

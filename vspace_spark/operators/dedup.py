@@ -983,6 +983,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -1008,8 +1009,81 @@ def semantic_dedup(
     side is exchange-free. Per-pair cosine is an interpreted fold —
     at production scale swap in the Arrow matmul twin per cell
     (operators/similarity.py:ann_bruteforce pattern).
+
+    ``collapse_exact`` (default, probe-gated like the rest of the
+    family): verbatim-identical NONZERO vectors collapse per
+    md5(json(vec)) before assignment, the core runs on canonicals
+    (plus zero-norm vectors, whose cosine is NULL and who therefore
+    never pair — collapsing them would wrongly mark clones dropped),
+    and members expand back EXACTLY: a clone member always shares its
+    canonical's cell (identical vector ⇒ identical distances ⇒ same
+    argmin), is always dropped (its canonical is a smaller qualifying
+    neighbor at cosine 1), and its duplicate_of has a closed form —
+    the canonical's own duplicate_of when the canonical dropped
+    (qualifying(c) elements are all < c < member, so the min carries
+    over), else the canonical id (c is then the smallest qualifying
+    neighbor: every other qualifying id exceeds c). Other vectors'
+    rows are untouched: a min-qualifying neighbor can never be a
+    non-canonical member because its canonical is smaller and
+    qualifies identically. Output-identical to the raw path
+    (planted-fixture equality test); a clone group of k costs k only
+    in output rows instead of k² in cosine folds.
     """
     from vspace_spark.operators.similarity import _cell_dist_structs
+
+    if (
+        collapse_exact
+        # same guard as embedding_near_pairs: a clone's self-cosine
+        # computes within one ulp of 1.0, which is ≥ any threshold
+        # below this bound but not provably ≥ 0.999+ thresholds
+        and threshold < 0.999
+        and not _clone_light(embeddings, F.col(vec_col))
+    ):
+        # strictly-positive norm, non-null — zero/NULL vectors pass
+        # through the core uncollapsed (their cosine is NULL, so they
+        # never pair; collapsing them would wrongly drop clones)
+        nz = F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") * x
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            > 0,
+            F.lit(False),
+        )
+        canon_vecs, members = _collapse_by_key(
+            embeddings.filter(nz),
+            id_col,
+            [vec_col],
+            F.md5(F.to_json(F.struct(F.col(vec_col)))),
+        )
+        core_in = canon_vecs.unionByName(
+            embeddings.filter(~nz).select(id_col, vec_col)
+        )
+        core = semantic_dedup(
+            core_in, centers, id_col, vec_col, threshold,
+            collapse_exact=False,
+        )
+        # expand: members join their canonical's row; non-canonical
+        # members are dropped with the closed-form duplicate_of above
+        expanded = members.join(
+            core.withColumnRenamed(id_col, "_canon"), "_canon"
+        ).select(
+            F.col("_m").alias(id_col),
+            "cell",
+            F.when(F.col("_m") == F.col("_canon"), F.col("kept"))
+            .otherwise(F.lit(False))
+            .alias("kept"),
+            F.when(F.col("_m") == F.col("_canon"), F.col("duplicate_of"))
+            .otherwise(F.coalesce("duplicate_of", "_canon"))
+            .alias("duplicate_of"),
+        )
+        zeros = core.join(
+            members.select(F.col("_m").alias(id_col)), id_col, "left_anti"
+        )
+        return expanded.unionByName(zeros)
 
     assigned = embeddings.select(
         F.col(id_col).alias("_id"),
