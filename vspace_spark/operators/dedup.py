@@ -1062,10 +1062,17 @@ def semantic_dedup(
         core_in = canon_vecs.unionByName(
             embeddings.filter(~nz).select(id_col, vec_col)
         )
+        from pyspark import StorageLevel
+
+        # persisted: consumed twice (member expansion + the zero/NULL
+        # pass-through anti-join) — unpersisted, each consumer re-runs
+        # the whole md5(json) collapse chain and the in-cell join
+        # (measured 100 s → see PERF.md round 6)
         core = semantic_dedup(
             core_in, centers, id_col, vec_col, threshold,
             collapse_exact=False,
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        core.count()  # bounded-collect: one scalar, forces the cache
         # expand: members join their canonical's row; non-canonical
         # members are dropped with the closed-form duplicate_of above
         expanded = members.join(
@@ -1085,13 +1092,23 @@ def semantic_dedup(
         )
         return expanded.unionByName(zeros)
 
+    from pyspark import StorageLevel
+
     assigned = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.array_sort(_cell_dist_structs(F.col(vec_col), centers))[0][
             "cell"
         ].alias("cell"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted + materialized: consumed three times (both sides of
+    # the in-cell self-join + the final output join) — the K-centroid
+    # argmin is an interpreted fold per row, and without the cache the
+    # whole upstream chain (incl. the collapse prepass when invoked
+    # from the collapsed branch) re-runs per consumer; eager count
+    # also gives the self-join planner honest cached sizes (same
+    # rationale as the shingle index above)
+    assigned.count()  # bounded-collect: one scalar, forces the cache
     left = assigned.select(
         F.col("_id").alias("a"), F.col("_v").alias("_va"), "cell"
     )
