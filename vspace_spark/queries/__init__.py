@@ -45,26 +45,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-5 window composition (VERDICT r4 "Next round" #3 + re-prove-
-# what-changed):
-#   - every query whose implementation changed in round 5: the whole
-#     exact-collapse family now behind the clone-density probe
-#     (jaccard/minhash/simhash/embedding/clusters/keep_best), the
-#     keep_best shared-collapse fix (ADVICE r4 high), and the four
-#     keyed-temp-dir queries (corpus_job_ini, corpus_jsonl_roundtrip,
-#     shard_manifest, stream_dedup_docs_incremental);
-#   - the eight streaming consumers refactored in r4
-#     (streaming/events.py: chunk-concat stateful fix + shared stream
-#     reader) whose last driver rows predate that refactor (r3);
-#   - term_stats_unigram / term_stats_by_source rotated back in
-#     (NOTES r4: swapped out at round close for the collapse-affected
-#     dedup rows);
-#   - every r2-latest row (20: the ANN/LSH pair, exact dedup pair,
-#     curation/quality/text family, multimodal meta/resize, UDF
-#     shapes) — oldest evidence most exposed to drift from the r3/r4
-#     text-path changes (rebalance floor, tokenizer reuse);
-#   - four r1-latest rows on the same argument (text arrays/positions
-#     + two window-function suites);
+# Round-6 window composition (re-prove-what-changed + oldest evidence):
+#   - the three queries ADDED in round 6 (dedup_semantic,
+#     multimodal_phash_dedup, events_variant_stats);
+#   - every query whose implementation changed in round 6: the
+#     incremental growing-index dedup (localCheckpoint'ed result +
+#     per-writer dynamic partition overwrite in the accreting-index
+#     contract), the exact-collapse family (the clone-density probe is
+#     now memoized per plan — cost-only by construction, but the code
+#     under these rows changed), and the three keyed-temp-dir queries
+#     (SPARK_GRAFT_CONCURRENT key path added);
+#   - ALL 30 r1-latest rows — the stalest evidence in the ledger (the
+#     relational/window/set-op suites last driver-proven in round 1)
+#     plus the r3-latest as-of join;
 #   - flagship §2.11 continuity rows.
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
@@ -73,7 +66,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # property tests against their oracled portable twins, so window
 # slots go to oracled queries only (zero no_oracle rows by design).
 _WINDOW = [
-    # --- r5 code changes (probe + shared collapse + keyed temp dirs)
+    # --- new in r6
+    "dedup_semantic",
+    "multimodal_phash_dedup",
+    "events_variant_stats",
+    # --- r6 code changes: incremental dedup + accreting index
+    "stream_dedup_docs_incremental",
+    # --- r6 code changes: collapse family (memoized clone probe)
     "dedup_keep_best",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
@@ -81,54 +80,43 @@ _WINDOW = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "stream_dedup_docs_minhash",
-    "stream_dedup_docs_incremental",
+    # --- r6 code changes: keyed temp dirs (concurrency key path)
     "corpus_job_ini",
     "corpus_jsonl_roundtrip",
     "shard_manifest",
-    # --- streaming/events.py consumers refactored in r4, last green r3
-    "stream_hourly_counts",
-    "stream_sliding_counts",
-    "stream_user_sessions",
-    "stream_stateful_user_totals",
-    "stream_dedup_events",
-    "stream_purchase_view_join",
-    "stream_purchase_view_left_join",
-    "stream_category_counts",
-    # --- rotated back in per NOTES r4 round-close swap
-    "term_stats_unigram",
-    "term_stats_by_source",
-    # --- r2-latest rows (oldest evidence; text/ANN/curation families
-    #     touched by later rebalance/tokenizer changes)
-    "ann_bruteforce_top5",
-    "ann_lsh_top5",
-    "curated_corpus",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "doc_decontamination",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_pack_sequences",
-    "doc_quality",
-    "doc_repetition",
-    "doc_token_counts",
-    "doc_train_test_split",
-    "domain_mixture_weights",
-    "embedding_norms",
-    "grouped_map_source_ranks",
-    "map_functions_suite",
-    "multimodal_image_meta",
-    "multimodal_resize_plan",
-    "udtf_token_chunks",
-    # --- r1-latest rows: text-path suites
-    "doc_token_arrays",
-    "token_positions",
-    # --- r5 plan changes late in the session (pagerank edge
-    #     repartition; q21 refactored into _q21_plan) — re-prove over
-    #     the stale-but-unchanged r1 window rows (trailing_30d_spend /
-    #     top3_orders_per_customer keep their r1 evidence + the local
-    #     oracle-parity re-run)
-    "pagerank_purchase_graph",
-    "q21_waiting_suppliers",
+    # --- r1-latest rows (all 30): stalest driver evidence
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_nation_revenue",
+    "q7_nation_volume",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "min_cost_supplier_per_part",
+    "merge_upsert_orders",
+    "daily_revenue_gapfilled",
+    "monthly_revenue",
+    "top3_orders_per_customer",
+    "customer_running_spend",
+    "trailing_30d_spend",
+    "rollup_order_totals",
+    "cube_lineitem_counts",
+    "grouping_sets_revenue",
+    "customers_without_orders",
+    "customers_with_high_value_order",
+    "part_price_bands",
+    "repeat_customers_both_years",
+    "churned_customers_1995",
+    "customer_order_full_outer",
+    "order_rank_suite",
+    "part_brand_intersect_all",
+    "part_brand_except_all",
+    "price_percentiles",
+    "string_functions_suite",
+    "math_functions_suite",
+    "orders_above_segment_avg",
+    "multimodal_frame_sample",
+    # --- r3-latest: the as-of join
+    "asof_purchase_prior_view",
     # --- flagship §2.11 continuity
     "term_stats_ngram",
     "normalize_corpus",
