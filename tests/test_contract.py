@@ -41,6 +41,10 @@ EXPECTED_QUERIES = {
     "dedup_exact", "dedup_exact_normalized", "dedup_jaccard_pairs",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_clusters", "dedup_keep_best",
+    # new in r6: SemDeDup, perceptual-hash, fuzzy edit-distance,
+    # variant-typed JSON stats
+    "dedup_semantic", "multimodal_phash_dedup", "dedup_fuzzy_pairs",
+    "events_variant_stats",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "embedding_norms", "ml_tfidf_features",

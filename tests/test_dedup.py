@@ -665,3 +665,34 @@ def test_semantic_dedup_collapse_matches_raw(spark):
     assert by_id[4][2] is False and by_id[4][3] == 1   # chained clone
     assert by_id[6][2] is False and by_id[6][3] == 5
     assert by_id[7][2] is True and by_id[7][3] is None  # zero vector
+
+
+def test_edit_distance_pairs_planted(spark):
+    """Fuzzy pairs: planted near-strings within the distance budget
+    pair up, cross-block twins never pair, the length-band prune
+    excludes a same-block string within band |len| but far in edits,
+    and distances are the exact Levenshtein values."""
+    from pyspark.sql import functions as F
+
+    from vspace_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "s1", "kitten and friends"),
+        (2, "s1", "sitting and friends"),   # lev(kitten,sitting)=3 on prefix
+        (3, "s2", "kitten and friends"),    # other block: never pairs with 1
+        (4, "s1", "zzzzzzzzzzzzzzzzzz"),    # same len, all-different prefix
+        (5, "s1", "kitten and friend"),     # 0-edit prefix twin of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.a, r.b): r.dist
+        for r in edit_distance_pairs(
+            docs, F.substring("text", 1, 16), block=["source"], max_dist=4
+        ).collect()
+    }
+    # lev("kitten and frien", "sitting and frie") = 4: the 3 edits of
+    # kitten→sitting plus the one-char tail shift the truncation causes
+    assert got[(1, 5)] == 0          # identical 16-char prefixes
+    assert got[(2, 5)] == got[(1, 2)] == 4
+    assert not any(3 in p for p in got)   # block isolation
+    assert not any(4 in p for p in got)   # edit distance > budget

@@ -1134,3 +1134,48 @@ def semantic_dedup(
         F.col("duplicate_of").isNull().alias("kept"),
         "duplicate_of",
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    key: F.Column,
+    id_col: str = "doc_id",
+    block: list[str] | tuple = ("source",),
+    max_dist: int = 6,
+) -> DataFrame:
+    """Fuzzy (edit-distance) near-pairs — the entity-resolution
+    primitive: pairs within a blocking key whose ``key`` expressions
+    are within ``max_dist`` Levenshtein edits. Candidate bounding is
+    layered: (1) the block equi-join (never O(N²) across blocks);
+    (2) a length-band prune ``|len(a)−len(b)| ≤ max_dist`` — a sound
+    lower bound on edit distance — evaluated BEFORE the DP so joined
+    rows outside the band never run it; (3) the engine computes the
+    banded DP via ``levenshtein(l, r, threshold)`` (O(k·n) per pair,
+    -1 when exceeded) instead of the full O(n²) matrix. At production
+    scale the blocking key is an upstream LSH/MinHash bucket or qgram
+    signature (this module), with this operator as the verify stage.
+
+    Returns ``[a, b, dist]``, a < b, dist ≤ max_dist.
+    """
+    keyed = docs.select(
+        F.col(id_col).alias("_id"), *block, key.alias("_k")
+    )
+    left = keyed.select(
+        *block, F.col("_id").alias("a"), F.col("_k").alias("_ka")
+    )
+    right = keyed.select(
+        *[F.col(c).alias(f"_r_{c}") for c in block],
+        F.col("_id").alias("b"),
+        F.col("_k").alias("_kb"),
+    )
+    cond = (F.col("a") < F.col("b")) & (
+        F.abs(F.length("_ka") - F.length("_kb")) <= max_dist
+    )
+    for c in block:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    dist = F.levenshtein("_ka", "_kb", max_dist)
+    return (
+        left.join(right, cond)
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)  # threshold form returns -1 past k
+    )

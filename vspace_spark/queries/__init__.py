@@ -46,8 +46,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
 # Round-6 window composition (re-prove-what-changed + oldest evidence):
-#   - the three queries ADDED in round 6 (dedup_semantic,
-#     multimodal_phash_dedup, events_variant_stats);
+#   - the four queries ADDED in round 6 (dedup_semantic,
+#     multimodal_phash_dedup, events_variant_stats,
+#     dedup_fuzzy_pairs);
 #   - every query whose implementation changed in round 6: the
 #     incremental growing-index dedup (localCheckpoint'ed result +
 #     per-writer dynamic partition overwrite in the accreting-index
@@ -56,8 +57,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     under these rows changed), and the three keyed-temp-dir queries
 #     (SPARK_GRAFT_CONCURRENT key path added);
 #   - ALL 30 r1-latest rows — the stalest evidence in the ledger (the
-#     relational/window/set-op suites last driver-proven in round 1)
-#     plus the r3-latest as-of join;
+#     relational/window/set-op suites last driver-proven in round 1);
 #   - flagship §2.11 continuity rows.
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
@@ -70,6 +70,7 @@ _WINDOW = [
     "dedup_semantic",
     "multimodal_phash_dedup",
     "events_variant_stats",
+    "dedup_fuzzy_pairs",
     # --- r6 code changes: incremental dedup + accreting index
     "stream_dedup_docs_incremental",
     # --- r6 code changes: collapse family (memoized clone probe)
@@ -115,8 +116,6 @@ _WINDOW = [
     "math_functions_suite",
     "orders_above_segment_avg",
     "multimodal_frame_sample",
-    # --- r3-latest: the as-of join
-    "asof_purchase_prior_view",
     # --- flagship §2.11 continuity
     "term_stats_ngram",
     "normalize_corpus",

@@ -506,3 +506,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, portable_hyperplanes(64, 16, salt="s"), threshold=0.4
     )
+
+
+@query(
+    "dedup_fuzzy_pairs",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source, substr(text, 1, 16) AS pre FROM documents
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       levenshtein(x.pre, y.pre)::INT AS dist
+FROM p x JOIN p y
+  ON x.source = y.source AND x.doc_id < y.doc_id
+ AND abs(len(x.pre) - len(y.pre)) <= 6
+WHERE levenshtein(x.pre, y.pre) <= 6
+""",
+)
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-pair detection by edit distance on the document's
+    16-char prefix (the title/head field stand-in), source-blocked —
+    the entity-resolution verify stage
+    (operators/dedup.py:edit_distance_pairs): length-band prune, then
+    the engine's banded O(k·n) DP via the levenshtein threshold form.
+    Exact integer distances under the value-hash gate; 31/34 pairs at
+    sf0.001/sf0.01, so the DP and both prunes are genuinely
+    exercised."""
+    from vspace_spark.operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs, F.substring("text", 1, 16), block=["source"], max_dist=6
+    )
