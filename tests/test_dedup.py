@@ -696,3 +696,43 @@ def test_edit_distance_pairs_planted(spark):
     assert got[(2, 5)] == got[(1, 2)] == 4
     assert not any(3 in p for p in got)   # block isolation
     assert not any(4 in p for p in got)   # edit distance > budget
+
+
+def test_edit_distance_pairs_collapse_matches_raw(spark):
+    """Exact-collapse prepass for edit_distance_pairs is
+    output-identical to the raw path on planted clone groups (clones
+    of a pairing key, clones of a non-pairing key, cross-block
+    twins)."""
+    from pyspark.sql import functions as F
+
+    from vspace_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "s1", "kitten and friends"),
+        (2, "s1", "kitten and friends"),    # clone of 1
+        (3, "s1", "kitten and friendx"),    # clone group pairs with 1/2
+        (4, "s1", "kitten and friendx"),
+        (5, "s1", "zzzzzzzzzzzzzzzzzz"),    # far from everything
+        (6, "s1", "zzzzzzzzzzzzzzzzzz"),    # ...but clone of 5
+        (7, "s2", "kitten and friends"),    # other block
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    key = F.substring("text", 1, 16)
+    raw = {
+        tuple(r)
+        for r in edit_distance_pairs(
+            docs, key, block=["source"], max_dist=4, collapse_exact=False
+        ).collect()
+    }
+    col = {
+        tuple(r)
+        for r in edit_distance_pairs(
+            docs, key, block=["source"], max_dist=4, collapse_exact=True
+        ).collect()
+    }
+    assert col == raw
+    assert (1, 2, 0) in col and (5, 6, 0) in col   # intra-group zeros
+    assert (1, 3, 0) in col  # 16-char prefixes identical here
+    assert not any(7 in (a, b) for a, b, _ in col)

@@ -1142,6 +1142,7 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     block: list[str] | tuple = ("source",),
     max_dist: int = 6,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Fuzzy (edit-distance) near-pairs — the entity-resolution
     primitive: pairs within a blocking key whose ``key`` expressions
@@ -1155,8 +1156,34 @@ def edit_distance_pairs(
     scale the blocking key is an upstream LSH/MinHash bucket or qgram
     signature (this module), with this operator as the verify stage.
 
+    ``collapse_exact`` (default, probe-gated like the family): rows
+    with identical ``key`` values collapse per (block, md5(key))
+    before the self-join and expand back output-identically —
+    cross-group pairs inherit their canonicals' distance (identical
+    keys ⇒ identical DP), intra-group pairs are exactly 0 ≤ any
+    budget. A clone group of k costs k² only in output rows, never
+    in DP evaluations — without it the 100×-replica corpus (99
+    verbatim clones per doc) runs 100² DPs per base pair.
+
     Returns ``[a, b, dist]``, a < b, dist ≤ max_dist.
     """
+    if collapse_exact and not _clone_light(docs, key):
+        with_key = docs.select(
+            F.col(id_col), *block, key.alias("_ckey")
+        )
+        canon_docs, members = _collapse_by_key(
+            with_key, id_col, ["_ckey"], F.md5(F.col("_ckey")),
+            block=list(block),
+        )
+        raw = edit_distance_pairs(
+            canon_docs,
+            F.col("_ckey"),
+            id_col=id_col,
+            block=list(block),
+            max_dist=max_dist,
+            collapse_exact=False,
+        )
+        return _expand_pairs(raw, members, {"dist": F.lit(0)})
     keyed = docs.select(
         F.col(id_col).alias("_id"), *block, key.alias("_k")
     )
