@@ -44,7 +44,7 @@ EXPECTED_QUERIES = {
     # new in r6: SemDeDup, perceptual-hash, fuzzy edit-distance,
     # variant-typed JSON stats
     "dedup_semantic", "multimodal_phash_dedup", "dedup_fuzzy_pairs",
-    "events_variant_stats",
+    "events_variant_stats", "dedup_semantic_fast",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "embedding_norms", "ml_tfidf_features",
@@ -94,7 +94,7 @@ EXPECTED_QUERIES = {
 ROWS_ONLY = {
     "approx_distinct_users", "dedup_minhash_lsh_fast", "dedup_simhash_fast",
     "ann_lsh_top5_fast", "ann_bruteforce_top5_fast", "ann_ivf_top5",
-    "ann_ivf_pq_top5_fast", "ml_tfidf_features",
+    "ann_ivf_pq_top5_fast", "ml_tfidf_features", "dedup_semantic_fast",
     # multimodal_features left this set in r4: the exact md5-byte
     # projection made the inference path fully oracled
 }

@@ -736,3 +736,63 @@ def test_edit_distance_pairs_collapse_matches_raw(spark):
     assert (1, 2, 0) in col and (5, 6, 0) in col   # intra-group zeros
     assert (1, 3, 0) in col  # 16-char prefixes identical here
     assert not any(7 in (a, b) for a, b, _ in col)
+
+
+def test_semantic_dedup_arrow_agrees_with_fold(spark, sf_dir):
+    """The Arrow/matmul engine (production path, rows-only) produces
+    the IDENTICAL output to the oracle-checked fold engine on the
+    fixture — cell assignments, keep flags, and duplicate_of all
+    match (the fixture's cosines and centroid margins are far from
+    the tie boundaries where BLAS order could flip a decision)."""
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = portable_hyperplanes(64, 16, salt="s")
+    fold = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centers, threshold=0.4, engine="fold"
+        ).collect()
+    }
+    arrow = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centers, threshold=0.4, engine="arrow"
+        ).collect()
+    }
+    assert arrow == fold
+    assert any(not kept for (_, _, kept, _) in fold)  # non-vacuous
+
+
+def test_semantic_dedup_arrow_collapse_on_planted_clones(spark):
+    """The arrow engine composes with the shared collapse prepass:
+    planted verbatim clones come back dropped against their canonical
+    with the closed-form duplicate_of, identical to the fold engine."""
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.98, 0.199] + [0.0] * (dim - 2)
+    rows = [(1, base), (2, base), (3, near), (4, near), (5, [0.0] * dim)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    centers = portable_hyperplanes(dim, 16, salt="s")
+    fold = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centers, threshold=0.9, engine="fold"
+        ).collect()
+    }
+    arrow = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, centers, threshold=0.9, engine="arrow"
+        ).collect()
+    }
+    assert arrow == fold
+    by_id = {t[0]: t for t in arrow}
+    assert by_id[2][3] == 1 and by_id[4][3] == 1
+    assert by_id[5][2] is True  # zero vector kept

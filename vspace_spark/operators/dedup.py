@@ -984,6 +984,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     collapse_exact: bool = True,
+    engine: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -1028,6 +1029,19 @@ def semantic_dedup(
     qualifies identically. Output-identical to the raw path
     (planted-fixture equality test); a clone group of k costs k only
     in output rows instead of k² in cosine folds.
+
+    ``engine``: ``"fold"`` (default) scores with the exact
+    left-to-right column-expression folds the DuckDB oracle mirrors
+    bit-for-bit — the oracle-checked path. ``"arrow"`` assigns cells
+    with one numpy matmul per Arrow batch and scores each cell with
+    one Gram matmul in ``applyInPandas`` — the production hot path
+    (the interpreted folds are the measured floor, PERF.md round 6);
+    rows-only by design, since BLAS summation order can flip
+    near-ties at the threshold or between equidistant centroids. The
+    collapse prepass and expansion are shared by both engines.
+    NOTE (arrow): each cell's vectors materialize in one Python
+    worker — bounded by K ∝ N keeping cell sizes fixed, the same
+    contract the fold path's Σ|cell|² cost already requires.
     """
     from vspace_spark.operators.similarity import _cell_dist_structs
 
@@ -1070,7 +1084,7 @@ def semantic_dedup(
         # (measured 100 s → see PERF.md round 6)
         core = semantic_dedup(
             core_in, centers, id_col, vec_col, threshold,
-            collapse_exact=False,
+            collapse_exact=False, engine=engine,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         core.count()  # bounded-collect: one scalar, forces the cache
         # expand: members join their canonical's row; non-canonical
@@ -1091,6 +1105,13 @@ def semantic_dedup(
             members.select(F.col("_m").alias(id_col)), id_col, "left_anti"
         )
         return expanded.unionByName(zeros)
+
+    if engine == "arrow":
+        return _semantic_dedup_arrow_raw(
+            embeddings, centers, id_col, vec_col, threshold
+        )
+    if engine != "fold":
+        raise ValueError(f"unknown engine: {engine}")
 
     from pyspark import StorageLevel
 
@@ -1205,4 +1226,94 @@ def edit_distance_pairs(
         left.join(right, cond)
         .select("a", "b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)  # threshold form returns -1 past k
+    )
+
+
+def _semantic_dedup_arrow_raw(
+    embeddings: DataFrame,
+    centers: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Arrow/numpy engine for :func:`semantic_dedup`'s raw core (see
+    its docstring): matmul cell assignment per Arrow batch, one Gram
+    matmul per cell for the pairwise pass. Closures are
+    self-contained (no module globals) so executor workers need no
+    importable vspace_spark (NOTES.md seam #2). Assumes non-null
+    vectors (like the other Arrow twins); zero-norm vectors never
+    pair and come out kept."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    centers_rows = [list(map(float, c)) for c in centers]
+    th = float(threshold)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        C = _np.asarray(centers_rows, dtype=_np.float64)  # K×D
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["_vin"]]
+            )
+            # ||v−c||² = ||v||² − 2 v·c + ||c||²; argmin unaffected by
+            # the shared ||v||² term, ties break to the lowest cell id
+            # (np.argmin picks the first minimum)
+            d = (C * C).sum(1)[None, :] - 2.0 * (V @ C.T)
+            yield _pd.DataFrame(
+                {
+                    "_id": pdf["_idin"].astype("int64"),
+                    "cell": d.argmin(1).astype("int32"),
+                    "_v": list(V.astype(_np.float64)),
+                }
+            )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        V = _np.stack(
+            [_np.asarray(v, dtype=_np.float64) for v in pdf["_v"]]
+        )
+        ids = pdf["_id"].to_numpy()
+        norms = _np.sqrt((V * V).sum(1))
+        nz = norms > 0
+        n = len(ids)
+        dup = _np.full(n, -1, dtype=_np.int64)
+        if nz.any():
+            Vn = _np.zeros_like(V)
+            Vn[nz] = V[nz] / norms[nz, None]
+            S = Vn @ Vn.T
+            mask = (S >= th) & nz[:, None] & nz[None, :]
+            _np.fill_diagonal(mask, False)
+            for j in range(1, n):
+                smaller = _np.nonzero(mask[j, :j])[0]
+                if len(smaller):
+                    dup[j] = ids[smaller[0]]  # ids sorted → first = min
+        return _pd.DataFrame(
+            {
+                "_id": ids,
+                "cell": pdf["cell"].astype("int32"),
+                "kept": dup < 0,
+                "duplicate_of": _pd.array(
+                    [None if d < 0 else int(d) for d in dup],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("_idin"), F.col(vec_col).alias("_vin")
+    ).mapInPandas(assign, "_id long, cell int, _v array<double>")
+    out = assigned.groupBy("cell").applyInPandas(
+        cell_pairs, "_id long, cell int, kept boolean, duplicate_of long"
+    )
+    return out.select(
+        F.col("_id").alias(id_col), "cell", "kept", "duplicate_of"
     )

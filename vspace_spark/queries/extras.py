@@ -692,3 +692,27 @@ def ann_ivf_pq_top5_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_probe_arrow(
         emb.filter(F.col("vec_id") < 10), index, pc_rows, k=5
     )
+
+
+@query("dedup_semantic_fast")  # matmul assign + Gram scoring — no SQL twin
+def dedup_semantic_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup path: numpy matmul cell assignment per
+    Arrow batch + one Gram matmul per cell in applyInPandas
+    (operators/dedup.py:semantic_dedup engine='arrow'), replacing the
+    interpreted per-pair cosine folds that are the measured floor of
+    the oracle-checked twin (PERF.md round 6). Rows-only by design —
+    BLAS summation order can flip near-ties at the threshold or
+    between equidistant centroids; tests/test_dedup.py pins full
+    output agreement with the oracle-checked `dedup_semantic` on the
+    fixture (margins are clear there) and on planted clones. Shares
+    the exact-collapse prepass with the fold engine."""
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        portable_hyperplanes(64, 16, salt="s"),
+        threshold=0.4,
+        engine="arrow",
+    )
