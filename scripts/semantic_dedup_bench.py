@@ -1,0 +1,98 @@
+"""Semantic-dedup scale bench (PERF.md round 6).
+
+Measures `semantic_dedup` over the embeddings table at native sf and
+the key-shifted 10×/100× replica sets (bench.py:materialize_scaled_sf)
+across three variants:
+
+- fold engine, collapse_exact=False  (the raw oracle-shape plan —
+  DNFs at 100×: interpreted argmin over every row + clone-quadratic
+  in-cell join)
+- fold engine, collapse_exact=True   (the oracle-checked default)
+- arrow engine                       (production: matmul assignment +
+  per-cell Gram matmul, shares the collapse prepass)
+
+Forcing note (recorded in PERF.md): a bare count() on this operator's
+output measures NOTHING — Catalyst eliminates the final left join
+(unique right keys, no right columns referenced). Force with an
+aggregate that references the output columns.
+
+Usage:
+  python scripts/semantic_dedup_bench.py [--raw] [--dirs DIR ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+
+def force(df):
+    """Full-plan forcing: hash every output column (decimal sum so the
+    aggregate cannot overflow under ANSI mode)."""
+    return df.agg(
+        F.sum(
+            F.xxhash64("vec_id", "cell", "kept", "duplicate_of").cast(
+                "decimal(38,0)"
+            )
+        )
+    ).collect()[0][0]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--dirs",
+        nargs="+",
+        default=[
+            "/root/testdata/sf0.1",
+            "/tmp/bench_scaled_sf0.1_x10",
+            "/tmp/bench_scaled_sf0.1_x100",
+        ],
+    )
+    ap.add_argument(
+        "--raw",
+        action="store_true",
+        help="also run the collapse-free fold path (DNF risk at 100x)",
+    )
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from vspace_spark.io.tables import load_table
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+    from vspace_spark.session import get_spark
+
+    spark = get_spark("semantic-dedup-bench")
+    centers = portable_hyperplanes(64, 16, salt="s")
+    variants = [("fold+collapse", dict(engine="fold"))]
+    if args.raw:
+        variants.insert(
+            0, ("fold raw", dict(engine="fold", collapse_exact=False))
+        )
+    variants.append(("arrow", dict(engine="arrow")))
+
+    for d in args.dirs:
+        emb = load_table(spark, d, "embeddings")
+        n = emb.count()
+        for label, kw in variants:
+            times = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                force(semantic_dedup(emb, centers, threshold=0.4, **kw))
+                times.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            print(
+                f"{d} ({n} vecs) {label}: "
+                f"min {min(times):.1f}s reps {[round(t,1) for t in times]}",
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
