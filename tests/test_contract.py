@@ -44,7 +44,7 @@ EXPECTED_QUERIES = {
     # new in r6: SemDeDup, perceptual-hash, fuzzy edit-distance,
     # variant-typed JSON stats
     "dedup_semantic", "multimodal_phash_dedup", "dedup_fuzzy_pairs",
-    "events_variant_stats", "dedup_semantic_fast",
+    "events_variant_stats", "dedup_semantic_fast", "corpus_pmi_bigrams",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "embedding_norms", "ml_tfidf_features",

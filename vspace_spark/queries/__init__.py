@@ -46,9 +46,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
 # Round-6 window composition (re-prove-what-changed + oldest evidence):
-#   - the four queries ADDED in round 6 (dedup_semantic,
+#   - the five queries ADDED in round 6 (dedup_semantic,
 #     multimodal_phash_dedup, events_variant_stats,
-#     dedup_fuzzy_pairs);
+#     dedup_fuzzy_pairs, corpus_pmi_bigrams);
 #   - every query whose implementation changed in round 6: the
 #     incremental growing-index dedup (localCheckpoint'ed result +
 #     per-writer dynamic partition overwrite in the accreting-index
@@ -56,8 +56,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     now memoized per plan — cost-only by construction, but the code
 #     under these rows changed), and the three keyed-temp-dir queries
 #     (SPARK_GRAFT_CONCURRENT key path added);
-#   - ALL 30 r1-latest rows — the stalest evidence in the ledger (the
-#     relational/window/set-op suites last driver-proven in round 1);
+#   - 29 of the 30 r1-latest rows — the stalest evidence in the
+#     ledger (the relational/window/set-op suites last driver-proven
+#     in round 1; monthly_revenue yielded its slot to the late-added
+#     corpus_pmi_bigrams and rotates in r7 with the as-of join);
 #   - flagship §2.11 continuity rows.
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
@@ -71,6 +73,7 @@ _WINDOW = [
     "multimodal_phash_dedup",
     "events_variant_stats",
     "dedup_fuzzy_pairs",
+    "corpus_pmi_bigrams",
     # --- r6 code changes: incremental dedup + accreting index
     "stream_dedup_docs_incremental",
     # --- r6 code changes: collapse family (memoized clone probe)
@@ -85,7 +88,7 @@ _WINDOW = [
     "corpus_job_ini",
     "corpus_jsonl_roundtrip",
     "shard_manifest",
-    # --- r1-latest rows (all 30): stalest driver evidence
+    # --- r1-latest rows (29 of 30): stalest driver evidence
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_nation_revenue",
@@ -95,7 +98,6 @@ _WINDOW = [
     "min_cost_supplier_per_part",
     "merge_upsert_orders",
     "daily_revenue_gapfilled",
-    "monthly_revenue",
     "top3_orders_per_customer",
     "customer_running_spend",
     "trailing_30d_spend",

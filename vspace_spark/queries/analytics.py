@@ -1441,3 +1441,89 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_millis(ts) div 60000").alias("y"),
     )
     return b.select("event_id", morton_key("x", "y").alias("zkey"))
+
+
+@query(
+    "corpus_pmi_bigrams",
+    oracle="""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS tok FROM toks),
+uc AS (SELECT tok, count(*)::BIGINT AS c FROM uni GROUP BY tok),
+n AS (SELECT sum(c)::BIGINT AS n FROM uc),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (SELECT bigram, count(*)::BIGINT AS c_ab FROM bi GROUP BY bigram
+       HAVING count(*) >= 5),
+scored AS (
+  SELECT bc.bigram, bc.c_ab, a.c AS c_a, b.c AS c_b,
+         CAST(bc.c_ab AS DOUBLE) * n.n
+           / (CAST(a.c AS DOUBLE) * b.c) AS r
+  FROM bc
+  JOIN uc a ON a.tok = string_split(bc.bigram, ' ')[1]
+  JOIN uc b ON b.tok = string_split(bc.bigram, ' ')[2]
+  CROSS JOIN n
+)
+SELECT bigram, c_ab, c_a, c_b, round(r, 6) AS pmi_ratio
+FROM scored ORDER BY r DESC, bigram LIMIT 20
+""",
+)
+def corpus_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction — top-20 bigrams by the PMI ratio
+    ``c_ab·N / (c_a·c_b)`` (∝ pointwise mutual information with the
+    constant B/N factor dropped; vocabulary/tokenizer-merge signal).
+    Exact integer counts feed ONE correctly-rounded IEEE division, so
+    the score — and therefore the top-20 cut with its (ratio, bigram)
+    tie-break — is bit-identical across engines with no log() (libm
+    results are not portable; the ratio orders identically to the
+    log). Plan shape: two hash aggs (unigrams, bigrams), two
+    broadcast-able joins back on the gram's words, a broadcast
+    single-row N, and TakeOrderedAndProject for the top-k — no global
+    window, no single-partition stage."""
+    from vspace_spark.functions.text import ngrams_col, tokenize_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize_col("text").alias("t"))
+    uc = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = uc.agg(F.sum("c").alias("n"))
+    bc = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(ngrams_col(F.col("t"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    first = F.split("bigram", " ")[0]
+    second = F.split("bigram", " ")[1]
+    scored = (
+        bc.join(uc.select(F.col("tok").alias("_ta"), F.col("c").alias("c_a")),
+                first == F.col("_ta"))
+        .join(uc.select(F.col("tok").alias("_tb"), F.col("c").alias("c_b")),
+              second == F.col("_tb"))
+        # scalar-subquery pattern: broadcast single-row aggregate
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.col("c_ab").cast("double") * F.col("n")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ).alias("_r"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_r"), "bigram")
+        .limit(20)
+        .select(
+            "bigram", "c_ab", "c_a", "c_b",
+            F.round("_r", 6).alias("pmi_ratio"),
+        )
+    )
