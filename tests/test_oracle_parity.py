@@ -47,9 +47,63 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _types_compatible(spark_dt, duck_t: str):
+    """Is the DuckDB oracle column type hash-safe against the Spark one?
+
+    The driver's value-hash canonicalizes both results column-by-column;
+    types that canonicalize identically (integer widths, date/timestamp
+    family) are fine, but a DuckDB HUGEINT (INT128 — what list_sum over
+    BIGINT returns) or a one-sided DECIMAL does NOT round-trip the same
+    way as Spark's long/double and produces a values-identical-but-
+    hash-red driver row (round-6 `multimodal_phash_dedup` lesson).
+    Returns True / False / None (unknown pairing — treated as failure
+    so new type shapes get an explicit allowance here).
+    """
+    import pyspark.sql.types as T
+
+    duck_t = duck_t.upper()
+    integral = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+    temporal = duck_t == "DATE" or duck_t.startswith("TIMESTAMP")
+    if "HUGEINT" in duck_t:
+        return False
+    if isinstance(spark_dt, (T.LongType, T.IntegerType, T.ShortType,
+                             T.ByteType)):
+        return duck_t in integral
+    if isinstance(spark_dt, (T.DoubleType, T.FloatType)):
+        return duck_t in ("FLOAT", "DOUBLE")
+    if isinstance(spark_dt, T.DecimalType):
+        return duck_t.startswith("DECIMAL")
+    if isinstance(spark_dt, T.StringType):
+        return duck_t == "VARCHAR"
+    if isinstance(spark_dt, T.BooleanType):
+        return duck_t == "BOOLEAN"
+    if isinstance(spark_dt, (T.DateType, T.TimestampType,
+                             T.TimestampNTZType)):
+        return temporal
+    if isinstance(spark_dt, T.ArrayType):
+        return duck_t.endswith("[]")
+    if isinstance(spark_dt, T.BinaryType):
+        return duck_t == "BLOB"
+    return None
+
+
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_query_matches_oracle(name, spark, duck, sf_dir):
-    got = _canon(QUERIES[name](spark, sf_dir).toPandas())
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_types = {f.name: f.dataType for f in sdf.schema.fields}
+    rel = duck.sql(ORACLES[name])
+    for col, duck_t in zip(rel.columns, (str(t) for t in rel.types)):
+        assert col in spark_types, (
+            f"{name}: oracle column {col!r} missing from Spark schema"
+        )
+        ok = _types_compatible(spark_types[col], duck_t)
+        assert ok is True, (
+            f"{name}.{col}: oracle type {duck_t} is not hash-safe against"
+            f" Spark {spark_types[col].simpleString()} (compat={ok});"
+            " cast the oracle (e.g. ::BIGINT over list_sum) or align the"
+            " Spark side"
+        )
+    got = _canon(sdf.toPandas())
     want = _canon(duck.execute(ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"

@@ -165,9 +165,14 @@ WITH g AS (
 ),
 h AS (
   SELECT doc_id,
+         -- ::BIGINT: list_sum over BIGINT returns HUGEINT (INT128) in
+         -- DuckDB; the 60-bit value fits BIGINT exactly, and the cast
+         -- keeps the oracle's column type identical to Spark's long
+         -- (the driver's value-hash canonicalizes HUGEINT differently
+         -- even when values match — round-6 red-row root cause).
          list_sum(list_transform(range(0, 60),
            i -> CASE WHEN gray[i + 1] * 64 > list_sum(gray)
-                THEN (1::BIGINT << i) ELSE 0 END)) AS phash
+                THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS phash
   FROM g
 ),
 k AS (SELECT phash, min(doc_id) AS keeper_id FROM h GROUP BY phash)
