@@ -796,3 +796,185 @@ def test_semantic_dedup_arrow_collapse_on_planted_clones(spark):
     by_id = {t[0]: t for t in arrow}
     assert by_id[2][3] == 1 and by_id[4][3] == 1
     assert by_id[5][2] is True  # zero vector kept
+
+
+# ---------------------------------------------------------------------------
+# Clone-probe memo contract (ADVICE r6): every _clone_light caller's
+# collapsed path must be output-identical to its raw path (uncapped),
+# because a stale or hash-collided memo verdict flips WHICH path runs —
+# identity is what makes that cost-only. The registry test makes the
+# invariant structural: a new caller fails CI until it registers an
+# equality test here.
+# ---------------------------------------------------------------------------
+
+
+def _clone_heavy_corpus(spark):
+    """Fixture dense enough in verbatim clones that the probe selects
+    the collapse (distinct/total ≈ 0.3): two clone groups, a near-dup
+    bridging into each, and singletons."""
+    base = [f"w{i}" for i in range(30)]
+    t1 = " ".join(base)
+    t1_near = " ".join(w if i != 15 else "xx" for i, w in enumerate(base))
+    t2 = " ".join(f"v{i}" for i in range(30))
+    t2_near = " ".join(
+        f"v{i}" if i != 7 else "yy" for i in range(30)
+    )
+    rows = (
+        [(i, t1) for i in range(1, 6)]
+        + [(6, t1_near)]
+        + [(10 + i, t2) for i in range(5)]
+        + [(16, t2_near)]
+        + [(20, "solo alpha beta gamma delta unique text here")]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_collapse_matches_raw_uncapped(spark):
+    """minhash_lsh_pairs (xxhash64 and portable): without a bucket cap
+    the collapsed and raw paths must emit identical (a, b, est_jaccard)
+    sets — the output-identity invariant the clone probe relies on."""
+    from vspace_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    corpus = _clone_heavy_corpus(spark)
+    for fn, kw in [
+        (minhash_lsh_pairs, dict(num_hashes=64, bands=16)),
+        (minhash_lsh_pairs_portable, dict(num_hashes=32, bands=8)),
+    ]:
+        collapsed = {
+            (r.a, r.b, round(r.est_jaccard, 9))
+            for r in fn(corpus, collapse_exact=True, **kw).collect()
+        }
+        raw = {
+            (r.a, r.b, round(r.est_jaccard, 9))
+            for r in fn(corpus, collapse_exact=False, **kw).collect()
+        }
+        assert collapsed == raw, f"{fn.__name__}: {collapsed ^ raw}"
+        # non-vacuous: clone intra-pairs AND a cross near-dup pair
+        pairs = {(a, b) for a, b, _ in collapsed}
+        assert {(1, 2), (1, 6)} <= pairs
+
+
+def test_simhash_collapse_matches_raw_uncapped(spark):
+    """simhash_near_pairs (64-bit and 60-bit portable): uncapped
+    collapse/raw identity over (a, b, hamming)."""
+    from vspace_spark.operators.dedup import simhash_near_pairs_portable
+
+    corpus = _clone_heavy_corpus(spark)
+    for fn in (simhash_near_pairs, simhash_near_pairs_portable):
+        collapsed = {
+            (r.a, r.b, r.hamming)
+            for r in fn(corpus, collapse_exact=True).collect()
+        }
+        raw = {
+            (r.a, r.b, r.hamming)
+            for r in fn(corpus, collapse_exact=False).collect()
+        }
+        assert collapsed == raw, f"{fn.__name__}: {collapsed ^ raw}"
+        assert {(1, 2), (10, 11)} <= {(a, b) for a, b, _ in collapsed}
+
+
+# caller -> the test (in this module or test_properties.py) pinning
+# collapsed/raw output identity for that caller's uncapped path
+_CLONE_LIGHT_IDENTITY_TESTS = {
+    "shingle_pairs_jaccard": (
+        "test_jaccard_exact_collapse_matches_uncollapsed_oracle"
+    ),
+    "minhash_lsh_pairs": "test_minhash_collapse_matches_raw_uncapped",
+    "minhash_lsh_pairs_portable": (
+        "test_minhash_collapse_matches_raw_uncapped"
+    ),
+    "simhash_near_pairs": "test_simhash_collapse_matches_raw_uncapped",
+    "simhash_near_pairs_portable": (
+        "test_simhash_collapse_matches_raw_uncapped"
+    ),
+    "embedding_near_pairs": "test_embedding_collapse_matches_raw_pairs",
+    "semantic_dedup": "test_semantic_dedup_collapse_matches_raw",
+    "edit_distance_pairs": "test_edit_distance_pairs_collapse_matches_raw",
+    "dedup_keep_best": (
+        "test_keep_best_exact_collapse_matches_uncollapsed_oracle"
+    ),
+}
+
+
+def test_every_clone_light_caller_has_identity_test():
+    """Structural guard: AST-walk vspace_spark for _clone_light call
+    sites; every enclosing function must appear in
+    _CLONE_LIGHT_IDENTITY_TESTS, and every registered test must exist.
+    A stale memo verdict only changes cost — never results — BECAUSE
+    each caller's collapsed path is output-identical to its raw path;
+    this test is what keeps that invariant load-bearing rather than
+    assumed (ADVICE r6)."""
+    import ast
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "vspace_spark")
+    callers = set()
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                if not isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ):
+                    continue
+                for sub in ast.walk(node):
+                    if (
+                        isinstance(sub, ast.Call)
+                        and getattr(sub.func, "id", "") == "_clone_light"
+                    ):
+                        callers.add(node.name)
+    callers.discard("_clone_light")
+    unregistered = callers - set(_CLONE_LIGHT_IDENTITY_TESTS)
+    assert not unregistered, (
+        f"_clone_light callers without a registered collapsed==raw "
+        f"identity test: {sorted(unregistered)} — add the test and "
+        f"register it in _CLONE_LIGHT_IDENTITY_TESTS"
+    )
+    here = open(__file__).read()
+    props = open(
+        os.path.join(os.path.dirname(__file__), "test_properties.py")
+    ).read()
+    for caller, test in _CLONE_LIGHT_IDENTITY_TESTS.items():
+        assert f"def {test}(" in here or f"def {test}(" in props, (
+            f"{caller}: registered identity test {test} does not exist"
+        )
+
+
+def test_clear_clone_probe_memo(spark):
+    """The public memo-clear hook empties the verdict cache so a
+    long-lived session that re-stages data under an identical plan
+    re-probes (ADVICE r6)."""
+    from vspace_spark.operators.dedup import (
+        _CLONE_LIGHT_MEMO,
+        _clone_light,
+        clear_clone_probe_memo,
+    )
+
+    corpus = _clone_heavy_corpus(spark)
+    assert _clone_light(corpus, "text") is False  # clone-heavy
+    assert len(_CLONE_LIGHT_MEMO) >= 1
+    clear_clone_probe_memo()
+    assert _CLONE_LIGHT_MEMO == {}
+
+
+def test_semantic_dedup_arrow_rejects_non_integral_ids(spark):
+    """engine='arrow' round-trips ids through int64; string ids must
+    raise a clear TypeError up front instead of failing in a worker
+    (or silently re-typing digit strings) — ADVICE r6."""
+    import pytest
+
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    centers = portable_hyperplanes(2, 4, salt="s")
+    with pytest.raises(TypeError, match="integral"):
+        semantic_dedup(emb, centers, engine="arrow")
+    # fold path accepts the same frame
+    assert semantic_dedup(emb, centers, engine="fold").count() == 2

@@ -152,6 +152,22 @@ _CLONE_LIGHT_MEMO: dict[tuple[int, str], bool] = {}
 _CLONE_LIGHT_MEMO_CAP = 256
 
 
+def clear_clone_probe_memo() -> None:
+    """Drop every memoized clone-density verdict.
+
+    The memo is keyed by (plan semanticHash, key expr) and never
+    invalidated, so a verdict survives mutation of the underlying
+    files read through an identical plan (a re-staged fixture, a
+    growing source). That staleness is cost-only TODAY because every
+    collapse-capable caller guarantees collapsed/raw output identity —
+    an invariant each caller must register an equality test for (see
+    tests/test_dedup.py::test_every_clone_light_caller_has_identity_test).
+    Long-lived sessions that re-stage data under unchanged paths
+    (foreachBatch loops, notebook reruns) can call this to re-probe.
+    """
+    _CLONE_LIGHT_MEMO.clear()
+
+
 def _clone_light(docs: DataFrame, key) -> bool:
     """Scalar probe (bounded-collect: one aggregated row) deciding
     whether the exact-collapse prepass pays for itself on this corpus:
@@ -1041,9 +1057,35 @@ def semantic_dedup(
     collapse prepass and expansion are shared by both engines.
     NOTE (arrow): each cell's vectors materialize in one Python
     worker — bounded by K ∝ N keeping cell sizes fixed, the same
-    contract the fold path's Σ|cell|² cost already requires.
+    contract the fold path's Σ|cell|² cost already requires. The
+    arrow engine also requires an INTEGRAL ``id_col`` (ids round-trip
+    through an int64 pandas column); non-integral ids raise up front —
+    use the fold engine for string/decimal ids.
+
+    Cache lifetime: both engines persist an intermediate
+    (``assigned`` on the fold path, the collapsed ``core`` otherwise)
+    that backs the RETURNED DataFrame's lineage, so it cannot be
+    unpersisted here. The blocks are MEMORY_AND_DISK and evict under
+    pressure, but a long-lived session invoking this repeatedly (e.g.
+    foreachBatch) accretes them — callers that hold results across
+    invocations should checkpoint/write the result and
+    ``spark.catalog.clearCache()`` between batches (the pattern
+    streaming/incremental.py uses via localCheckpoint).
     """
     from vspace_spark.operators.similarity import _cell_dist_structs
+
+    if engine == "arrow":
+        # the arrow path round-trips ids through an int64 pandas column
+        # (mapInPandas schema "_id long") where the fold path works
+        # with any orderable id type — fail loudly up front instead of
+        # erroring inside a worker or silently re-typing digit strings
+        id_type = dict(embeddings.dtypes).get(id_col)
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(
+                f"semantic_dedup(engine='arrow') requires an integral "
+                f"{id_col!r} (got {id_type}); use engine='fold' for "
+                f"non-integral ids"
+            )
 
     if (
         collapse_exact
