@@ -60,6 +60,27 @@ def main() -> None:
         help="also run the collapse-free fold path (DNF risk at 100x)",
     )
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--scaled-k",
+        action="store_true",
+        help="size the codebook K = max(16, N/512) per dir (the "
+        "registered query's K prop N contract) instead of pinning "
+        "K=16 — holds mean cell size constant so Sigma|cell|^2 stays "
+        "linear in N; fixed K makes it quadratic (VERDICT r6 #4)",
+    )
+    ap.add_argument(
+        "--synthetic",
+        type=str,
+        default=None,
+        metavar="N1,N2,...",
+        help="bench on N DISTINCT deterministic vectors instead of the "
+        "parquet dirs (the replica sets are verbatim clones, which the "
+        "collapse prepass absorbs — distinct vectors are what exercise "
+        "the in-cell quadratic term the K prop N contract bounds). "
+        "Runs the arrow engine with K prop N vs fixed K=16; fixed-K "
+        "is skipped where its per-cell Gram matrix would not fit "
+        "(8*(N/16)^2 bytes), which is itself the point.",
+    )
     args = ap.parse_args()
 
     from vspace_spark.io.tables import load_table
@@ -68,7 +89,59 @@ def main() -> None:
     from vspace_spark.session import get_spark
 
     spark = get_spark("semantic-dedup-bench")
-    centers = portable_hyperplanes(64, 16, salt="s")
+
+    if args.synthetic:
+        dim = 64
+        for n in [int(s) for s in args.synthetic.split(",")]:
+            vecs = (
+                spark.range(n)
+                .repartition(64)
+                .select(
+                    F.col("id").alias("vec_id"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (
+                            F.xxhash64(F.col("id"), i) % 1000
+                        ).cast("float")
+                        / 500.0,
+                    ).alias("embedding"),
+                )
+                .persist()
+            )
+            vecs.count()
+            for mode, k in [("K=N/512", max(16, n // 512)), ("K=16", 16)]:
+                gram_gb = 8 * (n / k) ** 2 / 1e9
+                if gram_gb > 8:
+                    print(
+                        f"synthetic n={n} arrow {mode} (K={k}): SKIP — "
+                        f"per-cell Gram would be {gram_gb:.0f} GB "
+                        f"(the fixed-K quadratic term itself)",
+                        flush=True,
+                    )
+                    continue
+                times = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    force(
+                        semantic_dedup(
+                            vecs,
+                            portable_hyperplanes(dim, k, salt="s"),
+                            threshold=0.95,
+                            engine="arrow",
+                        )
+                    )
+                    times.append(time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                    vecs.persist().count()
+                print(
+                    f"synthetic n={n} arrow {mode} (K={k}): "
+                    f"min {min(times):.1f}s "
+                    f"reps {[round(t, 1) for t in times]}",
+                    flush=True,
+                )
+            vecs.unpersist()
+        spark.stop()
+        return
     variants = [("fold+collapse", dict(engine="fold"))]
     if args.raw:
         variants.insert(
@@ -79,7 +152,10 @@ def main() -> None:
     for d in args.dirs:
         emb = load_table(spark, d, "embeddings")
         n = emb.count()
+        k = max(16, n // 512) if args.scaled_k else 16
+        centers = portable_hyperplanes(64, k, salt="s")
         for label, kw in variants:
+            label = f"{label} K={k}"
             times = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()

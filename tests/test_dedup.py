@@ -890,6 +890,7 @@ _CLONE_LIGHT_IDENTITY_TESTS = {
     "embedding_near_pairs": "test_embedding_collapse_matches_raw_pairs",
     "semantic_dedup": "test_semantic_dedup_collapse_matches_raw",
     "edit_distance_pairs": "test_edit_distance_pairs_collapse_matches_raw",
+    "qgram_edit_pairs": "test_qgram_edit_pairs_collapse_matches_raw",
     "dedup_keep_best": (
         "test_keep_best_exact_collapse_matches_uncollapsed_oracle"
     ),
@@ -978,3 +979,120 @@ def test_semantic_dedup_arrow_rejects_non_integral_ids(spark):
         semantic_dedup(emb, centers, engine="arrow")
     # fold path accepts the same frame
     assert semantic_dedup(emb, centers, engine="fold").count() == 2
+
+
+def test_semantic_dedup_cell_size_bounded_under_k_prop_n(spark):
+    """The K ∝ N contract (VERDICT r6 #4): growing the codebook with
+    the corpus holds per-cell membership — and therefore the in-cell
+    self-join's Σ|cell|² quadratic term — FLAT. Deterministic
+    xxhash64-derived vectors, K = N/128 at two corpus sizes: every
+    cell occupied, mean cell size exactly the 128 target, and the
+    max cell stays bounded (calibrated ~210 = 1.6× target at BOTH
+    scales) instead of growing 4× with the corpus the way fixed-K
+    cells would."""
+    from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    target = 128
+    maxes = {}
+    for n in (2048, 8192):
+        k = n // target
+        vecs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: (F.xxhash64(F.col("id"), i) % 1000).cast(
+                    "float"
+                )
+                / 500.0,
+            ).alias("embedding"),
+        )
+        out = semantic_dedup(
+            vecs,
+            portable_hyperplanes(16, k, salt="s"),
+            threshold=0.99,
+            engine="arrow",
+        )
+        sizes = [
+            r["count"] for r in out.groupBy("cell").count().collect()
+        ]  # bounded-collect: one row per cell (K rows)
+        assert len(sizes) == k  # every cell occupied
+        assert sum(sizes) == n
+        maxes[n] = max(sizes)
+        assert maxes[n] <= 4 * target, (
+            f"n={n}: max cell {maxes[n]} > 4x the {target} target"
+        )
+    # the largest cell must not scale with the corpus: fixed-K would
+    # quadruple it here, K prop N keeps it flat (within noise)
+    assert maxes[8192] <= 1.5 * maxes[2048], maxes
+
+
+def test_qgram_edit_pairs_matches_exhaustive(spark, sf_dir):
+    """qgram_edit_pairs (inverted positional q-gram index + count
+    filter + levenshtein verify) must emit exactly the pairs the
+    block-exhaustive edit_distance_pairs does whenever keys sit in the
+    guarantee domain max(len) >= q*(k+1) — the count-filter bound is a
+    sound lower bound, so candidates are a superset and the verify
+    stage trims to equality. Two parameterizations: the registered
+    query's (q=2, k=6, 16-char keys) and a more selective one
+    (q=3, k=3, 32-char keys)."""
+    from vspace_spark.operators.dedup import (
+        edit_distance_pairs,
+        qgram_edit_pairs,
+    )
+
+    docs16 = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 16
+    )
+    docs32 = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 32
+    )
+    for docs, plen, q, k in [(docs16, 16, 2, 6), (docs32, 32, 3, 3)]:
+        key = F.substring("text", 1, plen)
+        got = {
+            (r.a, r.b, r.dist)
+            for r in qgram_edit_pairs(docs, key, q=q, max_dist=k).collect()
+        }
+        want = {
+            (r.a, r.b, r.dist)
+            for r in edit_distance_pairs(docs, key, max_dist=k).collect()
+        }
+        assert got == want, (
+            f"plen={plen} q={q} k={k}: {got ^ want}"
+        )
+        assert len(got) > 0  # non-vacuous at every sf
+
+
+def test_qgram_edit_pairs_collapse_matches_raw(spark):
+    """qgram_edit_pairs routes through the shared exact-collapse
+    prepass (probe-gated): collapsed and raw paths must be
+    output-identical on a clone-heavy fixture — the invariant the
+    clone-probe memo relies on (see _CLONE_LIGHT_IDENTITY_TESTS)."""
+    from vspace_spark.operators.dedup import qgram_edit_pairs
+
+    # clone-heavy: two groups of identical 20-char keys + near keys
+    rows = (
+        [(i, "alpha beta gamma del", "s") for i in range(1, 6)]
+        + [(6, "alpha beta gamma dXl", "s")]
+        + [(10 + i, "omega psi chi phi up", "s") for i in range(4)]
+        + [(20, "totally different te", "s")]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    key = F.substring("text", 1, 20)
+    collapsed = {
+        (r.a, r.b, r.dist)
+        for r in qgram_edit_pairs(
+            docs, key, q=2, max_dist=4, collapse_exact=True
+        ).collect()
+    }
+    raw = {
+        (r.a, r.b, r.dist)
+        for r in qgram_edit_pairs(
+            docs, key, q=2, max_dist=4, collapse_exact=False
+        ).collect()
+    }
+    assert collapsed == raw, collapsed ^ raw
+    pairs = {(a, b) for a, b, _ in collapsed}
+    assert {(1, 2), (1, 6), (10, 11)} <= pairs

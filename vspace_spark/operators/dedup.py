@@ -1271,6 +1271,135 @@ def edit_distance_pairs(
     )
 
 
+def qgram_edit_pairs(
+    docs: DataFrame,
+    key,
+    id_col: str = "doc_id",
+    block: list[str] | tuple = ("source",),
+    q: int = 3,
+    max_dist: int = 3,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Edit-distance near-pairs via POSITIONAL Q-GRAM count filtering
+    (Gravano et al., VLDB 2001) — the production candidate-generation
+    path :func:`edit_distance_pairs` names in its docstring: instead of
+    the block-exhaustive self-join, candidates come from an inverted
+    q-gram index, so cost scales with gram-bucket occupancy (like the
+    shingle and LSH families) rather than block size squared.
+
+    Count-filtering bound: strings within ``max_dist`` = k edits must
+    share at least ``max(|a|,|b|) − q + 1 − k·q`` positional q-grams
+    matched within a position offset of k. The join counts matching
+    (gram, |Δpos| ≤ k) pairs — at least the 1-1 matching the bound is
+    stated over, so inflation only ADDS candidates; recall is exact.
+    Pipeline: explode (pos, gram) per key → self-join on
+    (block, gram) with ``|Δpos| ≤ k`` and the length band → count per
+    candidate pair → keep count ≥ bound → verify with the banded JVM
+    ``levenshtein(a, b, k)``. Every join conjunct on (block, gram) is
+    an equi-key Catalyst extracts for the hash join; the per-pair
+    count is one map-side-combined aggregation.
+
+    RECALL DOMAIN: the bound is vacuous (≤ 0) for short strings — the
+    guarantee covers pairs with ``max(|a|,|b|) ≥ q·(k+1)`` (then the
+    length band forces both sides ≥ q, so grams exist). Keys shorter
+    than that may be missed; use :func:`edit_distance_pairs` (block-
+    exhaustive) where short keys matter. Defaults q=3, k=3 need
+    12-char keys.
+
+    100 TB shape: the gram join shuffles on (block, gram); hot grams
+    (shared prefixes) inflate candidates but the count threshold (e.g.
+    21 of 30 grams for 32-char keys at q=3, k=3) prunes to near-dups
+    before any DP runs, and AQE handles residual bucket skew. The
+    exact-collapse prepass (probe-gated, identity-tested like the
+    family) absorbs verbatim clone groups first.
+
+    Returns ``[a, b, dist]``, a < b, dist ≤ max_dist.
+    """
+    if collapse_exact and not _clone_light(docs, key):
+        with_key = docs.select(
+            F.col(id_col), *block, key.alias("_ckey")
+        )
+        canon_docs, members = _collapse_by_key(
+            with_key, id_col, ["_ckey"], F.md5(F.col("_ckey")),
+            block=list(block),
+        )
+        raw = qgram_edit_pairs(
+            canon_docs,
+            F.col("_ckey"),
+            id_col=id_col,
+            block=list(block),
+            q=q,
+            max_dist=max_dist,
+            collapse_exact=False,
+        )
+        return _expand_pairs(raw, members, {"dist": F.lit(0)})
+    k = max_dist
+    keyed = docs.select(
+        F.col(id_col).alias("_id"), *block, key.alias("_k")
+    ).filter(F.length("_k") >= q)
+    grams = keyed.select(
+        "_id",
+        *block,
+        F.length("_k").alias("_len"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(_k) - {q} + 1), "
+                f"i -> struct(i AS pos, substring(_k, i, {q}) AS gram))"
+            )
+        ).alias("_g"),
+    ).select(
+        "_id",
+        *block,
+        "_len",
+        F.col("_g.pos").alias("_pos"),
+        F.col("_g.gram").alias("_gram"),
+    )
+    left = grams.select(
+        *block,
+        F.col("_id").alias("a"),
+        F.col("_len").alias("_la"),
+        F.col("_pos").alias("_pa"),
+        "_gram",
+    )
+    right = grams.select(
+        *[F.col(c).alias(f"_r_{c}") for c in block],
+        F.col("_id").alias("b"),
+        F.col("_len").alias("_lb"),
+        F.col("_pos").alias("_pb"),
+        F.col("_gram").alias("_gramr"),
+    )
+    cond = (
+        (F.col("_gram") == F.col("_gramr"))
+        & (F.col("a") < F.col("b"))
+        & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
+        & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+    )
+    for c in block:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    cand = (
+        left.join(right, cond)
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.first("_la").alias("_la"),
+            F.first("_lb").alias("_lb"),
+        )
+        .filter(
+            F.col("_m")
+            >= F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(k * q)
+        )
+    )
+    ka = keyed.select(F.col("_id").alias("a"), F.col("_k").alias("_ka"))
+    kb = keyed.select(F.col("_id").alias("b"), F.col("_k").alias("_kb"))
+    dist = F.levenshtein("_ka", "_kb", k)
+    return (
+        cand.join(ka, "a")
+        .join(kb, "b")
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)  # threshold form returns -1 past k
+    )
+
+
 def _semantic_dedup_arrow_raw(
     embeddings: DataFrame,
     centers: list[list[float]],

@@ -445,12 +445,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic",
     oracle="""
 WITH c AS (
+  -- K = greatest(16, N/512): the codebook grows with the corpus so
+  -- mean cell size (and the in-cell quadratic term) stays fixed —
+  -- the same formula the Spark side computes
   SELECT k.k AS cell,
          list_transform(range(0, 64),
            i -> ('0x' || substr(md5('s' || k.k::VARCHAR || ':'
                                  || i::VARCHAR), 1, 13))::BIGINT
                 / 2251799813685248.0 - 1) AS cv
-  FROM (SELECT unnest(range(16)) AS k) k
+  FROM (SELECT unnest(range(greatest(16,
+          (SELECT count(*) FROM embeddings) // 512))) AS k) k
 ),
 d AS (
   SELECT e.vec_id, e.embedding, c.cell,
@@ -487,7 +491,7 @@ FROM assign a LEFT JOIN dup ON dup.vec_id = a.vec_id
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-then-prune semantic
-    dedup — every vector assigns to its nearest of 16 fixed
+    dedup — every vector assigns to its nearest of K fixed
     md5-derived centroids (the portable-hyperplane scheme, so the
     assignment is bit-reproducible in ANSI SQL), then within-cell
     pairs with cosine ≥ 0.4 mark the larger id a duplicate of its
@@ -496,15 +500,21 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the value-hash gate. Threshold 0.4 for the same reason as
     ``dedup_embedding_cosine``: the synthetic fixture's cosine range
     tops out near 0.5, so a production 0.9+ cut would prove nothing.
-    At scale K grows with the corpus (SemDeDup uses 50k clusters) so
-    the in-cell quadratic term stays bounded; see
-    operators/dedup.py:semantic_dedup."""
+    K ∝ N (greatest(16, N/512), identical formula in the oracle — the
+    paper uses 50k clusters at LAION scale) keeps mean cell size, and
+    with it the in-cell quadratic term, fixed as the corpus grows;
+    scripts/semantic_dedup_bench.py --scaled-k measures the resulting
+    linearity and tests/test_dedup.py pins the cell-size bound. At the
+    driver's sf0.001/sf0.01 scales the formula floors at K=16."""
     from vspace_spark.operators.dedup import semantic_dedup
     from vspace_spark.operators.similarity import portable_hyperplanes
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded-collect: one scalar, sizes the codebook
     return semantic_dedup(
-        emb, portable_hyperplanes(64, 16, salt="s"), threshold=0.4
+        emb,
+        portable_hyperplanes(64, max(16, n // 512), salt="s"),
+        threshold=0.4,
     )
 
 
@@ -536,4 +546,41 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return edit_distance_pairs(
         docs, F.substring("text", 1, 16), block=["source"], max_dist=6
+    )
+
+
+@query(
+    "dedup_fuzzy_pairs_qgram",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source, substr(text, 1, 16) AS pre FROM documents
+  WHERE length(text) >= 16
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       levenshtein(x.pre, y.pre)::INT AS dist
+FROM p x JOIN p y
+  ON x.source = y.source AND x.doc_id < y.doc_id
+WHERE levenshtein(x.pre, y.pre) <= 6
+""",
+)
+def dedup_fuzzy_pairs_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fuzzy-pair surface as ``dedup_fuzzy_pairs`` computed
+    through the PRODUCTION candidate-generation path: a positional
+    q-gram inverted index with count filtering (Gravano et al. 2001,
+    operators/dedup.py:qgram_edit_pairs) replaces the block-exhaustive
+    self-join — candidates scale with gram-bucket occupancy, not block
+    size squared. Recall is exact by the count-filter bound (q=2,
+    k=6 over exactly-16-char keys: ≥ 3 positionally-aligned shared
+    grams), so the oracle is the full all-pairs formulation — the
+    driver checks equality, not just recall. The length(text) >= 16
+    filter pins the guarantee domain (max(len) ≥ q·(k+1));
+    tests/test_dedup.py additionally pins qgram == exhaustive on
+    mixed parameters."""
+    from vspace_spark.operators.dedup import qgram_edit_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 16
+    )
+    return qgram_edit_pairs(
+        docs, F.substring("text", 1, 16), block=["source"], q=2, max_dist=6
     )

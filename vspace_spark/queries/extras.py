@@ -705,14 +705,16 @@ def dedup_semantic_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     between equidistant centroids; tests/test_dedup.py pins full
     output agreement with the oracle-checked `dedup_semantic` on the
     fixture (margins are clear there) and on planted clones. Shares
-    the exact-collapse prepass with the fold engine."""
+    the exact-collapse prepass and the K ∝ N codebook sizing
+    (greatest(16, N/512)) with the fold twin."""
     from vspace_spark.operators.dedup import semantic_dedup
     from vspace_spark.operators.similarity import portable_hyperplanes
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded-collect: one scalar, sizes the codebook
     return semantic_dedup(
         emb,
-        portable_hyperplanes(64, 16, salt="s"),
+        portable_hyperplanes(64, max(16, n // 512), salt="s"),
         threshold=0.4,
         engine="arrow",
     )
