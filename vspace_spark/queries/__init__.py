@@ -45,79 +45,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-6 window composition (re-prove-what-changed + oldest evidence):
-#   - the five queries ADDED in round 6 (dedup_semantic,
-#     multimodal_phash_dedup, events_variant_stats,
-#     dedup_fuzzy_pairs, corpus_pmi_bigrams);
-#   - every query whose implementation changed in round 6: the
-#     incremental growing-index dedup (localCheckpoint'ed result +
-#     per-writer dynamic partition overwrite in the accreting-index
-#     contract), the exact-collapse family (the clone-density probe is
-#     now memoized per plan — cost-only by construction, but the code
-#     under these rows changed), and the three keyed-temp-dir queries
-#     (SPARK_GRAFT_CONCURRENT key path added);
-#   - 29 of the 30 r1-latest rows — the stalest evidence in the
-#     ledger (the relational/window/set-op suites last driver-proven
-#     in round 1; monthly_revenue yielded its slot to the late-added
-#     corpus_pmi_bigrams and rotates in r7 with the as-of join);
+# Round-7 window composition (re-prove-what-changed + oldest evidence,
+# VERDICT r6 #3):
+#   - the queries changed or added in round 7: multimodal_phash_dedup
+#     (the oracle's HUGEINT->BIGINT cast — the r6 red row, values were
+#     already proven identical), dedup_semantic (codebook now sized
+#     K = greatest(16, N/512) in query AND oracle), and the new
+#     dedup_fuzzy_pairs_qgram (positional qgram inverted-index
+#     candidate generation);
+#   - monthly_revenue — the only r1-latest row left (yielded its r6
+#     slot to a late addition);
+#   - ALL 26 r3-latest rows, the stalest remaining evidence (the
+#     relational3 batch, the events consumer suite, tfidf pair,
+#     text-stats rows, stream dedup pair, as-of join, fixed-codebook
+#     IVF, audio chunks);
+#   - 15 of the 32 r4-latest rows (sketch family, curation/
+#     textanalysis suites, multimodal features, events analytics) —
+#     the rest rotate in r8;
 #   - flagship §2.11 continuity rows.
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
-# ann_ivf_pq_top5_fast) — their evidence is the recall/rank-agreement
-# property tests against their oracled portable twins, so window
-# slots go to oracled queries only (zero no_oracle rows by design).
+# ann_ivf_pq_top5_fast, dedup_semantic_fast) — their evidence is the
+# recall/rank-agreement property tests against their oracled portable
+# twins, so window slots go to oracled queries only.
 _WINDOW = [
-    # --- new in r6
-    "dedup_semantic",
+    # --- r7 changes/additions
     "multimodal_phash_dedup",
-    "events_variant_stats",
-    "dedup_fuzzy_pairs",
-    "corpus_pmi_bigrams",
-    # --- r6 code changes: incremental dedup + accreting index
-    "stream_dedup_docs_incremental",
-    # --- r6 code changes: collapse family (memoized clone probe)
-    "dedup_keep_best",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "stream_dedup_docs_minhash",
-    # --- r6 code changes: keyed temp dirs (concurrency key path)
-    "corpus_job_ini",
-    "corpus_jsonl_roundtrip",
-    "shard_manifest",
-    # --- r1-latest rows (29 of 30): stalest driver evidence
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q5_nation_revenue",
-    "q7_nation_volume",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "min_cost_supplier_per_part",
-    "merge_upsert_orders",
-    "daily_revenue_gapfilled",
-    "top3_orders_per_customer",
-    "customer_running_spend",
-    "trailing_30d_spend",
-    "rollup_order_totals",
-    "cube_lineitem_counts",
-    "grouping_sets_revenue",
-    "customers_without_orders",
-    "customers_with_high_value_order",
-    "part_price_bands",
-    "repeat_customers_both_years",
-    "churned_customers_1995",
-    "customer_order_full_outer",
-    "order_rank_suite",
-    "part_brand_intersect_all",
-    "part_brand_except_all",
-    "price_percentiles",
-    "string_functions_suite",
-    "math_functions_suite",
-    "orders_above_segment_avg",
-    "multimodal_frame_sample",
+    "dedup_semantic",
+    "dedup_fuzzy_pairs_qgram",
+    # --- last r1-latest row
+    "monthly_revenue",
+    # --- all 26 r3-latest rows (stalest evidence in the ledger)
+    "ann_ivf_fixed_top5",
+    "asof_purchase_prior_view",
+    "cohort_daily_retention",
+    "daily_event_pivot",
+    "distinct_users_per_type",
+    "doc_oov_rate",
+    "doc_term_frequencies",
+    "doc_wordcount",
+    "events_json_stats",
+    "funnel_view_click_purchase",
+    "multimodal_audio_chunks",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q4_priority_late_orders",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "source_language_map",
+    "stream_dedup_docs",
+    "stream_dedup_embeddings",
+    "tfidf_search",
+    "tfidf_top3_per_doc",
+    "user_sessions",
+    "vocab_gated_stats",
+    # --- 15 of 32 r4-latest rows (sketches, curation, multimodal)
+    "token_cms_estimates",
+    "user_hll_distinct",
+    "vocab_bloom_membership",
+    "doc_boilerplate_share",
+    "doc_pii_scrub",
+    "doc_span_novelty",
+    "doc_span_scrub",
+    "doc_training_order",
+    "source_wc_profile",
+    "stratified_sample_uniform",
+    "multimodal_features",
+    "events_anomaly_zscore",
+    "events_rollup_cascade",
+    "funnel_conversion_window",
+    "user_rfm_segments",
     # --- flagship §2.11 continuity
     "term_stats_ngram",
     "normalize_corpus",
