@@ -62,6 +62,10 @@ HEADLINE = [
     "pagerank_purchase_graph",
     "funnel_conversion_window",
     "user_rfm_segments",
+    # added r7 (additive): the qgram inverted-index fuzzy candidate
+    # path and the arrow SemDeDup production engine (K prop N)
+    "dedup_fuzzy_pairs_qgram",
+    "dedup_semantic_fast",
 ]
 
 
