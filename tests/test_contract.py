@@ -45,7 +45,7 @@ EXPECTED_QUERIES = {
     # variant-typed JSON stats
     "dedup_semantic", "multimodal_phash_dedup", "dedup_fuzzy_pairs",
     "events_variant_stats", "dedup_semantic_fast", "corpus_pmi_bigrams",
-    "dedup_fuzzy_pairs_qgram",
+    "dedup_fuzzy_pairs_qgram", "dedup_fuzzy_pairs_global",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "embedding_norms", "ml_tfidf_features",

@@ -584,3 +584,40 @@ def dedup_fuzzy_pairs_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qgram_edit_pairs(
         docs, F.substring("text", 1, 16), block=["source"], q=2, max_dist=6
     )
+
+
+@query(
+    "dedup_fuzzy_pairs_global",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 16) AS pre FROM documents
+  WHERE length(text) >= 16
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       levenshtein(x.pre, y.pre)::INT AS dist
+FROM p x JOIN p y ON x.doc_id < y.doc_id
+WHERE levenshtein(x.pre, y.pre) <= 4
+""",
+)
+def dedup_fuzzy_pairs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL fuzzy pairing with no blocking column at all — the
+    scenario where the q-gram inverted index IS the blocking: corpora
+    without a natural partition key (web scrape dedup across domains)
+    cannot use the source-blocked formulation, and an unblocked
+    exhaustive self-join is O(N²) by construction. q=3, k=4 keeps the
+    count-filter bound positive on 16-char keys (≥ 2 aligned shared
+    grams), so recall is exact and the oracle is the full unblocked
+    all-pairs form. Candidate volume scales with per-gram occupancy²
+    across the whole corpus — hot grams are the skew axis (AQE
+    skew-join handles residuals), and the clone collapse absorbs
+    verbatim groups first. Measured: 6.9/8.2/30.3 s at sf0.1/10×/100×
+    streaming 144.6 M clone-expanded pairs at 100× — output-row-bound
+    (PERF.md round 7)."""
+    from vspace_spark.operators.dedup import qgram_edit_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 16
+    )
+    return qgram_edit_pairs(
+        docs, F.substring("text", 1, 16), block=[], q=3, max_dist=4
+    )
