@@ -222,3 +222,55 @@ def test_jaccard_collapse_and_raw_paths_identical(spark, corpus):
         shingle_pairs_jaccard(docs, n=2, threshold=0.4, collapse_exact=False)
     )
     assert collapsed == raw
+
+
+# strings from a tiny alphabet force near-miss edit-distance pairs and
+# hot shared q-grams — the adversarial regime for count filtering
+_FUZZY_KEY = st.text(alphabet="abc", min_size=0, max_size=24)
+_FUZZY_CORPUS = st.lists(_FUZZY_KEY, min_size=2, max_size=12)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_FUZZY_CORPUS)
+def test_qgram_pairs_match_exhaustive_in_guarantee_domain(spark, corpus):
+    """qgram_edit_pairs' count-filter bound is SOUND: over random
+    small-alphabet keys, the inverted-index path must emit exactly the
+    exhaustive path's pairs restricted to the guarantee domain
+    max(len(a), len(b)) >= q*(k+1) — and never a pair outside the
+    distance budget. Keys below the domain are excluded from the
+    comparison (the operator documents them as not guaranteed)."""
+    from pyspark.sql import Row
+
+    from vspace_spark.operators.dedup import (
+        edit_distance_pairs,
+        qgram_edit_pairs,
+    )
+
+    q, k = 2, 2
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    key = F.col("text")
+    got = {
+        (r.a, r.b, r.dist)
+        for r in qgram_edit_pairs(
+            docs, key, block=[], q=q, max_dist=k
+        ).collect()
+    }
+    lens = {i: len(t) for i, t in enumerate(corpus)}
+    want = {
+        (r.a, r.b, r.dist)
+        for r in edit_distance_pairs(
+            docs, key, block=[], max_dist=k
+        ).collect()
+        if max(lens[r.a], lens[r.b]) >= q * (k + 1)
+    }
+    # every guaranteed pair recovered...
+    assert want <= got, f"missed: {want - got}"
+    # ...and nothing over budget or self-paired ever emitted
+    for a, b, dist in got:
+        assert a < b and 0 <= dist <= k
