@@ -1070,12 +1070,17 @@ def test_qgram_edit_pairs_collapse_matches_raw(spark):
     clone-probe memo relies on (see _CLONE_LIGHT_IDENTITY_TESTS)."""
     from vspace_spark.operators.dedup import qgram_edit_pairs
 
-    # clone-heavy: two groups of identical 20-char keys + near keys
+    # clone-heavy: two groups of identical 20-char keys + near keys,
+    # PLUS a clone group whose key length < q (the raw path drops
+    # those docs at the length(_k) >= q filter; the collapse branch
+    # must share that domain or it emits intra-group dist-0 pairs the
+    # raw path never produces — ADVICE r7)
     rows = (
         [(i, "alpha beta gamma del", "s") for i in range(1, 6)]
         + [(6, "alpha beta gamma dXl", "s")]
         + [(10 + i, "omega psi chi phi up", "s") for i in range(4)]
         + [(20, "totally different te", "s")]
+        + [(30 + i, "x", "s") for i in range(3)]
     )
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, source string"

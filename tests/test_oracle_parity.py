@@ -69,8 +69,13 @@ def _types_compatible(spark_dt, duck_t: str):
     if isinstance(spark_dt, (T.LongType, T.IntegerType, T.ShortType,
                              T.ByteType)):
         return duck_t in integral
-    if isinstance(spark_dt, (T.DoubleType, T.FloatType)):
-        return duck_t in ("FLOAT", "DOUBLE")
+    if isinstance(spark_dt, T.DoubleType):
+        # exact width: float32 values don't round-trip to the same
+        # float64 bit patterns, so FLOAT-vs-double is the same
+        # values-equal-but-hash-red class this gate exists to catch
+        return duck_t == "DOUBLE"
+    if isinstance(spark_dt, T.FloatType):
+        return duck_t == "FLOAT"
     if isinstance(spark_dt, T.DecimalType):
         return duck_t.startswith("DECIMAL")
     if isinstance(spark_dt, T.StringType):

@@ -137,3 +137,20 @@ def test_deterministic_sample_stable_under_repartition(spark, sf_dir):
     assert set(counts) == {"train", "val", "test"}
     assert sum(counts.values()) == n
     assert abs(counts["train"] / n - 0.8) < 0.1
+
+
+def test_footer_row_count_exact_and_safe(spark, sf_dir):
+    """footer_row_count reads the exact row count from parquet footers
+    (no Spark job) for plain scans, and refuses (None) once a filter
+    sits above the scan — the domain the K ∝ N codebook sizing needs."""
+    from vspace_spark.operators.scale import footer_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = footer_row_count(emb)
+    assert n is not None and n == emb.count()
+    # in-memory input: no files -> None (callers fall back to count())
+    mem = spark.range(10)
+    assert footer_row_count(mem) is None
+    # filtered scan: inputFiles() still lists files, but the footer
+    # count would overcount -> must refuse
+    assert footer_row_count(emb.filter(F.col("vec_id") > 10)) is None

@@ -1316,9 +1316,14 @@ def qgram_edit_pairs(
     Returns ``[a, b, dist]``, a < b, dist ≤ max_dist.
     """
     if collapse_exact and not _clone_light(docs, key):
+        # Same domain as the raw path's length(_k) >= q filter below:
+        # without it, sub-q-length clone groups would emit intra-group
+        # dist-0 pairs via _expand_pairs that the raw path (which drops
+        # those docs entirely — they have no q-grams) never produces,
+        # making output depend on the _clone_light probe verdict.
         with_key = docs.select(
             F.col(id_col), *block, key.alias("_ckey")
-        )
+        ).filter(F.length("_ckey") >= q)
         canon_docs, members = _collapse_by_key(
             with_key, id_col, ["_ckey"], F.md5(F.col("_ckey")),
             block=list(block),

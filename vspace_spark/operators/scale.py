@@ -53,6 +53,49 @@ def _uncompressed_input_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def footer_row_count(df: DataFrame) -> int | None:
+    """Driver-side EXACT row count from parquet footers, or None.
+
+    Valid only for a plain scan — ENFORCED: the analyzed plan must be
+    a single Relation node (inputFiles() would still list files under
+    a Filter, and the footer count would silently overcount). Footers
+    store num_rows per file, so this is a metadata read, not a Spark
+    job: corpus-sized query parameters (e.g. the K ∝ N semantic-dedup
+    codebook) can be derived at query-construction time without
+    breaking the lazy-builder contract (ADVICE r7). Falls back to
+    None for non-local / non-parquet / non-bare-scan inputs — callers
+    then pay the one-scalar count() job.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        lines = [ln for ln in plan.splitlines() if ln.strip()]
+        if len(lines) != 1 or not lines[0].lstrip().startswith("Relation"):
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            path = uri
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            elif "://" in path:
+                return None
+            if not path.endswith(".parquet") or not os.path.isfile(path):
+                return None
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def rebalance_for_compute(
     df: DataFrame, min_factor: int = 2, min_bytes: int = 4 << 20
 ) -> DataFrame:

@@ -507,10 +507,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearity and tests/test_dedup.py pins the cell-size bound. At the
     driver's sf0.001/sf0.01 scales the formula floors at K=16."""
     from vspace_spark.operators.dedup import semantic_dedup
+    from vspace_spark.operators.scale import footer_row_count
     from vspace_spark.operators.similarity import portable_hyperplanes
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # bounded-collect: one scalar, sizes the codebook
+    # K ∝ N from parquet footers — a metadata read, no Spark job at
+    # query-construction time (ADVICE r7); count() only as fallback
+    n = footer_row_count(emb)
+    if n is None:
+        n = emb.count()  # bounded-collect: one scalar, sizes the codebook
     return semantic_dedup(
         emb,
         portable_hyperplanes(64, max(16, n // 512), salt="s"),

@@ -372,9 +372,24 @@ def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    # consumed twice (df build + scoring join) — persist the exploded form
-    perdoc = tokenized_documents(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    df = perdoc.groupBy("token").agg(F.count("*").alias("df"))
+    perdoc = tokenized_documents(docs)
+    # The exploded corpus is consumed twice (df build + scoring join),
+    # but persisting IT is O(corpus tokens) — tens of GB decompressed
+    # at the 100× bench, the wrong thing to hold at 100 TB (VERDICT r7
+    # #2; the recorded 299 s outlier's most plausible mechanism was
+    # exactly that persist spilling/GC-thrashing). Persist the token→df
+    # AGGREGATE instead (vocabulary-sized) and tokenize twice: explode
+    # + hash-agg is cheap JVM work, and the aggregate is the relation
+    # the scoring join actually needs. Measured at 100×, fresh JVM per
+    # variant (PERF.md r8): df-persist wins every rep — 46.8/34.3/31.7 s
+    # vs perdoc-persist 87.6/68.6/36.5 s (1.9× on the first rep, the
+    # state a driver-run suite sees) — while holding a vocabulary-sized
+    # cache instead of the corpus-token-sized one.
+    df = (
+        perdoc.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_docs = docs.count()
     scored = perdoc.join(df, "token").select(
         "doc_id",
