@@ -411,10 +411,38 @@ def main() -> None:
         "ann_bruteforce_top5",
         "pagerank_purchase_graph",
     ]
+    # Expected warm-cache steady states at sf0.1×100 on this host
+    # (PERF.md r7 warm table + r7/r8 standalone minimums; in-suite
+    # long-JVM values where that is the state the block runs in).
+    # Two uses: (a) a recorded number > 2× its reference triggers ONE
+    # adaptive re-rep — either the retry lands in a quiet window (min
+    # recorded, both reps annotated) or it confirms the number;
+    # (b) the budget check reserves steady-state room for every
+    # not-yet-run query, so one outlier consumes only the block's
+    # slack, never a later query's slot (the r7 artifact: tfidf's
+    # 299 s outlier starved pagerank entirely). Values are references
+    # for the TRIGGER, not assertions — at a different SF the trigger
+    # just fires more/less often and the annotations say why.
+    steady_100x = {
+        "user_sessions": 6.1,
+        "q3_top_unshipped_orders": 5.9,
+        "term_stats_ngram": 8.0,
+        "q21_waiting_suppliers": 18.0,
+        "tfidf_top3_per_doc": 35.0,
+        "user_rfm_segments": 9.9,
+        "dedup_jaccard_pairs": 30.0,
+        "dedup_keep_best": 49.1,
+        "ann_bruteforce_top5": 76.2,
+        "pagerank_purchase_graph": 190.0,
+    }
     timings_100x: dict[str, float] = {}
+    detail_100x: dict[str, dict] = {}
     skipped_100x: list[str] = []
     if os.environ.get("SPARK_GRAFT_BENCH_100X", "1") != "0":
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_100X_BUDGET", "600"))
+        # 900 s (the r4 value): expected steady-state block total is
+        # ~435 s, and the slack is what funds adaptive re-reps — at
+        # 600 s one r7-sized outlier left no room to even retry.
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_100X_BUDGET", "900"))
         dir_100x = materialize_scaled_sf(spark, sf_dir, 100)
         # warm the page cache ONCE (untimed, like the materialization):
         # the block is single-rep, so without this each query's number
@@ -426,17 +454,58 @@ def main() -> None:
         # sat inside the cold/warm bracket of its query.
         _warm_page_cache(dir_100x)
         block_start = time.perf_counter()
-        for name in heavy_100x:
-            fn = QUERIES.get(name)
-            if fn is None:
-                continue
-            if time.perf_counter() - block_start > budget:
+        present = [n for n in heavy_100x if QUERIES.get(n) is not None]
+        # Reserves are sf0.1-scale references; when the budget (or the
+        # SF) makes the full steady schedule bigger than the budget,
+        # scale them down so reservation degrades into ordering rather
+        # than starving the EARLY queries (a 300 s budget against a
+        # ~430 s schedule must not skip query 1 because of query 10).
+        total_expected = sum(steady_100x.get(q, 60.0) for q in present)
+        reserve_scale = (
+            min(1.0, budget / (total_expected * 1.15))
+            if total_expected
+            else 1.0
+        )
+        for i, name in enumerate(present):
+            fn = QUERIES[name]
+            # steady-state room reserved for every LATER query; the
+            # final query's reserve is 0, so it runs whenever elapsed
+            # is still under the full budget — the guaranteed-slot
+            # property the r7 artifact lacked
+            reserve_after = reserve_scale * sum(
+                steady_100x.get(q, 60.0) for q in present[i + 1:]
+            )
+            elapsed = time.perf_counter() - block_start
+            if elapsed > budget - reserve_after:
                 skipped_100x.append(name)
                 continue
+            reps_t, reps_load = [], []
             start = time.perf_counter()
             fn(spark, dir_100x).count()
-            timings_100x[name] = round(time.perf_counter() - start, 3)
+            reps_t.append(time.perf_counter() - start)
+            reps_load.append(_load_1m())
             spark.catalog.clearCache()
+            steady = steady_100x.get(name)
+            elapsed = time.perf_counter() - block_start
+            if (
+                steady is not None
+                and reps_t[0] > 2 * steady
+                and elapsed <= budget - reserve_after
+            ):
+                # outlier vs the warm steady state: one retry — a
+                # quiet-window min is the defensible number, a
+                # confirming second rep is the defensible evidence
+                start = time.perf_counter()
+                fn(spark, dir_100x).count()
+                reps_t.append(time.perf_counter() - start)
+                reps_load.append(_load_1m())
+                spark.catalog.clearCache()
+            timings_100x[name] = round(min(reps_t), 3)
+            detail_100x[name] = {
+                "reps": [round(t, 3) for t in reps_t],
+                "load_1m": [round(l, 1) for l in reps_load],
+                **({"steady_ref": steady} if steady is not None else {}),
+            }
 
     out = {
         "metric": "headline_suite_wall_clock",
@@ -462,6 +531,10 @@ def main() -> None:
     if timings_100x:
         out["queries_scaled_100x"] = timings_100x
         out["value_scaled_100x"] = round(sum(timings_100x.values()), 3)
+        # per-query reps + 1-min load at each rep's end: the evidence
+        # that lets a reader attribute an outlier to host/JVM state vs
+        # the plan (VERDICT r7 #1) — full detail in bench_result.json
+        out["detail_100x"] = detail_100x
         if skipped_100x:
             out["skipped_100x_over_budget"] = skipped_100x
 
@@ -482,6 +555,7 @@ def main() -> None:
     line_out = dict(out)
     line_out.pop("queries_scaled_10x", None)
     line_out.pop("queries_scaled_100x", None)
+    line_out.pop("detail_100x", None)
     line_out["detail"] = "bench_result.json"
     line = json.dumps(line_out)
     if len(line) > 1900:  # last resort: headline total still parses
