@@ -70,55 +70,61 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # recall/rank-agreement property tests against their oracled portable
 # twins, so window slots go to oracled queries only.
 _WINDOW = [
-    # --- r7 changes/additions
-    "multimodal_phash_dedup",
+    # --- r8 changes (re-prove changed code: tfidf persist shape,
+    # footer-count K sizing, qgram collapse-domain fix — the global
+    # variant shares the fixed operator and registered late in r7)
+    "tfidf_top3_per_doc",
     "dedup_semantic",
     "dedup_fuzzy_pairs_qgram",
-    # --- last r1-latest row
-    "monthly_revenue",
-    # --- all 26 r3-latest rows (stalest evidence in the ledger)
-    "ann_ivf_fixed_top5",
-    "asof_purchase_prior_view",
-    "cohort_daily_retention",
-    "daily_event_pivot",
-    "distinct_users_per_type",
-    "doc_oov_rate",
-    "doc_term_frequencies",
-    "doc_wordcount",
-    "events_json_stats",
-    "funnel_view_click_purchase",
-    "multimodal_audio_chunks",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
-    "q4_priority_late_orders",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "source_language_map",
-    "stream_dedup_docs",
-    "stream_dedup_embeddings",
-    "tfidf_search",
-    "tfidf_top3_per_doc",
-    "user_sessions",
-    "vocab_gated_stats",
-    # --- 15 of 32 r4-latest rows (sketches, curation, multimodal)
-    "token_cms_estimates",
-    "user_hll_distinct",
-    "vocab_bloom_membership",
-    "doc_boilerplate_share",
-    "doc_pii_scrub",
-    "doc_span_novelty",
-    "doc_span_scrub",
-    "doc_training_order",
-    "source_wc_profile",
-    "stratified_sample_uniform",
-    "multimodal_features",
-    "events_anomaly_zscore",
-    "events_rollup_cascade",
-    "funnel_conversion_window",
-    "user_rfm_segments",
+    "dedup_fuzzy_pairs_global",
+    # --- all 17 remaining r4-latest rows (stalest evidence)
+    "ann_ivf_pq_top5",
+    "corpus_report",
+    "daily_revenue_interpolated",
+    "doc_length_outliers",
+    "event_transition_matrix",
+    "events_zorder_keys",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_priority_counts",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q22_lapsed_customer_balance",
+    "stream_purchase_view_full_join",
+    "stream_transition_matrix",
+    "temperature_resample",
+    "term_stats_incremental_merge",
+    "user_value_ewma",
+    # --- 24 of 34 r5-latest rows: all 8 streaming consumers + the two
+    # r5-plan-change heavies + family reps (the 10 deferred to r9:
+    # doc_train_test_split, domain_mixture_weights, embedding_norms,
+    # grouped_map_source_ranks, map_functions_suite,
+    # multimodal_resize_plan, udtf_token_chunks, doc_token_arrays,
+    # token_positions, doc_token_counts)
+    "stream_hourly_counts",
+    "stream_sliding_counts",
+    "stream_user_sessions",
+    "stream_stateful_user_totals",
+    "stream_dedup_events",
+    "stream_purchase_view_join",
+    "stream_purchase_view_left_join",
+    "stream_category_counts",
+    "pagerank_purchase_graph",
+    "q21_waiting_suppliers",
+    "term_stats_unigram",
+    "term_stats_by_source",
+    "ann_bruteforce_top5",
+    "ann_lsh_top5",
+    "curated_corpus",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "doc_decontamination",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_pack_sequences",
+    "doc_quality",
+    "doc_repetition",
+    "multimodal_image_meta",
     # --- flagship §2.11 continuity
     "term_stats_ngram",
     "normalize_corpus",
