@@ -1101,3 +1101,69 @@ def test_qgram_edit_pairs_collapse_matches_raw(spark):
     assert collapsed == raw, collapsed ^ raw
     pairs = {(a, b) for a, b, _ in collapsed}
     assert {(1, 2), (1, 6), (10, 11)} <= pairs
+
+
+def test_qgram_hot_gram_guard_identity(spark):
+    """hot_gram_cap is a RECALL-SAFE skew guard: with a planted
+    over-cap gram ("zz" carried by 8 otherwise-unrelated keys), the
+    guarded path must emit exactly the unguarded and block-exhaustive
+    outputs. The fixture forces work through every lane: a both-hot
+    near pair (exhaustive hot lane), a hot×cold pair (index lane with
+    a hot member — all its matching grams are under-cap by the
+    cold-key argument in the operator docstring), and a cold×cold
+    pair (pure index lane). Pure-python occupancy recomputation pins
+    the planted hot set so the test cannot go vacuous."""
+    from collections import Counter
+
+    from vspace_spark.operators.dedup import (
+        edit_distance_pairs,
+        qgram_edit_pairs,
+    )
+
+    q, k, cap = 2, 3, 4
+    rows = [
+        # "zz" carriers: unrelated 12-char keys, every other gram rare
+        (1, "abzzcdefghij", "s"),
+        (2, "klzzmnopqrst", "s"),
+        (3, "uvzzwxyzabcd", "s"),
+        (4, "eezzffgghhii", "s"),
+        (5, "jjzzkkllmmnn", "s"),
+        # both-hot near pair (dist 1) -> exhaustive hot lane
+        (6, "AABBzzCCDDEE", "s"),
+        (7, "AABBzzCCDDEF", "s"),
+        # hot x cold near pair (dist 2) -> index lane, hot member
+        (8, "qrstuvwzzxwv", "s"),
+        (20, "qrstuvwqyxwv", "s"),
+        # cold x cold near pair (dist 1) -> pure index lane
+        (21, "bcdefghijklm", "s"),
+        (22, "bcdefghijklQ", "s"),
+    ]
+    occ = Counter()
+    for _, t, _ in rows:
+        for i in range(len(t) - q + 1):
+            occ[t[i : i + q]] += 1
+    hot_grams = {g for g, c in occ.items() if c > cap}
+    assert hot_grams == {"zz"}, hot_grams
+    hot_keys = {
+        i
+        for i, t, _ in rows
+        if any(
+            t[j : j + q] in hot_grams for j in range(len(t) - q + 1)
+        )
+    }
+    assert hot_keys == {1, 2, 3, 4, 5, 6, 7, 8}, hot_keys
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    key = F.col("text")
+    as_set = lambda df: {(r.a, r.b, r.dist) for r in df.collect()}
+    guarded = as_set(
+        qgram_edit_pairs(docs, key, q=q, max_dist=k, hot_gram_cap=cap)
+    )
+    unguarded = as_set(qgram_edit_pairs(docs, key, q=q, max_dist=k))
+    exhaustive = as_set(edit_distance_pairs(docs, key, max_dist=k))
+    assert guarded == exhaustive, guarded ^ exhaustive
+    assert unguarded == exhaustive, unguarded ^ exhaustive
+    # one pair per lane actually present
+    assert {(6, 7, 1), (8, 20, 2), (21, 22, 1)} <= guarded, guarded

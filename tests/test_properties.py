@@ -274,3 +274,18 @@ def test_qgram_pairs_match_exhaustive_in_guarantee_domain(spark, corpus):
     # ...and nothing over budget or self-paired ever emitted
     for a, b, dist in got:
         assert a < b and 0 <= dist <= k
+    # hot-gram guard (cap=2 on a 3-letter alphabet: hot grams are
+    # routine, both lanes exercised): still sound in the guarantee
+    # domain, valid everywhere, and never below the unguarded path
+    # (the exhaustive hot lane can only ADD short/hot pairs the
+    # index's positional join misses outside the domain)
+    guarded = {
+        (r.a, r.b, r.dist)
+        for r in qgram_edit_pairs(
+            docs, key, block=[], q=q, max_dist=k, hot_gram_cap=2
+        ).collect()
+    }
+    assert want <= guarded, f"guard missed: {want - guarded}"
+    assert got <= guarded, f"guard lost: {got - guarded}"
+    for a, b, dist in guarded:
+        assert a < b and 0 <= dist <= k

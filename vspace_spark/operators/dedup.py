@@ -1279,6 +1279,7 @@ def qgram_edit_pairs(
     q: int = 3,
     max_dist: int = 3,
     collapse_exact: bool = True,
+    hot_gram_cap: int | None = None,
 ) -> DataFrame:
     """Edit-distance near-pairs via POSITIONAL Q-GRAM count filtering
     (Gravano et al., VLDB 2001) — the production candidate-generation
@@ -1313,6 +1314,29 @@ def qgram_edit_pairs(
     exact-collapse prepass (probe-gated, identity-tested like the
     family) absorbs verbatim clone groups first.
 
+    ``hot_gram_cap`` — RECALL-SAFE skew guard for Zipfian gram
+    frequencies (real text: a handful of grams cover a large key
+    fraction and their (block, gram) buckets go occupancy²). When
+    set, grams whose per-(block, gram) row occupancy exceeds the cap
+    are dropped from the inverted index, and the keys CONTAINING an
+    over-cap gram ("hot keys") are additionally paired through the
+    same banded-levenshtein exhaustive self-join
+    :func:`edit_distance_pairs` uses, restricted to hot×hot within
+    the block. Soundness (unlike naive gram dropping, which lowers
+    match counts below the count-filter bound): a cold key by
+    definition contains only under-cap grams, so for any pair with at
+    least one cold member EVERY matching gram occurs in the cold key
+    and is therefore under-cap — the restricted index computes that
+    pair's match count EXACTLY, and the bound applies unchanged. The
+    only pairs whose count could be undercounted are hot×hot, and
+    those are produced (exclusively — the index path filters them
+    out, so the union is disjoint) by the exhaustive hot lane, which
+    needs no count bound at all. Cost: one extra map-side-combined
+    occupancy agg + |H|² banded DPs, with |H| controlled by the cap;
+    the index join's worst bucket drops from occ(hottest gram)² to
+    cap². Planted-skew identity test: tests/test_dedup.py; measured
+    blow-up/guard numbers: PERF.md round 8.
+
     Returns ``[a, b, dist]``, a < b, dist ≤ max_dist.
     """
     if collapse_exact and not _clone_light(docs, key):
@@ -1336,6 +1360,7 @@ def qgram_edit_pairs(
             q=q,
             max_dist=max_dist,
             collapse_exact=False,
+            hot_gram_cap=hot_gram_cap,
         )
         return _expand_pairs(raw, members, {"dist": F.lit(0)})
     k = max_dist
@@ -1359,6 +1384,18 @@ def qgram_edit_pairs(
         F.col("_g.pos").alias("_pos"),
         F.col("_g.gram").alias("_gram"),
     )
+    hot_ids = None
+    if hot_gram_cap is not None:
+        occ = grams.groupBy(*block, "_gram").agg(
+            F.count(F.lit(1)).alias("_occ")
+        )
+        marked = grams.join(occ, [*block, "_gram"])
+        hot_ids = (
+            marked.filter(F.col("_occ") > hot_gram_cap)
+            .select("_id")
+            .distinct()
+        )
+        grams = marked.filter(F.col("_occ") <= hot_gram_cap).drop("_occ")
     left = grams.select(
         *block,
         F.col("_id").alias("a"),
@@ -1394,15 +1431,65 @@ def qgram_edit_pairs(
             >= F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(k * q)
         )
     )
+    if hot_ids is not None:
+        # hot×hot pairs belong to the exhaustive lane exclusively —
+        # filter them from the index path so the union is disjoint
+        # (an undercounted hot×hot candidate may or may not survive
+        # the count filter; either way it must not double-emit)
+        cand = (
+            cand.join(
+                hot_ids.select(
+                    F.col("_id").alias("a"), F.lit(True).alias("_hota")
+                ),
+                "a",
+                "left",
+            )
+            .join(
+                hot_ids.select(
+                    F.col("_id").alias("b"), F.lit(True).alias("_hotb")
+                ),
+                "b",
+                "left",
+            )
+            .filter(
+                ~(
+                    F.coalesce("_hota", F.lit(False))
+                    & F.coalesce("_hotb", F.lit(False))
+                )
+            )
+            .drop("_hota", "_hotb")
+        )
     ka = keyed.select(F.col("_id").alias("a"), F.col("_k").alias("_ka"))
     kb = keyed.select(F.col("_id").alias("b"), F.col("_k").alias("_kb"))
     dist = F.levenshtein("_ka", "_kb", k)
-    return (
+    verified = (
         cand.join(ka, "a")
         .join(kb, "b")
         .select("a", "b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)  # threshold form returns -1 past k
     )
+    if hot_ids is None:
+        return verified
+    hot_keyed = keyed.join(hot_ids, "_id")
+    left_h = hot_keyed.select(
+        *block, F.col("_id").alias("a"), F.col("_k").alias("_ka")
+    )
+    right_h = hot_keyed.select(
+        *[F.col(c).alias(f"_r_{c}") for c in block],
+        F.col("_id").alias("b"),
+        F.col("_k").alias("_kb"),
+    )
+    hcond = (F.col("a") < F.col("b")) & (
+        F.abs(F.length("_ka") - F.length("_kb")) <= k
+    )
+    for c in block:
+        hcond = hcond & (F.col(c) == F.col(f"_r_{c}"))
+    hot_pairs = (
+        left_h.join(right_h, hcond)
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+    return verified.unionByName(hot_pairs)
 
 
 def _semantic_dedup_arrow_raw(
