@@ -411,7 +411,22 @@ def _q21_plan(li: DataFrame, orders: DataFrame, supp: DataFrame) -> DataFrame:
     the cache write + eager count cost MORE than the repeated scans
     they save (sf0.1: 2.4→3.6 s, 10×/153 MB: 8.3→11.4 s), so small
     inputs keep the recompute plan. At 100 TB the fact side is always
-    far above the floor."""
+    far above the floor.
+
+    Storage level is DISK_ONLY, chosen by a storage×JVM-state A/B
+    (scripts/q21_persist_bench.py, PERF.md round 8): fresh-JVM all
+    cache levels tie (~12–21 s at 100×), but after a GC-aging
+    preamble (pagerank at 100×) heap-resident levels stay inflated
+    EVERY execution (MEMORY_AND_DISK, serialized bytes but still
+    on-heap: 40–79 s aged vs 12–21 fresh) while DISK_ONLY returns to
+    the fresh steady state (13–15 s aged) — cache files ride the OS
+    page cache and keep multi-GB allocations off the aged old-gen.
+    That in-suite/standalone gap was the r7 driver artifact's 109.8 s
+    outlier. Eager localCheckpoint (69–134 s: checkpoint-file write
+    dominates) and recompute (89–168 s) measured and rejected. On a
+    real cluster with executor-managed storage memory either level
+    works; the long-lived single-JVM driver is where heap residency
+    couples the query to old-gen state."""
     from pyspark import StorageLevel
 
     from vspace_spark.operators.scale import _uncompressed_input_bytes
@@ -428,7 +443,7 @@ def _q21_plan(li: DataFrame, orders: DataFrame, supp: DataFrame) -> DataFrame:
     )
     est = _uncompressed_input_bytes(li)
     if est is not None and est >= _Q21_PERSIST_BYTES:
-        lo = lo.persist(StorageLevel.MEMORY_AND_DISK)
+        lo = lo.persist(StorageLevel.DISK_ONLY)
         lo.count()  # bounded-collect: one scalar, materializes the cache
     l1 = lo.filter((F.col("o_orderstatus") == "F") & F.col("late"))
     others = lo.select(
