@@ -73,10 +73,45 @@ def make_corpus(n: int, zipf_s: float, seed: int, key_words: int = 4):
     return keys
 
 
+def make_corpus_boilerplate(
+    n: int, frac: float, seed: int, key_len: int = 24
+):
+    """The intended guard regime: keys are random lowercase strings
+    (flat gram occupancy ~ n*23/26^2), but ``frac`` of them carry a
+    fixed 10-char boilerplate token at a random offset — its grams go
+    over-cap while the rest of the distribution stays flat, so the
+    hot-key fraction is ~frac, not ~1 (contrast the zipf fixture,
+    where the language core itself is hot and EVERY key contains a
+    hot gram). ~10% planted near-dups as in make_corpus."""
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", dtype=np.uint8)
+    boiler = "thelicense"
+    raw = alpha[rng.integers(0, 26, size=(n, key_len))]
+    keys = ["".join(map(chr, row)) for row in raw]
+    n_hot = int(n * frac)
+    hot_rows = rng.choice(n, size=n_hot, replace=False)
+    for v in hot_rows:
+        pos = int(rng.integers(0, key_len - len(boiler) + 1))
+        k = keys[v]
+        keys[v] = k[:pos] + boiler + k[pos + len(boiler):]
+    n_plant = n // 10
+    victims = rng.integers(0, n - n_plant, size=n_plant)
+    for i, v in enumerate(victims):
+        k = list(keys[v])
+        pos = int(rng.integers(0, len(k)))
+        k[pos] = chr(alpha[int(rng.integers(0, 26))])
+        keys[n - n_plant + i] = "".join(k)
+    return keys
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=120000)
     ap.add_argument("--zipf", type=float, default=1.4)
+    ap.add_argument(
+        "--fixture", choices=["zipf", "boilerplate"], default="zipf"
+    )
+    ap.add_argument("--frac", type=float, default=0.25)
     ap.add_argument("--cap", type=int, default=4000)
     ap.add_argument("--q", type=int, default=2)
     ap.add_argument("--k", type=int, default=2)
@@ -89,7 +124,10 @@ def main() -> None:
     spark = get_spark("qgram-skew-bench")
     spark.range(1000).count()
 
-    keys = make_corpus(args.n, args.zipf, args.seed)
+    if args.fixture == "boilerplate":
+        keys = make_corpus_boilerplate(args.n, args.frac, args.seed)
+    else:
+        keys = make_corpus(args.n, args.zipf, args.seed)
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(keys)], "doc_id long, text string"
     ).persist()
@@ -125,7 +163,8 @@ def main() -> None:
         .collect()[0]
     )
     print(
-        f"n={args.n} zipf={args.zipf} q={q} k={k} cap={cap}: "
+        f"n={args.n} fixture={args.fixture} zipf={args.zipf} "
+        f"frac={args.frac} q={q} k={k} cap={cap}: "
         f"grams={occ.n_grams} hot_grams={occ.n_hot_grams} "
         f"max_occ={occ.max_occ} "
         f"join_work_all={occ.work_all:.3e} "

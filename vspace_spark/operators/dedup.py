@@ -1334,8 +1334,17 @@ def qgram_edit_pairs(
     needs no count bound at all. Cost: one extra map-side-combined
     occupancy agg + |H|² banded DPs, with |H| controlled by the cap;
     the index join's worst bucket drops from occ(hottest gram)² to
-    cap². Planted-skew identity test: tests/test_dedup.py; measured
-    blow-up/guard numbers: PERF.md round 8.
+    cap². WHEN TO ENABLE (measured, PERF.md round 8): the guard is a
+    wash-to-loss when only a few grams are hot (boilerplate regime —
+    the |H|² banded-DP lane costs more than #hot_grams·|H|² cheap
+    hash-match rows; 1.4× slower at H=25%, 8 hot grams) and wins when
+    hot grams dominate total join work (language-core Zipf regime:
+    ×100–556 join-work reduction, 1.3× local wall win, and at cluster
+    scale the unguarded hot bucket is a single-straggler shuffle
+    partition). Probe first: one occupancy agg gives
+    work_all/work_capped (scripts/qgram_skew_bench.py prints it);
+    enable at ≳50×. Planted-skew identity test: tests/test_dedup.py;
+    measured blow-up/guard numbers: PERF.md round 8.
 
     Returns ``[a, b, dist]``, a < b, dist ≤ max_dist.
     """
