@@ -61,6 +61,17 @@ def main() -> None:
     )
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
+        "--phase-split",
+        type=str,
+        default=None,
+        metavar="N1,N2,...",
+        help="decompose the arrow path at K = N/512 into its "
+        "assignment matmul (N x K x D flops) vs the full operator "
+        "(assignment + shuffle + per-cell Gram + expand) on distinct "
+        "synthetic vectors — the measurement VERDICT r7 #7 asks for "
+        "before a trained coarse quantizer is worth implementing",
+    )
+    ap.add_argument(
         "--scaled-k",
         action="store_true",
         help="size the codebook K = max(16, N/512) per dir (the "
@@ -89,6 +100,128 @@ def main() -> None:
     from vspace_spark.session import get_spark
 
     spark = get_spark("semantic-dedup-bench")
+
+    if args.phase_split:
+        dim = 64
+        for n in [int(s) for s in args.phase_split.split(",")]:
+            k = max(16, n // 512)
+            vecs = (
+                spark.range(n)
+                .repartition(64)
+                .select(
+                    F.col("id").alias("vec_id"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (
+                            F.xxhash64(F.col("id"), i) % 1000
+                        ).cast("float")
+                        / 500.0,
+                    ).alias("embedding"),
+                )
+                .persist()
+            )
+            vecs.count()
+            centers = portable_hyperplanes(dim, k, salt="s")
+
+            # assignment-only: the same ||v-c||^2 argmin matmul as
+            # _semantic_dedup_arrow_raw's assign stage, self-contained
+            centers_rows = [list(map(float, c)) for c in centers]
+
+            def assign_only(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                C = _np.asarray(centers_rows, dtype=_np.float64)
+                c2 = (C * C).sum(1)[None, :]
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = _np.stack(
+                        [
+                            _np.asarray(v, dtype=_np.float64)
+                            for v in pdf["embedding"]
+                        ]
+                    )
+                    d = c2 - 2.0 * (V @ C.T)
+                    yield _pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].astype("int64"),
+                            "cell": d.argmin(1).astype("int32"),
+                        }
+                    )
+
+            def run_phase(label, thunk):
+                times = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    thunk()
+                    times.append(time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                    vecs.persist().count()
+                print(
+                    f"phase-split n={n} K={k} {label}: "
+                    f"min {min(times):.1f}s "
+                    f"reps {[round(t, 1) for t in times]}",
+                    flush=True,
+                )
+                return min(times)
+
+            t_assign = run_phase(
+                "assign-only",
+                lambda: vecs.mapInPandas(
+                    assign_only, "vec_id long, cell int"
+                )
+                .agg(
+                    F.sum(
+                        F.xxhash64("vec_id", "cell").cast("decimal(38,0)")
+                    )
+                )
+                .collect(),
+            )
+            t_full = run_phase(
+                "full arrow",
+                lambda: force(
+                    semantic_dedup(
+                        vecs, centers, threshold=0.95, engine="arrow"
+                    )
+                ),
+            )
+            print(
+                f"phase-split n={n} K={k}: assignment share "
+                f"{t_assign / t_full:.0%} of full",
+                flush=True,
+            )
+            # trained two-level lane (VERDICT r7 #7): one-time
+            # hierarchical k-means training + the Kc+K/Kc assignment
+            from vspace_spark.operators.dedup import (
+                hierarchical_codebook,
+                semantic_dedup_two_level,
+            )
+
+            t0 = time.perf_counter()
+            fine, coarse, owner = hierarchical_codebook(vecs, k)
+            t_train = time.perf_counter() - t0
+            print(
+                f"phase-split n={n} K={k} two-level train: "
+                f"{t_train:.1f}s (Kc={len(coarse)}, "
+                f"fine={len(fine)})",
+                flush=True,
+            )
+            run_phase(
+                "full two-level (excl. training)",
+                lambda: force(
+                    semantic_dedup(
+                        vecs,
+                        fine,
+                        threshold=0.95,
+                        engine="arrow",
+                        coarse=(coarse, owner),
+                    )
+                ),
+            )
+            vecs.unpersist()
+        spark.stop()
+        return
 
     if args.synthetic:
         dim = 64

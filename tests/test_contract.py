@@ -45,6 +45,7 @@ EXPECTED_QUERIES = {
     # variant-typed JSON stats
     "dedup_semantic", "multimodal_phash_dedup", "dedup_fuzzy_pairs",
     "events_variant_stats", "dedup_semantic_fast", "corpus_pmi_bigrams",
+    "dedup_semantic_trained",
     "dedup_fuzzy_pairs_qgram", "dedup_fuzzy_pairs_global",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
@@ -96,6 +97,7 @@ ROWS_ONLY = {
     "approx_distinct_users", "dedup_minhash_lsh_fast", "dedup_simhash_fast",
     "ann_lsh_top5_fast", "ann_bruteforce_top5_fast", "ann_ivf_top5",
     "ann_ivf_pq_top5_fast", "ml_tfidf_features", "dedup_semantic_fast",
+    "dedup_semantic_trained",
     # multimodal_features left this set in r4: the exact md5-byte
     # projection made the inference path fully oracled
 }

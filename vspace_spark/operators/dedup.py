@@ -1001,6 +1001,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     collapse_exact: bool = True,
     engine: str = "fold",
+    coarse: "tuple[list[list[float]], list[int]] | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -1126,7 +1127,7 @@ def semantic_dedup(
         # (measured 100 s → see PERF.md round 6)
         core = semantic_dedup(
             core_in, centers, id_col, vec_col, threshold,
-            collapse_exact=False, engine=engine,
+            collapse_exact=False, engine=engine, coarse=coarse,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         core.count()  # bounded-collect: one scalar, forces the cache
         # expand: members join their canonical's row; non-canonical
@@ -1150,10 +1151,14 @@ def semantic_dedup(
 
     if engine == "arrow":
         return _semantic_dedup_arrow_raw(
-            embeddings, centers, id_col, vec_col, threshold
+            embeddings, centers, id_col, vec_col, threshold, coarse
         )
     if engine != "fold":
         raise ValueError(f"unknown engine: {engine}")
+    if coarse is not None:
+        raise ValueError(
+            "coarse (two-level) assignment is arrow-engine only"
+        )
 
     from pyspark import StorageLevel
 
@@ -1507,6 +1512,7 @@ def _semantic_dedup_arrow_raw(
     id_col: str,
     vec_col: str,
     threshold: float,
+    coarse: "tuple[list[list[float]], list[int]] | None" = None,
 ) -> DataFrame:
     """Arrow/numpy engine for :func:`semantic_dedup`'s raw core (see
     its docstring): matmul cell assignment per Arrow batch, one Gram
@@ -1514,19 +1520,42 @@ def _semantic_dedup_arrow_raw(
     self-contained (no module globals) so executor workers need no
     importable vspace_spark (NOTES.md seam #2). Assumes non-null
     vectors (like the other Arrow twins); zero-norm vectors never
-    pair and come out kept."""
+    pair and come out kept.
+
+    ``coarse`` = (coarse_centers Kc×D, fine_owner K ints — the coarse
+    cell each fine center belongs to): two-level assignment for
+    TRAINED codebooks (:func:`hierarchical_codebook`). A vector
+    argmins over the Kc coarse centers, then over only the fine
+    centers its coarse cell owns — N·(Kc + K/Kc)·D flops instead of
+    N·K·D. Exact for hierarchically-trained codebooks in the sense
+    that every fine center is probed through its own coarse owner;
+    r7 measured that this routing is near-chance over a RANDOM fine
+    codebook (no shared cluster structure), which is why the portable
+    md5-codebook path stays flat and only the trained twin uses it."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     centers_rows = [list(map(float, c)) for c in centers]
     th = float(threshold)
+    coarse_rows = (
+        None if coarse is None else [list(map(float, c)) for c in coarse[0]]
+    )
+    owner_rows = None if coarse is None else [int(o) for o in coarse[1]]
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
         import pandas as _pd
 
         C = _np.asarray(centers_rows, dtype=_np.float64)  # K×D
+        c2 = (C * C).sum(1)[None, :]
+        if coarse_rows is not None:
+            CC = _np.asarray(coarse_rows, dtype=_np.float64)  # Kc×D
+            cc2 = (CC * CC).sum(1)[None, :]
+            owner = _np.asarray(owner_rows, dtype=_np.int64)
+            members = [
+                _np.nonzero(owner == c)[0] for c in range(len(CC))
+            ]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1536,11 +1565,27 @@ def _semantic_dedup_arrow_raw(
             # ||v−c||² = ||v||² − 2 v·c + ||c||²; argmin unaffected by
             # the shared ||v||² term, ties break to the lowest cell id
             # (np.argmin picks the first minimum)
-            d = (C * C).sum(1)[None, :] - 2.0 * (V @ C.T)
+            if coarse_rows is None:
+                d = c2 - 2.0 * (V @ C.T)
+                cells = d.argmin(1).astype("int32")
+            else:
+                dc = cc2 - 2.0 * (V @ CC.T)
+                cgrp = dc.argmin(1)
+                cells = _np.empty(len(V), dtype="int32")
+                for c in range(len(CC)):
+                    rows = _np.nonzero(cgrp == c)[0]
+                    if not len(rows):
+                        continue
+                    m = members[c]
+                    sub = (
+                        c2[0, m][None, :]
+                        - 2.0 * (V[rows] @ C[m].T)
+                    )
+                    cells[rows] = m[sub.argmin(1)]
             yield _pd.DataFrame(
                 {
                     "_id": pdf["_idin"].astype("int64"),
-                    "cell": d.argmin(1).astype("int32"),
+                    "cell": cells,
                     "_v": list(V.astype(_np.float64)),
                 }
             )
@@ -1588,4 +1633,146 @@ def _semantic_dedup_arrow_raw(
     )
     return out.select(
         F.col("_id").alias(id_col), "cell", "kept", "duplicate_of"
+    )
+
+
+def hierarchical_codebook(
+    embeddings: DataFrame,
+    k: int,
+    kc: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 32768,
+    iters: int = 8,
+) -> "tuple[list[list[float]], list[list[float]], list[int]]":
+    """Train a TWO-LEVEL k-means codebook for
+    :func:`semantic_dedup_two_level` — the engine-specific quality
+    lane the r7 fixed-codebook rejection pointed at (PERF.md round 7:
+    coarse routing over a RANDOM codebook is near-chance because
+    inter-center distances concentrate; both levels must share
+    cluster structure, which training provides).
+
+    Hierarchical Lloyd on a deterministic hash-chosen sample,
+    driver-side numpy (bounded collect: ``sample_rows`` × D doubles,
+    ~16 MB at the 32768×64 default — the trained analog of the
+    driver-side md5 codebook the portable path embeds as literals):
+
+    1. coarse: ``kc`` (default ⌈√k⌉) centers on the sample,
+       kmeans++-style seeded init, ``iters`` Lloyd steps;
+    2. fine: each coarse cell trains round(k·share) sub-centers on
+       its own sample members (≥1 per nonempty cell; the total lands
+       within per-cell rounding of ``k`` — the K ∝ N contract bounds
+       cell sizes, not the exact center count).
+
+    Every fine center belongs to exactly one coarse cell (its
+    trainer), so two-level assignment (coarse argmin → argmin over
+    the owner's fine centers) probes every fine center through its
+    own owner — N·(Kc + K/Kc)·D flops instead of N·K·D. Empty coarse
+    cells are dropped (the assign stage requires every coarse cell to
+    own ≥1 fine center).
+
+    Returns ``(fine_centers, coarse_centers, fine_owner)`` with
+    ``fine_owner[j]`` = index into ``coarse_centers``.
+    """
+    import numpy as np
+
+    n_est = None
+    try:
+        from vspace_spark.operators.scale import footer_row_count
+
+        n_est = footer_row_count(embeddings)
+    except Exception:
+        pass
+    sample = embeddings.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_i"))
+    if n_est is not None and n_est > sample_rows:
+        # deterministic hash-modulus thinning: a narrow filtered scan,
+        # no sort, no full-table shuffle — the oversample factor keeps
+        # the expected take above sample_rows before the limit
+        m = max(1, n_est // sample_rows)
+        sample = sample.filter(F.xxhash64("_i") % m == 0)
+    rows = sample.limit(sample_rows).collect()
+    # bounded-collect: sample_rows × D doubles for driver-side k-means
+    X = np.asarray([list(map(float, r._v)) for r in rows], dtype=np.float64)
+    if not len(X):
+        raise ValueError("hierarchical_codebook: empty sample")
+
+    def lloyd(pts: "np.ndarray", n_centers: int, steps: int):
+        n_centers = min(n_centers, len(pts))
+        # seeded greedy init: first center = point nearest the mean,
+        # rest maximize distance to chosen (kmeans++-style, det.)
+        idx = [int(((pts - pts.mean(0)) ** 2).sum(1).argmin())]
+        d2 = ((pts - pts[idx[0]]) ** 2).sum(1)
+        for _ in range(1, n_centers):
+            j = int(d2.argmax())
+            idx.append(j)
+            d2 = np.minimum(d2, ((pts - pts[j]) ** 2).sum(1))
+        C = pts[idx].copy()
+        for _ in range(steps):
+            d = (C * C).sum(1)[None, :] - 2.0 * (pts @ C.T)
+            a = d.argmin(1)
+            for c in range(len(C)):
+                mask = a == c
+                if mask.any():
+                    C[c] = pts[mask].mean(0)
+        d = (C * C).sum(1)[None, :] - 2.0 * (pts @ C.T)
+        return C, d.argmin(1)
+
+    kc = kc or max(2, int(np.ceil(np.sqrt(k))))
+    CC, ca = lloyd(X, kc, iters)
+    fine: list[list[float]] = []
+    owner: list[int] = []
+    coarse_kept: list[list[float]] = []
+    shares = [(ca == c).sum() for c in range(len(CC))]
+    total = max(1, sum(shares))
+    for c in range(len(CC)):
+        if not shares[c]:
+            continue  # empty coarse cell: dropped (owns no fine center)
+        take = max(1, round(k * shares[c] / total))
+        sub, _ = lloyd(X[ca == c], take, iters)
+        cidx = len(coarse_kept)
+        coarse_kept.append([float(x) for x in CC[c]])
+        for row in sub:
+            fine.append([float(x) for x in row])
+            owner.append(cidx)
+    return fine, coarse_kept, owner
+
+
+def semantic_dedup_two_level(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    collapse_exact: bool = True,
+    sample_rows: int = 32768,
+) -> DataFrame:
+    """:func:`semantic_dedup` with a TRAINED hierarchical codebook
+    and two-level arrow assignment — the quality/scale lane for
+    corpora where the flat N·K·D assignment matmul dominates
+    (measured: ~100% of the arrow path's cost at 1M vectors × K=2048,
+    PERF.md round 8). Same output contract ``[id, cell, kept,
+    duplicate_of]`` and the same collapse prepass; rows-only by
+    design (k-means centers are float-accumulation-order dependent,
+    so no cross-engine oracle — like the ``_fast`` twins, its quality
+    gate is the agreement test against the portable
+    :func:`semantic_dedup`). Cells are the trained fine clusters:
+    tighter than the portable md5 codebook's random Voronoi cells, so
+    near-duplicates co-cell at least as reliably (SemDeDup's own
+    construction uses trained k-means clusters, arXiv:2303.09540)."""
+    fine, coarse_centers, owner = hierarchical_codebook(
+        embeddings,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_rows=sample_rows,
+    )
+    return semantic_dedup(
+        embeddings,
+        fine,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        collapse_exact=collapse_exact,
+        engine="arrow",
+        coarse=(coarse_centers, owner),
     )
