@@ -1642,7 +1642,7 @@ def hierarchical_codebook(
     kc: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_rows: int = 32768,
+    sample_rows: int | None = None,
     iters: int = 8,
 ) -> "tuple[list[list[float]], list[list[float]], list[int]]":
     """Train a TWO-LEVEL k-means codebook for
@@ -1653,9 +1653,16 @@ def hierarchical_codebook(
     cluster structure, which training provides).
 
     Hierarchical Lloyd on a deterministic hash-chosen sample,
-    driver-side numpy (bounded collect: ``sample_rows`` × D doubles,
-    ~16 MB at the 32768×64 default — the trained analog of the
-    driver-side md5 codebook the portable path embeds as literals):
+    driver-side numpy (bounded collect: ``sample_rows`` × D doubles —
+    the trained analog of the driver-side md5 codebook the portable
+    path embeds as literals). ``sample_rows`` defaults to
+    ``clamp(32·k, 32768, 262144)``: the sample must SCALE WITH K or
+    the codebook degenerates — measured at 2M vectors/K=4096, a fixed
+    32k sample (8 points per fine center) gave a 26,617-row max cell
+    (52× the 512 mean, Σ|cell|² 4.4e9 → 130 s pairwise); 131k (32 per
+    center) gave max 2,984, Σ 1.29e9, 8.6 s end-to-end (PERF.md
+    round 8). The 262144 cap bounds the collect at ~134 MB of 64-d
+    doubles; corpora needing K > 8192 should raise it consciously:
 
     1. coarse: ``kc`` (default ⌈√k⌉) centers on the sample,
        kmeans++-style seeded init, ``iters`` Lloyd steps;
@@ -1676,6 +1683,8 @@ def hierarchical_codebook(
     """
     import numpy as np
 
+    if sample_rows is None:
+        sample_rows = min(max(32768, 32 * k), 262144)
     n_est = None
     try:
         from vspace_spark.operators.scale import footer_row_count
@@ -1744,7 +1753,7 @@ def semantic_dedup_two_level(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     collapse_exact: bool = True,
-    sample_rows: int = 32768,
+    sample_rows: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` with a TRAINED hierarchical codebook
     and two-level arrow assignment — the quality/scale lane for

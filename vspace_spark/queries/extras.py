@@ -733,8 +733,9 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the portable md5 codebook, and assignment argmins
     coarse-then-fine — N·(Kc + K/Kc)·D flops instead of N·K·D.
     Measured at 1M×64, K=2048 (PERF.md round 8): flat arrow 50.7 s
-    (91% of it the assignment matmul) → two-level 12.9 s, training
-    10.1 s one-time. Rows-only by design — k-means centers are
+    (91% of it the assignment matmul) → two-level 4.0 s with the
+    k-scaled training sample (5.8 s one-time training); 2M/K=4096
+    runs 12.1 s where the flat assignment alone is 110.6 s. Rows-only by design — k-means centers are
     float-accumulation-order dependent, so no cross-engine oracle;
     quality gates are tests/test_dedup.py's planted-duplicate
     detection and 100% routing agreement vs the flat argmin over the
