@@ -432,7 +432,9 @@ def main() -> None:
         "user_rfm_segments": 9.9,
         "dedup_jaccard_pairs": 30.0,
         "dedup_keep_best": 49.1,
-        "ann_bruteforce_top5": 76.2,
+        # r8 dry run measured 32.2 s — the r6-era 76.2 would let a
+        # genuine 2× regression pass without a confirming re-rep
+        "ann_bruteforce_top5": 45.0,
         "pagerank_purchase_graph": 190.0,
     }
     timings_100x: dict[str, float] = {}

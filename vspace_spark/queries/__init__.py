@@ -45,24 +45,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-7 window composition (re-prove-what-changed + oldest evidence,
-# VERDICT r6 #3):
-#   - the queries changed or added in round 7: multimodal_phash_dedup
-#     (the oracle's HUGEINT->BIGINT cast — the r6 red row, values were
-#     already proven identical), dedup_semantic (codebook now sized
-#     K = greatest(16, N/512) in query AND oracle), and the new
-#     dedup_fuzzy_pairs_qgram (positional qgram inverted-index
-#     candidate generation);
-#   - monthly_revenue — the only r1-latest row left (yielded its r6
-#     slot to a late addition);
-#   - ALL 26 r3-latest rows, the stalest remaining evidence (the
-#     relational3 batch, the events consumer suite, tfidf pair,
-#     text-stats rows, stream dedup pair, as-of join, fixed-codebook
-#     IVF, audio chunks);
-#   - 15 of the 32 r4-latest rows (sketch family, curation/
-#     textanalysis suites, multimodal features, events analytics) —
-#     the rest rotate in r8;
+# Round-8 window composition (re-prove-what-changed + oldest evidence,
+# VERDICT r7 #5):
+#   - the four queries whose code changed in round 8: tfidf_top3
+#     (df-aggregate persist), dedup_semantic (footer-count K sizing),
+#     dedup_fuzzy_pairs_qgram (collapse-domain fix) and its global
+#     variant (shares the fixed operator; registered late in r7, so
+#     this is also its first window slot);
+#   - ALL 17 remaining r4-latest rows (the stalest evidence:
+#     relational stragglers q9/q11/q12/q16/q20/q22, IVF-PQ,
+#     corpus_report, stream full-join/transition, resample,
+#     incremental merge, EWMA, z-order keys, outliers, interpolation,
+#     transition matrix);
+#   - 24 r5-latest rows (streaming consumer suite and friends) —
+#     after r8 no oracled query's latest driver evidence is older
+#     than 4 rounds;
 #   - flagship §2.11 continuity rows.
+# (r7's window: the 3 r7-changed rows + last r1-latest + all 26
+# r3-latest + 15 r4-latest — 50/50 green, CORRECTNESS_r07.json.)
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
