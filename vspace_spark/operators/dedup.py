@@ -1339,17 +1339,20 @@ def qgram_edit_pairs(
     needs no count bound at all. Cost: one extra map-side-combined
     occupancy agg + |H|² banded DPs, with |H| controlled by the cap;
     the index join's worst bucket drops from occ(hottest gram)² to
-    cap². WHEN TO ENABLE (measured, PERF.md round 8): the guard is a
-    wash-to-loss when only a few grams are hot (boilerplate regime —
-    the |H|² banded-DP lane costs more than #hot_grams·|H|² cheap
-    hash-match rows; 1.4× slower at H=25%, 8 hot grams) and wins when
-    hot grams dominate total join work (language-core Zipf regime:
-    ×100–556 join-work reduction, 1.3× local wall win, and at cluster
-    scale the unguarded hot bucket is a single-straggler shuffle
-    partition). Probe first: one occupancy agg gives
-    work_all/work_capped (scripts/qgram_skew_bench.py prints it);
-    enable at ≳50×. Planted-skew identity test: tests/test_dedup.py;
-    measured blow-up/guard numbers: PERF.md round 8.
+    cap², and hot×hot pairing is a PassJoin-style segment equi-join
+    (:func:`_hot_pairs_segment`), not a nested loop. WHEN TO ENABLE
+    (measured, PERF.md round 8): with the segment hot lane the guard
+    wins BOTH measured skew regimes — 1.5× at H=25%/8 hot grams
+    (boilerplate) and 2.1–2.5× in the language-core Zipf regime
+    (×100–556 join-work reduction; at cluster scale the unguarded hot
+    bucket is additionally a single-straggler shuffle partition). It
+    stays opt-in because on flat-occupancy corpora (no over-cap
+    grams) the occupancy agg is pure overhead; probe first — one
+    occupancy agg gives work_all/work_capped
+    (scripts/qgram_skew_bench.py prints it) — and enable when over-cap
+    buckets exist. Use small k (probe fan-out is (2k+1)²·(k+1) per
+    hot key). Planted-skew identity test: tests/test_dedup.py;
+    measured numbers: PERF.md round 8.
 
     Returns ``[a, b, dist]``, a < b, dist ≤ max_dist.
     """
@@ -1485,25 +1488,159 @@ def qgram_edit_pairs(
     if hot_ids is None:
         return verified
     hot_keyed = keyed.join(hot_ids, "_id")
-    left_h = hot_keyed.select(
+    hot_pairs = _hot_pairs_segment(hot_keyed, list(block), k)
+    return verified.unionByName(hot_pairs)
+
+
+def _hot_pairs_segment(
+    hot_keyed: DataFrame, block: list, k: int
+) -> DataFrame:
+    """All pairs of ``hot_keyed`` rows (``[_id, *block, _k]``) within
+    Levenshtein distance ``k`` inside a block — the hot lane of
+    :func:`qgram_edit_pairs`'s guard, as a PassJoin-style SEGMENT
+    equi-join (Li, Deng, Feng, ICDE 2011) instead of the nested-loop
+    self-join a no-block theta join degenerates to.
+
+    Pigeonhole lemma: partition a key r (length L ≥ k+1) evenly into
+    k+1 segments; ≤ k edits leave at least one segment untouched, and
+    the untouched segment appears verbatim in the partner s shifted by
+    the net insertions/deletions before it — at most ±k. So: index
+    every long-enough hot key's k+1 segments under
+    (block, L, segment#, content); probe every hot key with its
+    substrings of the matching segment length at start positions
+    within ±k of the segment's home position, for every candidate
+    partner length Lr in [|s|−k, |s|+k] with Lr ≥ k+1 — every
+    equi-key, so Catalyst plans a hash join. Candidates are a
+    superset of true pairs (both orientations arrive; normalized
+    a<b + distinct), then the banded ``levenshtein(a, b, k)``
+    verifies. Pairs where BOTH sides are shorter than k+1 (segments
+    would be empty — the lemma gives no pruning) go through a
+    residual banded self-join restricted to those keys; a short×long
+    pair is still found through the long side's segment index, so the
+    lanes partition exactly. Probe fan-out is ≤ (2k+1)²·(k+1)
+    substring rows per key — use the guard at small k (the measured
+    regimes run k ≤ 4); segments of length L/(k+1) are far more
+    selective index keys than q-grams, which is the point.
+    """
+    seg_cnt = k + 1
+    long_h = hot_keyed.filter(F.length("_k") >= seg_cnt)
+    idx = (
+        long_h.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .select(
+            *[F.col(c).alias(f"_r_{c}") for c in block],
+            F.col("_id").alias("_rid"),
+            F.length("_k").alias("_rlen"),
+            "_i",
+            F.expr(
+                f"substr(_k, CAST(floor(_i * length(_k) / {seg_cnt}) AS INT)"
+                f" + 1, CAST(floor((_i + 1) * length(_k) / {seg_cnt}) AS INT)"
+                f" - CAST(floor(_i * length(_k) / {seg_cnt}) AS INT))"
+            ).alias("_seg"),
+        )
+        .filter(F.length("_seg") >= 1)
+    )
+    probe = (
+        hot_keyed.withColumn(
+            "_Lr",
+            F.explode(
+                F.when(
+                    F.length("_k") + k >= seg_cnt,
+                    F.sequence(
+                        F.greatest(
+                            F.lit(seg_cnt), F.length("_k") - F.lit(k)
+                        ),
+                        F.length("_k") + F.lit(k),
+                    ),
+                )
+            ),
+        )
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn(
+            "_st",
+            (F.floor(F.col("_i") * F.col("_Lr") / seg_cnt) + 1).cast("int"),
+        )
+        .withColumn(
+            "_sl",
+            (
+                F.floor((F.col("_i") + 1) * F.col("_Lr") / seg_cnt)
+                - F.floor(F.col("_i") * F.col("_Lr") / seg_cnt)
+            ).cast("int"),
+        )
+        .filter(F.col("_sl") >= 1)
+        .withColumn(
+            "_p",
+            F.explode(
+                F.when(
+                    F.length("_k") - F.col("_sl") + 1
+                    >= F.greatest(F.lit(1), F.col("_st") - F.lit(k)),
+                    F.sequence(
+                        F.greatest(F.lit(1), F.col("_st") - F.lit(k)),
+                        F.least(
+                            F.length("_k") - F.col("_sl") + 1,
+                            F.col("_st") + F.lit(k),
+                        ),
+                    ),
+                )
+            ),
+        )
+        .select(
+            *block,
+            F.col("_id").alias("_pid"),
+            "_Lr",
+            "_i",
+            F.expr("substr(_k, _p, _sl)").alias("_sub"),
+        )
+    )
+    jcond = (
+        (F.col("_Lr") == F.col("_rlen"))
+        & (probe._i == idx._i)
+        & (F.col("_sub") == F.col("_seg"))
+        & (F.col("_pid") != F.col("_rid"))
+    )
+    for c in block:
+        jcond = jcond & (F.col(c) == F.col(f"_r_{c}"))
+    cand = (
+        probe.join(idx, jcond)
+        .select(
+            F.least("_pid", "_rid").alias("a"),
+            F.greatest("_pid", "_rid").alias("b"),
+        )
+        .distinct()
+    )
+    ka = hot_keyed.select(F.col("_id").alias("a"), F.col("_k").alias("_ka"))
+    kb = hot_keyed.select(F.col("_id").alias("b"), F.col("_k").alias("_kb"))
+    dist = F.levenshtein("_ka", "_kb", k)
+    seg_pairs = (
+        cand.join(ka, "a")
+        .join(kb, "b")
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+    # residual: both sides shorter than k+1 — the lemma is vacuous
+    # there (empty segments), and the segment lane never probes
+    # target lengths below k+1, so short×short pairs are exactly the
+    # uncovered set (short×long still routes through the long side's
+    # index). Banded self-join over this tiny slice only.
+    short_h = hot_keyed.filter(F.length("_k") < seg_cnt)
+    left_s = short_h.select(
         *block, F.col("_id").alias("a"), F.col("_k").alias("_ka")
     )
-    right_h = hot_keyed.select(
+    right_s = short_h.select(
         *[F.col(c).alias(f"_r_{c}") for c in block],
         F.col("_id").alias("b"),
         F.col("_k").alias("_kb"),
     )
-    hcond = (F.col("a") < F.col("b")) & (
+    scond = (F.col("a") < F.col("b")) & (
         F.abs(F.length("_ka") - F.length("_kb")) <= k
     )
     for c in block:
-        hcond = hcond & (F.col(c) == F.col(f"_r_{c}"))
-    hot_pairs = (
-        left_h.join(right_h, hcond)
+        scond = scond & (F.col(c) == F.col(f"_r_{c}"))
+    short_pairs = (
+        left_s.join(right_s, scond)
         .select("a", "b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)
     )
-    return verified.unionByName(hot_pairs)
+    return seg_pairs.unionByName(short_pairs)
 
 
 def _semantic_dedup_arrow_raw(
