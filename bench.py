@@ -440,6 +440,7 @@ def main() -> None:
     timings_100x: dict[str, float] = {}
     detail_100x: dict[str, dict] = {}
     skipped_100x: list[str] = []
+    retried_100x: list[str] = []
     if os.environ.get("SPARK_GRAFT_BENCH_100X", "1") != "0":
         # 900 s (the r4 value): expected steady-state block total is
         # ~435 s, and the slack is what funds adaptive re-reps — at
@@ -502,7 +503,14 @@ def main() -> None:
                 reps_t.append(time.perf_counter() - start)
                 reps_load.append(_load_1m())
                 spark.catalog.clearCache()
-            timings_100x[name] = round(min(reps_t), 3)
+            # headline takes the LAST rep: with a retry that is the
+            # confirming quiet-window sample — a genuine regression
+            # repeats there, where min() let a real 2× slowdown hide
+            # behind one lucky retry (ADVICE r8). Retried queries are
+            # flagged top-level; both reps stay in detail_100x.
+            timings_100x[name] = round(reps_t[-1], 3)
+            if len(reps_t) > 1:
+                retried_100x.append(name)
             detail_100x[name] = {
                 "reps": [round(t, 3) for t in reps_t],
                 "load_1m": [round(l, 1) for l in reps_load],
@@ -539,6 +547,8 @@ def main() -> None:
         out["detail_100x"] = detail_100x
         if skipped_100x:
             out["skipped_100x_over_budget"] = skipped_100x
+        if retried_100x:
+            out["retried_100x"] = retried_100x
 
     # The driver records only the LAST 2000 chars of output and parses
     # the final JSON line out of that window — BENCH_r04 lost the

@@ -1228,3 +1228,85 @@ def test_semantic_dedup_two_level_planted_and_routing(spark):
     }
     agree = sum(flat[i] == two[i] for i in flat) / len(flat)
     assert agree >= 0.98, agree
+
+
+def test_semantic_dedup_coarse_validated_before_any_spark_work(spark):
+    """ADVICE r8: a malformed user-supplied ``coarse`` must fail
+    driver-side with an actionable ValueError — not an opaque numpy
+    crash in an executor — and incompatible engine/coarse combinations
+    must raise BEFORE the _clone_light probe or collapse plan runs
+    (asserted via a DataFrame whose evaluation would itself blow up:
+    validation passing through any Spark job would surface that
+    error instead of the expected one)."""
+    import pytest
+
+    from vspace_spark.operators.dedup import semantic_dedup
+
+    # evaluating this frame raises (explode of a non-array); reaching
+    # any Spark action before validation would error differently
+    poison = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    c2 = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(ValueError, match="arrow-engine only"):
+        semantic_dedup(
+            poison, c2, engine="fold", coarse=(c2, [0, 1]),
+            collapse_exact=True,
+        )
+    with pytest.raises(ValueError, match="unknown engine"):
+        semantic_dedup(poison, c2, engine="numpy")
+    with pytest.raises(ValueError, match="one owner per center"):
+        semantic_dedup(
+            poison, c2, engine="arrow", coarse=(c2, [0]),
+        )
+    with pytest.raises(ValueError, match="indices must be in"):
+        semantic_dedup(
+            poison, c2, engine="arrow", coarse=(c2, [0, 5]),
+        )
+    with pytest.raises(ValueError, match="own none"):
+        # coarse center 1 owns zero fine centers — the exact
+        # executor-side argmin-over-empty-axis crash shape
+        semantic_dedup(
+            poison, c2, engine="arrow", coarse=(c2, [0, 0]),
+        )
+
+
+def test_hierarchical_codebook_counts_unsized_inputs(spark):
+    """ADVICE r8: when the input has no parquet footer (in-memory
+    frame) the sample sizing falls back to one count() and the
+    hash-modulus thinning still applies — the sample must NOT be a
+    bare first-partitions limit() on data physically clustered by
+    group. Planted: 4 well-separated clusters each confined to its
+    own partition range; a biased first-partitions sample would train
+    all centers inside 1-2 clusters and collapse the rest into shared
+    cells."""
+    import numpy as np
+
+    from vspace_spark.operators.dedup import hierarchical_codebook
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for g in range(4):
+        base = np.zeros(8)
+        base[2 * g] = 10.0
+        for _ in range(600):
+            v = base + rng.normal(0, 0.05, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # 4 partitions, data ordered by cluster → partition ~ cluster
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartitionByRange(4, "vec_id")
+    fine, coarse, owner = hierarchical_codebook(
+        df, k=8, sample_rows=400, iters=4
+    )
+    C = np.asarray(fine)
+    # every planted cluster center must have a trained center nearby —
+    # a first-partitions sample would miss later clusters entirely
+    for g in range(4):
+        base = np.zeros(8)
+        base[2 * g] = 10.0
+        d = np.sqrt(((C - base) ** 2).sum(1)).min()
+        assert d < 1.0, f"cluster {g} unrepresented (nearest {d:.2f})"

@@ -1075,6 +1075,12 @@ def semantic_dedup(
     """
     from vspace_spark.operators.similarity import _cell_dist_structs
 
+    # ALL engine/coarse compatibility checks run BEFORE any Spark work
+    # (ADVICE r8: an invalid engine='fold' + coarse combination used to
+    # run the _clone_light probe and build the whole collapse plan
+    # before the recursive call finally raised)
+    if engine not in ("fold", "arrow"):
+        raise ValueError(f"unknown engine: {engine}")
     if engine == "arrow":
         # the arrow path round-trips ids through an int64 pandas column
         # (mapInPandas schema "_id long") where the fold path works
@@ -1086,6 +1092,39 @@ def semantic_dedup(
                 f"semantic_dedup(engine='arrow') requires an integral "
                 f"{id_col!r} (got {id_type}); use engine='fold' for "
                 f"non-integral ids"
+            )
+    if coarse is not None:
+        if engine != "arrow":
+            raise ValueError(
+                "coarse (two-level) assignment is arrow-engine only"
+            )
+        # user-suppliable routing structure: a malformed one would
+        # otherwise crash executor-side with an opaque numpy error
+        # when a vector routes to a coarse cell owning zero fine
+        # centers (sub.argmin over an empty axis) — validate
+        # driver-side with actionable messages (ADVICE r8).
+        # hierarchical_codebook's output satisfies all three by
+        # construction.
+        coarse_centers, owner = coarse
+        if len(owner) != len(centers):
+            raise ValueError(
+                f"coarse: fine_owner has {len(owner)} entries for "
+                f"{len(centers)} fine centers — one owner per center"
+            )
+        owners = {int(o) for o in owner}
+        if not coarse_centers or any(
+            o < 0 or o >= len(coarse_centers) for o in owners
+        ):
+            raise ValueError(
+                f"coarse: owner indices must be in [0, "
+                f"{len(coarse_centers)}) — got {sorted(owners)[:8]}…"
+            )
+        if owners != set(range(len(coarse_centers))):
+            empty = sorted(set(range(len(coarse_centers))) - owners)
+            raise ValueError(
+                f"coarse: every coarse center must own >= 1 fine "
+                f"center; centers {empty[:8]} own none (drop them — "
+                f"hierarchical_codebook never emits empty cells)"
             )
 
     if (
@@ -1152,12 +1191,6 @@ def semantic_dedup(
     if engine == "arrow":
         return _semantic_dedup_arrow_raw(
             embeddings, centers, id_col, vec_col, threshold, coarse
-        )
-    if engine != "fold":
-        raise ValueError(f"unknown engine: {engine}")
-    if coarse is not None:
-        raise ValueError(
-            "coarse (two-level) assignment is arrow-engine only"
         )
 
     from pyspark import StorageLevel
@@ -1829,6 +1862,15 @@ def hierarchical_codebook(
         n_est = footer_row_count(embeddings)
     except Exception:
         pass
+    if n_est is None:
+        # bounded-collect: one scalar. Sizes the hash-modulus thinning
+        # for non-bare-scan / in-memory inputs: an UNTHINNED bare
+        # limit() takes the first partitions only, so on data
+        # physically clustered by source/cluster the training sample
+        # would be biased and the codebook could degenerate — exactly
+        # the undersized-sample failure the docstring warns about
+        # (ADVICE r8).
+        n_est = embeddings.count()
     sample = embeddings.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_i"))
     if n_est is not None and n_est > sample_rows:
         # deterministic hash-modulus thinning: a narrow filtered scan,

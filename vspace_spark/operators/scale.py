@@ -96,6 +96,50 @@ def footer_row_count(df: DataFrame) -> int | None:
         return None
 
 
+_DISK_PERSIST_FLOOR = 512 << 20
+
+
+def persist_shared(
+    df: DataFrame,
+    est_bytes: int | None = None,
+    floor_bytes: int = _DISK_PERSIST_FLOOR,
+    eager: bool = False,
+) -> DataFrame:
+    """Persist a multiply-consumed relation with the storage level the
+    aged-JVM storage×state A/B chose (scripts/q21_persist_bench.py,
+    PERF.md round 8) — the shared policy VERDICT r8 asked for instead
+    of per-site lore:
+
+    - ``est_bytes >= floor_bytes`` (best-effort DECOMPRESSED size of
+      the relation's input, e.g. ``_uncompressed_input_bytes``) →
+      ``DISK_ONLY``: cache files ride the OS page cache and keep
+      multi-GB allocations off an aged old-gen. PySpark's
+      MEMORY_AND_DISK is the SERIALIZED level but its byte buffers are
+      still HEAP-RESIDENT — in a long-lived local JVM that couples
+      every cached-relation query to GC state (q21 measured 40–79 s
+      aged vs 12–21 s fresh; DISK_ONLY returned to 13–15 s).
+    - smaller or unknown (``None``) → ``MEMORY_AND_DISK``: vocabulary-
+      sized blocks are harmless on-heap and skip the disk round-trip.
+
+    ``eager=True`` materializes with one count() so AQE plans the
+    consumers from honest cached sizes (the mis-broadcast lesson,
+    PERF.md round 4). On a real cluster with executor-managed storage
+    memory either level works; the single-JVM driver is where heap
+    residency bites.
+    """
+    from pyspark import StorageLevel
+
+    level = (
+        StorageLevel.DISK_ONLY
+        if est_bytes is not None and est_bytes >= floor_bytes
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    out = df.persist(level)
+    if eager:
+        out.count()  # bounded-collect: one scalar, materializes the cache
+    return out
+
+
 def rebalance_for_compute(
     df: DataFrame, min_factor: int = 2, min_bytes: int = 4 << 20
 ) -> DataFrame:

@@ -697,8 +697,9 @@ def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
     final join (also guarantees partition ids stay stable between the
     two phases).
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
+
+    from vspace_spark.operators.scale import persist_shared
 
     df = token_dfs[0].select("token")
     for other in token_dfs[1:]:
@@ -713,9 +714,9 @@ def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy("token")
-    local = part.withColumn("_rn", F.row_number().over(w)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # vocabulary-sized (distinct tokens) — persist_shared's unknown-
+    # size default, MEMORY_AND_DISK, is the right level
+    local = persist_shared(part.withColumn("_rn", F.row_number().over(w)))
     # bounded-collect: one row per partition (two-phase id numbering)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
     offsets, acc = [], 0

@@ -427,9 +427,10 @@ def _q21_plan(li: DataFrame, orders: DataFrame, supp: DataFrame) -> DataFrame:
     real cluster with executor-managed storage memory either level
     works; the long-lived single-JVM driver is where heap residency
     couples the query to old-gen state."""
-    from pyspark import StorageLevel
-
-    from vspace_spark.operators.scale import _uncompressed_input_bytes
+    from vspace_spark.operators.scale import (
+        _uncompressed_input_bytes,
+        persist_shared,
+    )
 
     lo = li.join(
         orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
@@ -443,8 +444,9 @@ def _q21_plan(li: DataFrame, orders: DataFrame, supp: DataFrame) -> DataFrame:
     )
     est = _uncompressed_input_bytes(li)
     if est is not None and est >= _Q21_PERSIST_BYTES:
-        lo = lo.persist(StorageLevel.DISK_ONLY)
-        lo.count()  # bounded-collect: one scalar, materializes the cache
+        # persist_shared picks DISK_ONLY here (est >= its floor —
+        # same 512 MB constant)
+        lo = persist_shared(lo, est, eager=True)
     l1 = lo.filter((F.col("o_orderstatus") == "F") & F.col("late"))
     others = lo.select(
         F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")

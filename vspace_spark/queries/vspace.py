@@ -181,12 +181,18 @@ def vocab_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vspace/pipelines/base.py:385-389 + vspace/lookups/dawg.py:179-193).
     Vocabulary here = bigrams with document_frequency ≥ 20, derived from
     the corpus itself so the query is self-contained."""
-    from pyspark import StorageLevel
+    from vspace_spark.operators.scale import (
+        _uncompressed_input_bytes,
+        persist_shared,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    # consumed three times (vocab build + both gate branches)
-    toks = tokenized_documents(docs, min_n=1, max_n=2).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # consumed three times (vocab build + both gate branches); level
+    # by the shared policy — DISK_ONLY once the corpus is big enough
+    # that a heap-resident block would couple to aged-JVM GC state
+    toks = persist_shared(
+        tokenized_documents(docs, min_n=1, max_n=2),
+        _uncompressed_input_bytes(docs),
     )
     vocab = (
         toks.filter(F.col("token").contains(" "))
@@ -346,6 +352,12 @@ def source_language_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# corpus decompressed-size floor above which tfidf_top3_per_doc takes
+# the vocabulary-sized df-aggregate persist (scale-safe two-pass plan)
+# instead of persisting the exploded corpus once — see the docstring
+_TFIDF_DF_PERSIST_BYTES = 64 << 20
+
+
 @query(
     "tfidf_top3_per_doc",
     oracle=f"""
@@ -369,27 +381,40 @@ def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring on the engine's own term statistics (§2.11 — the
     reference stores the sufficient statistics but never scores; this
     closes the loop) + top-k-per-group window."""
-    from pyspark import StorageLevel
+    from vspace_spark.operators.scale import (
+        _uncompressed_input_bytes,
+        persist_shared,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     perdoc = tokenized_documents(docs)
-    # The exploded corpus is consumed twice (df build + scoring join),
-    # but persisting IT is O(corpus tokens) — tens of GB decompressed
-    # at the 100× bench, the wrong thing to hold at 100 TB (VERDICT r7
-    # #2; the recorded 299 s outlier's most plausible mechanism was
-    # exactly that persist spilling/GC-thrashing). Persist the token→df
-    # AGGREGATE instead (vocabulary-sized) and tokenize twice: explode
-    # + hash-agg is cheap JVM work, and the aggregate is the relation
-    # the scoring join actually needs. Measured at 100×, fresh JVM per
-    # variant (PERF.md r8): df-persist wins every rep — 46.8/34.3/31.7 s
-    # vs perdoc-persist 87.6/68.6/36.5 s (1.9× on the first rep, the
-    # state a driver-run suite sees) — while holding a vocabulary-sized
-    # cache instead of the corpus-token-sized one.
-    df = (
-        perdoc.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # The exploded corpus is consumed twice (df build + scoring join).
+    # Two plans, gated on the corpus's decompressed footer size
+    # (VERDICT r8 #4):
+    # - ABOVE the floor, persisting the exploded corpus is O(corpus
+    #   tokens) — tens of GB decompressed at the 100× bench, the wrong
+    #   thing to hold at 100 TB (VERDICT r7 #2: the 299 s outlier's
+    #   most plausible mechanism was exactly that persist spilling/
+    #   GC-thrashing). Persist the token→df AGGREGATE instead
+    #   (vocabulary-sized) and tokenize twice: explode + hash-agg is
+    #   cheap JVM work. Measured at 100×, fresh JVM per variant
+    #   (PERF.md r8): df-persist wins every rep — 46.8/34.3/31.7 s vs
+    #   perdoc-persist 87.6/68.6/36.5 s.
+    # - BELOW the floor the cache write + second tokenize cost MORE
+    #   than they save (sf0.1 regressed 1.04→1.61 s on the df-persist
+    #   plan, VERDICT r8 #1): a small exploded corpus persists for
+    #   ~free, so keep the tokenize-once plan there.
+    # 64 MB separates the measured points by 40× each way (sf0.1
+    # documents = 1.6 MB, the 100× replica = 160 MB); at 100 TB every
+    # corpus takes the df-aggregate lane.
+    est = _uncompressed_input_bytes(docs)
+    if est is None or est >= _TFIDF_DF_PERSIST_BYTES:
+        df = persist_shared(
+            perdoc.groupBy("token").agg(F.count("*").alias("df"))
+        )
+    else:
+        perdoc = persist_shared(perdoc)
+        df = perdoc.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.count()
     scored = perdoc.join(df, "token").select(
         "doc_id",
