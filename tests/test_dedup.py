@@ -894,6 +894,7 @@ _CLONE_LIGHT_IDENTITY_TESTS = {
     "dedup_keep_best": (
         "test_keep_best_exact_collapse_matches_uncollapsed_oracle"
     ),
+    "passjoin_edit_pairs": "test_passjoin_collapse_matches_raw",
 }
 
 
@@ -1310,3 +1311,95 @@ def test_hierarchical_codebook_counts_unsized_inputs(spark):
         base[2 * g] = 10.0
         d = np.sqrt(((C - base) ** 2).sum(1)).min()
         assert d < 1.0, f"cluster {g} unrepresented (nearest {d:.2f})"
+
+
+def test_passjoin_matches_exhaustive_all_lengths(spark, sf_dir):
+    """passjoin_edit_pairs must emit exactly the block-exhaustive
+    edit_distance_pairs output with NO length floor on the input —
+    the pigeonhole segment lemma covers every key length (short keys
+    take the residual banded lane), unlike the q-gram count bound.
+    Run on the fixture corpus (mixed real lengths) at two k."""
+    from vspace_spark.operators.dedup import (
+        edit_distance_pairs,
+        passjoin_edit_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for plen, k in [(16, 4), (12, 2)]:
+        key = F.substring("text", 1, plen)
+        got = {
+            (r.a, r.b, r.dist)
+            for r in passjoin_edit_pairs(docs, key, max_dist=k).collect()
+        }
+        want = {
+            (r.a, r.b, r.dist)
+            for r in edit_distance_pairs(docs, key, max_dist=k).collect()
+        }
+        assert got == want, f"plen={plen} k={k}: {got ^ want}"
+        assert len(got) > 0
+
+
+def test_passjoin_matches_qgram_on_qgram_domain(spark, sf_dir):
+    """On the q-gram guarantee domain (max(len) >= q*(k+1)) the two
+    first-class generators must be byte-identical — VERDICT r8 #5's
+    acceptance test."""
+    from vspace_spark.operators.dedup import (
+        passjoin_edit_pairs,
+        qgram_edit_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 16
+    )
+    key = F.substring("text", 1, 16)
+    pj = {
+        (r.a, r.b, r.dist)
+        for r in passjoin_edit_pairs(docs, key, max_dist=4).collect()
+    }
+    qg = {
+        (r.a, r.b, r.dist)
+        for r in qgram_edit_pairs(docs, key, q=3, max_dist=4).collect()
+    }
+    assert pj == qg, pj ^ qg
+    assert len(pj) > 0
+
+
+def test_passjoin_collapse_matches_raw(spark):
+    """passjoin_edit_pairs routes through the shared exact-collapse
+    prepass (probe-gated): collapsed and raw paths must be
+    output-identical on a clone-heavy fixture INCLUDING sub-(k+1)
+    short-key clone groups (the raw path emits their dist-0 pairs
+    through the residual banded lane, so — unlike qgram — the
+    collapse domain keeps them)."""
+    from vspace_spark.operators.dedup import passjoin_edit_pairs
+
+    rows = (
+        [(i, "alpha beta gamma del", "s") for i in range(1, 6)]
+        + [(6, "alpha beta gamma dXl", "s")]
+        + [(10 + i, "omega psi chi phi up", "s") for i in range(4)]
+        + [(20, "totally different te", "s")]
+        # short clone group (len 1 < k+1): residual-lane territory
+        + [(30 + i, "x", "s") for i in range(3)]
+        # short near pair (len 2 vs 1)
+        + [(40, "xy", "s")]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    key = F.substring("text", 1, 20)
+    collapsed = {
+        (r.a, r.b, r.dist)
+        for r in passjoin_edit_pairs(
+            docs, key, max_dist=4, collapse_exact=True
+        ).collect()
+    }
+    raw = {
+        (r.a, r.b, r.dist)
+        for r in passjoin_edit_pairs(
+            docs, key, max_dist=4, collapse_exact=False
+        ).collect()
+    }
+    assert collapsed == raw, collapsed ^ raw
+    pairs = {(a, b) for a, b, _ in collapsed}
+    # short clones pair at dist 0, and bridge to "xy" at dist 1
+    assert {(1, 2), (1, 6), (10, 11), (30, 31), (30, 40)} <= pairs

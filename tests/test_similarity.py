@@ -213,3 +213,67 @@ def test_ml_idf_agrees_with_exact_df(spark, sf_dir):
         if abs(idf[bucket] - expect) < 1e-9:
             checked += 1
     assert checked >= len(stats) * 0.9, (checked, len(stats))
+
+
+def test_ivf_arrow_assign_matches_fold_on_fixed_centers(spark, sf_dir):
+    """With the SAME codebook and no coarse tier, the arrow matmul
+    assigner and the fold struct-argmin must produce identical top-k
+    output (both argmin the same distances; ties — absent in the
+    fixture — would break to the lowest cell in both)."""
+    from vspace_spark.operators.dedup import hierarchical_codebook
+    from vspace_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    fine, _, _ = hierarchical_codebook(emb, 16)
+    fold = sorted(
+        map(tuple, ivf_topk(q, emb, k=5, centers=fine).collect())
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                q, emb, k=5, centers=fine, assign_engine="arrow"
+            ).collect(),
+        )
+    )
+    assert fold == arrow
+
+
+def test_ivf_trained_arrow_two_level_recall(spark, sf_dir):
+    """The trained-codebook + two-level arrow assignment path (the
+    K>=2048 scale lane) must clear the same recall floor as the fold
+    path — coarse routing may move borderline vectors between cells
+    but cannot wreck neighbor co-location."""
+    from vspace_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5).collect()
+    approx = ivf_topk(
+        q, emb, k=5, n_cells=16, n_probe=4, assign_engine="arrow"
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"trained+arrow IVF recall {recall}"
+
+
+def test_ivf_assign_engine_validation(spark, sf_dir):
+    import pytest
+
+    from vspace_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="unknown assign_engine"):
+        ivf_topk(q, emb, assign_engine="numpy").collect()
+    strid = emb.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        ivf_topk(
+            strid.filter(F.col("vec_id") < "3"),
+            strid,
+            assign_engine="arrow",
+        )

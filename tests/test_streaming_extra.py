@@ -292,6 +292,51 @@ class TestIncrementalIndexDedup:
         assert second.count() == 1
         assert first.count() == n_first  # held frame unaffected
 
+    def test_bucketed_layout_matches_partitioned(self, spark, tmp_path):
+        """index_layout='bucketed' (VERDICT r8 #7: the 478x probe-wire
+        design landed as a metastore table bucketed by (band, bucket))
+        must emit the exact pair set the parquet-partitioned layout
+        does, including cross-batch index-probe pairs, and must be
+        replay-idempotent over the same work_dir (the bucketed append
+        drops+rewrites only its own batch partition)."""
+        from vspace_spark.streaming.incremental import (
+            incremental_minhash_dedup,
+        )
+
+        docs = self._clones(spark)
+        plain = {
+            (r.a, r.b, r.agree)
+            for r in incremental_minhash_dedup(
+                spark, docs, work_dir=str(tmp_path / "wp"), n_input_files=5
+            ).collect()
+        }
+        work = str(tmp_path / "wb")
+        bucketed = {
+            (r.a, r.b, r.agree)
+            for r in incremental_minhash_dedup(
+                spark,
+                docs,
+                work_dir=work,
+                n_input_files=5,
+                index_layout="bucketed",
+            ).collect()
+        }
+        assert bucketed == plain
+        assert any(b - a > 2 for a, b, _ in bucketed)  # index-probe pairs
+        # replay over the same work_dir: no duplicate pairs
+        again = {
+            (r.a, r.b, r.agree)
+            for r in incremental_minhash_dedup(
+                spark,
+                docs,
+                work_dir=work,
+                n_input_files=5,
+                index_layout="bucketed",
+            ).collect()
+        }
+        assert again == plain
+
+
 def test_stateful_transition_counts_spanning_arrow_chunks(
     spark, sf_dir, duck, tmp_path
 ):

@@ -114,6 +114,45 @@ def append_index_batch(
     )
 
 
+def append_index_batch_bucketed(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str,
+    batch_id: int,
+    bucket_cols: list[str] | tuple,
+    n_buckets: int = 32,
+) -> None:
+    """The accreting-index contract (:func:`append_index_batch`) over
+    a BUCKETED metastore table — the warehouse-scale layout the
+    parquet form only documents: partitioned by ``batch`` (idempotent
+    replay) AND bucketed+sorted by the probe key, so every ingest
+    probe joins the index side EXCHANGE-FREE — only the arriving
+    batch shuffles, turning the per-probe wire cost from index-sized
+    to batch-sized (measured 478× less shuffle at a 16M-row index,
+    scripts/bucketed_probe_bench.py; the linear-in-history term this
+    removes is what bends the incremental-dedup marginal-cost curve,
+    scripts/incremental_dedup_bench.py --layout bucketed).
+
+    Idempotency: a replayed batch DROPs its own partition first
+    (managed table ⇒ the partition's files are deleted with it), then
+    appends with the same bucket spec — a replay replaces its own
+    partition only, like the parquet contract's dynamic overwrite.
+    """
+    out = batch.withColumn("batch", F.lit(int(batch_id)))
+    if spark.catalog.tableExists(table):
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION "
+            f"(batch={int(batch_id)})"
+        )
+    (
+        out.write.mode("append")
+        .partitionBy("batch")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
 def read_index(spark: SparkSession, path: str, fmt: str = "delta") -> DataFrame:
     """Read the accreting index written by :func:`append_index_batch`."""
     if fmt == "delta":

@@ -1676,6 +1676,75 @@ def _hot_pairs_segment(
     return seg_pairs.unionByName(short_pairs)
 
 
+def passjoin_edit_pairs(
+    docs: DataFrame,
+    key,
+    id_col: str = "doc_id",
+    block: list[str] | tuple = ("source",),
+    max_dist: int = 3,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Edit-distance near-pairs with PassJoin SEGMENT indexing (Li,
+    Deng, Feng, ICDE 2011) as the PRIMARY candidate generator — the
+    r8 hot lane (:func:`_hot_pairs_segment`) promoted to first class
+    (VERDICT r8 #5). Same output contract as
+    :func:`edit_distance_pairs` / :func:`qgram_edit_pairs`:
+    ``[a, b, dist]``, a < b, dist ≤ ``max_dist``.
+
+    When to choose over the q-gram count filter: corpora where even
+    COLD gram buckets are dense — small alphabets or heavily templated
+    keys, where per-(block, gram) occupancy ~ N/|Σ|^q makes every
+    bucket a quadratic candidate source while the pigeonhole SEGMENTS
+    (length L/(k+1) substrings indexed under (length, segment#,
+    content)) stay selective because they are an order of magnitude
+    longer than grams. Measured (PERF.md round 9,
+    scripts/passjoin_bench.py): on a dense-gram fixture the segment
+    generator beats the count filter on candidate volume and
+    wall-clock; on ordinary text the count filter's cheaper index
+    (one row per gram vs (2k+1)·(k+1) probe rows per key) wins —
+    both stay registered, pick by corpus.
+
+    Recall is EXACT at every key length (the lemma needs no minimum:
+    short×short keys — both under k+1 chars, where segments would be
+    empty — route through a residual banded self-join restricted to
+    that slice), where the q-gram bound is vacuous below
+    ``q·(k+1)`` chars. Shuffle shape: every join key is an equi-key
+    (block, length, segment#, content) hash join; candidates verify
+    with the banded ``levenshtein(a, b, k)``.
+
+    ``collapse_exact`` (default, probe-gated like the family):
+    verbatim-identical keys collapse per (block, md5(key)) before the
+    segment join and expand back output-identically (intra-group
+    pairs at dist 0 — the raw path emits them through whichever lane
+    the key length selects).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    if collapse_exact and not _clone_light(docs, key):
+        # non-null keys only — both raw lanes drop null keys (every
+        # length predicate on NULL is false), so the collapse domain
+        # must match or output would depend on the probe verdict
+        with_key = docs.select(
+            F.col(id_col), *block, key.alias("_ckey")
+        ).filter(key.isNotNull())
+        canon_docs, members = _collapse_by_key(
+            with_key, id_col, ["_ckey"], F.md5(F.col("_ckey")),
+            block=list(block),
+        )
+        raw = passjoin_edit_pairs(
+            canon_docs,
+            F.col("_ckey"),
+            id_col=id_col,
+            block=list(block),
+            max_dist=max_dist,
+            collapse_exact=False,
+        )
+        return _expand_pairs(raw, members, {"dist": F.lit(0)})
+    keyed = docs.select(
+        F.col(id_col).alias("_id"), *block, key.alias("_k")
+    )
+    return _hot_pairs_segment(keyed, list(block), max_dist)
+
+
 def _semantic_dedup_arrow_raw(
     embeddings: DataFrame,
     centers: list[list[float]],

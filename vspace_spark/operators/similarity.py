@@ -143,6 +143,138 @@ def _cell_dist_structs(
     )
 
 
+def _assign_cells_arrow(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    coarse: "tuple[list[list[float]], list[int]] | None" = None,
+) -> DataFrame:
+    """Matmul cell assignment for :func:`ivf_topk` — one numpy
+    ``||v−c||²`` argmin per Arrow batch instead of the interpreted
+    per-row struct fold, yielding ``[neighbor_id, _cv, cell]``.
+
+    ``coarse`` = (coarse_centers, fine_owner) from
+    ``hierarchical_codebook``: two-level routing — argmin over the Kc
+    coarse centers, then over only the fine centers the winning coarse
+    cell owns (N·(Kc + K/Kc)·D flops instead of N·K·D). Same routing
+    (and the same sharp edge: meaningful only for codebooks whose two
+    levels share trained cluster structure) as
+    ``dedup._semantic_dedup_arrow_raw``; the closure is self-contained
+    so executor workers need no importable vspace_spark (NOTES.md seam
+    #2). Ties break to the lowest cell id (np.argmin takes the first
+    minimum) — the same tie-break as the fold path's struct sort.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    centers_rows = [list(map(float, c)) for c in centers]
+    coarse_rows = (
+        None if coarse is None else [list(map(float, c)) for c in coarse[0]]
+    )
+    owner_rows = None if coarse is None else [int(o) for o in coarse[1]]
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as _np
+        import pandas as _pd
+
+        C = _np.asarray(centers_rows, dtype=_np.float64)  # K×D
+        c2 = (C * C).sum(1)[None, :]
+        if coarse_rows is not None:
+            CC = _np.asarray(coarse_rows, dtype=_np.float64)  # Kc×D
+            cc2 = (CC * CC).sum(1)[None, :]
+            owner = _np.asarray(owner_rows, dtype=_np.int64)
+            members = [_np.nonzero(owner == c)[0] for c in range(len(CC))]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["_vin"]]
+            )
+            # ||v−c||² = ||v||² − 2 v·c + ||c||²; the shared ||v||²
+            # term cannot change the argmin
+            if coarse_rows is None:
+                d = c2 - 2.0 * (V @ C.T)
+                cells = d.argmin(1).astype("int32")
+            else:
+                dc = cc2 - 2.0 * (V @ CC.T)
+                cgrp = dc.argmin(1)
+                cells = _np.empty(len(V), dtype="int32")
+                for c in range(len(CC)):
+                    rows = _np.nonzero(cgrp == c)[0]
+                    if not len(rows):
+                        continue
+                    m = members[c]
+                    sub = c2[0, m][None, :] - 2.0 * (V[rows] @ C[m].T)
+                    cells[rows] = m[sub.argmin(1)]
+            yield _pd.DataFrame(
+                {
+                    "neighbor_id": pdf["_idin"].astype("int64"),
+                    "cell": cells,
+                    "_cv": list(V),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("_idin"), F.col(vec_col).alias("_vin")
+    ).mapInPandas(assign, "neighbor_id long, cell int, _cv array<double>")
+
+
+def _probe_cells_arrow(
+    queries: DataFrame,
+    centers: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Top-``n_probe`` nearest cells per query via one numpy matmul —
+    yields ``[query_id, _qv, cell]`` (one row per probed cell). The
+    fold twin (``slice(array_sort(cell_dists))``) builds a K×D literal
+    expression tree that Catalyst must analyze per plan — measured
+    minutes of pure PLAN COMPILE at K=2048 (PERF.md round 9), which is
+    why the arrow engine routes the query side through numpy too.
+    Ties break (dist, cell) ascending like the fold path's struct
+    sort."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    centers_rows = [list(map(float, c)) for c in centers]
+    npb = int(n_probe)
+
+    def probe(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as _np
+        import pandas as _pd
+
+        C = _np.asarray(centers_rows, dtype=_np.float64)  # K×D
+        c2 = (C * C).sum(1)[None, :]
+        take = min(npb, len(C))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["_vin"]]
+            )
+            d = c2 - 2.0 * (V @ C.T)
+            # stable argsort on distance ⇒ equal distances keep index
+            # (= lowest cell) order — the fold path's tie-break
+            top = _np.argsort(d, axis=1, kind="stable")[:, :take]
+            yield _pd.DataFrame(
+                {
+                    "query_id": _np.repeat(
+                        pdf["_idin"].to_numpy().astype("int64"), take
+                    ),
+                    "cell": top.reshape(-1).astype("int32"),
+                    "_qv": list(_np.repeat(V, take, axis=0)),
+                }
+            )
+
+    return queries.select(
+        F.col(id_col).alias("_idin"), F.col(vec_col).alias("_vin")
+    ).mapInPandas(probe, "query_id long, cell int, _qv array<double>")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -153,49 +285,79 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     centers: list[list[float]] | None = None,
+    assign_engine: str = "fold",
+    trainer_sample_rows: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into cells; each query
     scores only its ``n_probe`` nearest cells. The inverted-file
     structure every vector database uses, expressed relationally:
     assign = broadcast-centroid argmin, probe = equi-join on cell id.
 
-    ``centers=None`` trains a KMeans codebook (the quality path —
-    engine-specific, rows-only under the driver gate); passing fixed
-    ``centers`` (e.g. ``portable_hyperplanes(dim, n_cells, salt="c")``)
-    makes assignment + probing + ranking fully deterministic and
-    SQL-reproducible — the oracle-checked path. Both use the same
-    argmin/probe/score plan.
+    ``centers=None`` trains the codebook with
+    ``operators/dedup.py:hierarchical_codebook`` — driver-side
+    hierarchical Lloyd on a deterministic hash-chosen sample (the
+    quality path; rows-only under the driver gate because k-means
+    centers are float-accumulation-order dependent). This replaced
+    pyspark.ml KMeans (VERDICT r8 #1): same clustering quality on the
+    recall floor, but the trainer is seconds at K=4096 where ml KMeans
+    takes minutes of iterative Spark jobs (PERF.md round 9), it is
+    deterministic without a seed (``seed`` is retained for signature
+    compatibility and ignored), and it hands back the coarse routing
+    tier the arrow assigner exploits at corpus scale. The trained
+    center count lands within per-cell rounding of ``n_cells``
+    (hierarchical_codebook's contract — cells bound, exact K doesn't).
+    Passing fixed ``centers`` (e.g. ``portable_hyperplanes(dim,
+    n_cells, salt="c")``) makes assignment + probing + ranking fully
+    deterministic and SQL-reproducible — the oracle-checked path
+    (``ann_ivf_fixed_top5``). All paths share the probe/score plan.
 
-    At 100 TB: training samples a fraction, assignment is a narrow map,
-    and the cell-partitioned corpus can be written out bucketed by cell
-    so probes become partition-pruned scans.
+    ``assign_engine``: ``"fold"`` (default) assigns the corpus with
+    the deterministic (dist, cell) struct argmin — an interpreted
+    per-row fold over ALL centers, fine at small K and exactly
+    SQL-mirrorable. ``"arrow"`` assigns with one numpy matmul per
+    Arrow batch (requires an integral ``id_col``); with a trained
+    codebook it routes two-level through the coarse tier —
+    N·(Kc + K/Kc)·D flops instead of N·K·D — which is what makes
+    K ≥ 2048 codebooks practical (the flat interpreted fold was the
+    measured ANN bottleneck, PERF.md round 3).
+
+    At 100 TB: training samples a fraction (driver-side, bounded
+    collect), assignment is a narrow map, and the cell-partitioned
+    corpus can be written out bucketed by cell so probes become
+    partition-pruned scans.
     """
+    coarse = None
     if centers is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        from vspace_spark.operators.dedup import hierarchical_codebook
 
-        with_vec = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
-            array_to_vector(F.col(vec_col)).alias("_features"),
+        fine, coarse_centers, owner = hierarchical_codebook(
+            corpus,
+            n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_rows=trainer_sample_rows,
         )
-        km = KMeans(k=n_cells, seed=seed, featuresCol="_features")
-        model = km.fit(with_vec.select("_features"))
-        assigned = model.transform(with_vec).select(
-            "neighbor_id", "_cv", F.col("prediction").alias("cell")
-        )
-        centers = [c.tolist() for c in model.clusterCenters()]
-    else:
-        assigned = None  # built below once cell_dists exists
+        centers = fine
+        coarse = (coarse_centers, owner)
 
     def cell_dists(vec: F.Column) -> F.Column:
         return _cell_dist_structs(vec, centers)
 
-    if assigned is None:
-        # fixed codebook: corpus assignment = argmin over the same
-        # (dist, cell) structs — array_sort's (dist, cell) field order
-        # gives the deterministic lowest-cell tie-break the oracle's
-        # ORDER BY dist, cell mirrors
+    if assign_engine == "arrow":
+        id_type = dict(corpus.dtypes).get(id_col)
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(
+                f"ivf_topk(assign_engine='arrow') requires an integral "
+                f"{id_col!r} (got {id_type}); use assign_engine='fold'"
+            )
+        assigned = _assign_cells_arrow(
+            corpus, centers, id_col, vec_col, coarse
+        )
+    elif assign_engine == "fold":
+        # argmin over the (dist, cell) structs — array_sort's
+        # (dist, cell) field order gives the deterministic lowest-cell
+        # tie-break the fixed-codebook oracle's ORDER BY dist, cell
+        # mirrors
         assigned = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cv"),
@@ -203,14 +365,23 @@ def ivf_topk(
                 "cell"
             ),
         )
+    else:
+        raise ValueError(f"unknown assign_engine: {assign_engine}")
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(
-            F.slice(F.array_sort(cell_dists(F.col(vec_col))), 1, n_probe)
-        ).alias("probe"),
-    ).select("query_id", "_qv", F.col("probe.cell").alias("cell"))
+    if assign_engine == "arrow":
+        # the fold probe below builds a K×D LITERAL expression tree —
+        # at K=2048/D=64 that is ~131k literal nodes and Catalyst
+        # analysis alone takes minutes (PERF.md round 9); the arrow
+        # engine routes the query side through the same numpy matmul
+        q = _probe_cells_arrow(queries, centers, id_col, vec_col, n_probe)
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                F.slice(F.array_sort(cell_dists(F.col(vec_col))), 1, n_probe)
+            ).alias("probe"),
+        ).select("query_id", "_qv", F.col("probe.cell").alias("cell"))
 
     scored = (
         assigned.join(F.broadcast(q), "cell")

@@ -45,92 +45,92 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-8 window composition (re-prove-what-changed + oldest evidence,
-# VERDICT r7 #5):
-#   - the four queries whose code changed in round 8: tfidf_top3
-#     (df-aggregate persist), dedup_semantic (footer-count K sizing),
-#     dedup_fuzzy_pairs_qgram (collapse-domain fix) and its global
-#     variant (shares the fixed operator; registered late in r7, so
-#     this is also its first window slot);
-#   - ALL 17 remaining r4-latest rows (the stalest evidence:
-#     relational stragglers q9/q11/q12/q16/q20/q22, IVF-PQ,
-#     corpus_report, stream full-join/transition, resample,
-#     incremental merge, EWMA, z-order keys, outliers, interpolation,
-#     transition matrix);
-#   - 24 r5-latest rows (streaming consumer suite and friends) —
-#     after r8 no oracled query's latest driver evidence is older
-#     than 4 rounds;
-#   - flagship §2.11 continuity rows.
-# (r7's window: the 3 r7-changed rows + last r1-latest + all 26
-# r3-latest + 15 r4-latest — 50/50 green, CORRECTNESS_r07.json.)
+# Round-9 window composition (re-prove-what-changed + oldest evidence,
+# VERDICT r8 #2):
+#   - the queries whose code changed in round 9 plus the new one:
+#     dedup_fuzzy_pairs_passjoin (NEW — PassJoin segment generator,
+#     exact at all key lengths), tfidf_top3_per_doc (small-scale plan
+#     gate), vocab_gated_stats / q21_waiting_suppliers / vocabulary
+#     (persist_shared policy swap), dedup_semantic (hoisted
+#     engine/coarse validation), stream_dedup_docs_incremental
+#     (index_layout branch added; registered query runs the default
+#     partitioned lane);
+#   - ALL 10 r5-latest rows (the stalest evidence: the UDF-shape
+#     suite, curation split/mixture, resize plan, token arrays);
+#   - 30 of the 42 remaining r6-latest rows — the dedup family,
+#     corpus pipelines, TPC-H shapes, streaming-dedup twins (the 12
+#     deferred to r10: churned_customers_1995, customer_running_spend,
+#     customers_with_high_value_order, customers_without_orders,
+#     math_functions_suite, order_rank_suite, part_brand_except_all,
+#     part_brand_intersect_all, part_price_bands, price_percentiles,
+#     string_functions_suite, trailing_30d_spend — all r1/r2-era
+#     function-suite/window shapes whose operators are unchanged);
+#   - flagship §2.11 continuity rows (vocabulary doubles as an
+#     r9-changed row).
+# (r8's window: 4 r8-changed + all 17 r4-latest + 24 r5-latest +
+# flagship — 50/50 green, CORRECTNESS_r08.json.)
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
-# ann_ivf_pq_top5_fast, dedup_semantic_fast) — their evidence is the
-# recall/rank-agreement property tests against their oracled portable
-# twins, so window slots go to oracled queries only.
+# ann_ivf_pq_top5_fast, dedup_semantic_fast, dedup_semantic_trained)
+# — their evidence is the recall/rank-agreement property tests against
+# their oracled portable twins, so window slots go to oracled queries
+# only.
 _WINDOW = [
-    # --- r8 changes (re-prove changed code: tfidf persist shape,
-    # footer-count K sizing, qgram collapse-domain fix — the global
-    # variant shares the fixed operator and registered late in r7)
+    # --- r9 changes + the new PassJoin generator
+    "dedup_fuzzy_pairs_passjoin",
     "tfidf_top3_per_doc",
-    "dedup_semantic",
-    "dedup_fuzzy_pairs_qgram",
-    "dedup_fuzzy_pairs_global",
-    # --- all 17 remaining r4-latest rows (stalest evidence)
-    "ann_ivf_pq_top5",
-    "corpus_report",
-    "daily_revenue_interpolated",
-    "doc_length_outliers",
-    "event_transition_matrix",
-    "events_zorder_keys",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_late_priority_counts",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q22_lapsed_customer_balance",
-    "stream_purchase_view_full_join",
-    "stream_transition_matrix",
-    "temperature_resample",
-    "term_stats_incremental_merge",
-    "user_value_ewma",
-    # --- 24 of 34 r5-latest rows: all 8 streaming consumers + the two
-    # r5-plan-change heavies + family reps (the 10 deferred to r9:
-    # doc_train_test_split, domain_mixture_weights, embedding_norms,
-    # grouped_map_source_ranks, map_functions_suite,
-    # multimodal_resize_plan, udtf_token_chunks, doc_token_arrays,
-    # token_positions, doc_token_counts)
-    "stream_hourly_counts",
-    "stream_sliding_counts",
-    "stream_user_sessions",
-    "stream_stateful_user_totals",
-    "stream_dedup_events",
-    "stream_purchase_view_join",
-    "stream_purchase_view_left_join",
-    "stream_category_counts",
-    "pagerank_purchase_graph",
+    "vocab_gated_stats",
     "q21_waiting_suppliers",
-    "term_stats_unigram",
-    "term_stats_by_source",
-    "ann_bruteforce_top5",
-    "ann_lsh_top5",
-    "curated_corpus",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "doc_decontamination",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_pack_sequences",
-    "doc_quality",
-    "doc_repetition",
-    "multimodal_image_meta",
+    "vocabulary",
+    "dedup_semantic",
+    "stream_dedup_docs_incremental",
+    # --- all 10 r5-latest rows (stalest evidence)
+    "doc_token_arrays",
+    "doc_token_counts",
+    "doc_train_test_split",
+    "domain_mixture_weights",
+    "embedding_norms",
+    "grouped_map_source_ranks",
+    "map_functions_suite",
+    "multimodal_resize_plan",
+    "token_positions",
+    "udtf_token_chunks",
+    # --- 30 of 42 remaining r6-latest rows (oldest-first fill)
+    "corpus_job_ini",
+    "corpus_jsonl_roundtrip",
+    "corpus_pmi_bigrams",
+    "cube_lineitem_counts",
+    "customer_order_full_outer",
+    "daily_revenue_gapfilled",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_variant_stats",
+    "grouping_sets_revenue",
+    "merge_upsert_orders",
+    "min_cost_supplier_per_part",
+    "multimodal_frame_sample",
+    "orders_above_segment_avg",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_nation_revenue",
+    "q7_nation_volume",
+    "repeat_customers_both_years",
+    "rollup_order_totals",
+    "shard_manifest",
+    "stream_dedup_docs_minhash",
+    "top3_orders_per_customer",
     # --- flagship §2.11 continuity
     "term_stats_ngram",
     "normalize_corpus",
-    "vocabulary",
     "stream_term_stats",
-    "stream_term_stats_ngram",
 ]
 
 

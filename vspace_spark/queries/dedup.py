@@ -626,3 +626,35 @@ def dedup_fuzzy_pairs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qgram_edit_pairs(
         docs, F.substring("text", 1, 16), block=[], q=3, max_dist=4
     )
+
+
+@query(
+    "dedup_fuzzy_pairs_passjoin",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source, substr(text, 1, 16) AS pre FROM documents
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       levenshtein(x.pre, y.pre)::INT AS dist
+FROM p x JOIN p y
+  ON x.source = y.source AND x.doc_id < y.doc_id
+WHERE levenshtein(x.pre, y.pre) <= 4
+""",
+)
+def dedup_fuzzy_pairs_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-pair surface through the PassJoin SEGMENT generator
+    (operators/dedup.py:passjoin_edit_pairs — Li/Deng/Feng ICDE 2011):
+    each key's k+1 even segments are indexed under (block, length,
+    segment#, content) and probed with position-bounded substrings —
+    the candidate path for corpora where even cold q-gram buckets are
+    dense. Recall is exact at EVERY key length (pigeonhole; short keys
+    take the residual banded lane), so unlike the qgram twins the
+    input carries NO length floor and the oracle is the full
+    all-pairs form over all documents — the driver checks equality on
+    a domain the count-filter bound cannot even cover."""
+    from vspace_spark.operators.dedup import passjoin_edit_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passjoin_edit_pairs(
+        docs, F.substring("text", 1, 16), block=["source"], max_dist=4
+    )

@@ -127,11 +127,13 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_top5")  # KMeans centroids — engine-specific, rows-only
+@query("ann_ivf_top5")  # k-means centroids — engine-specific, rows-only
 def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans cells (16) with 4-cell probing — the vector-DB
-    index structure relationally (operators/similarity.py:ivf_topk).
-    Recall vs brute force asserted in tests/test_similarity.py."""
+    """IVF ANN: trained k-means cells (16, hierarchical-Lloyd trainer —
+    operators/dedup.py:hierarchical_codebook) with 4-cell probing — the
+    vector-DB index structure relationally
+    (operators/similarity.py:ivf_topk). Recall vs brute force asserted
+    in tests/test_similarity.py."""
     from vspace_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
