@@ -17,7 +17,12 @@ scripts/bucketed_probe_bench.py) is design, not this code path.
 Reports first/last-quartile mean batch duration, the linear-fit slope
 (ms per batch of index growth), and total pairs. Results → PERF.md.
 
-Run: python scripts/incremental_dedup_bench.py [replicas] [n_batches]
+Run: python scripts/incremental_dedup_bench.py [replicas] [n_batches] [layout]
+
+layout = partitioned (default) | bucketed: the r9 landed bucketed
+signature table (io/connectors.py:append_index_batch_bucketed) —
+probes join the index side exchange-free, removing the index-sized
+per-probe shuffle term from the slope.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ from vspace_spark.streaming.incremental import incremental_minhash_dedup
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    layout = sys.argv[3] if len(sys.argv) > 3 else "partitioned"
     # recentProgress keeps only the last N updates (default 100) — a
     # run past that cap would silently truncate the curve and mislabel
     # the first-quartile stats, so raise the cap above any plausible
@@ -76,7 +82,7 @@ def main() -> None:
     n_docs = docs.count()
 
     progress: list = []
-    work = f"/tmp/vspace_incr_bench_x{replicas}_{n_batches}"
+    work = f"/tmp/vspace_incr_bench_x{replicas}_{n_batches}_{layout}"
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
@@ -87,6 +93,7 @@ def main() -> None:
         work_dir=work,
         n_input_files=n_batches,
         progress_out=progress,
+        index_layout=layout,
     )
     n_pairs = pairs.count()
     elapsed = time.perf_counter() - t0
@@ -110,6 +117,7 @@ def main() -> None:
 
     print(
         {
+            "layout": layout,
             "n_docs": n_docs,
             "n_batches": n,
             "n_pairs": n_pairs,

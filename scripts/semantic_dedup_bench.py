@@ -80,6 +80,18 @@ def main() -> None:
         "linear in N; fixed K makes it quadratic (VERDICT r6 #4)",
     )
     ap.add_argument(
+        "--trained",
+        type=str,
+        default=None,
+        metavar="N1,N2,...",
+        help="TRAINED-LANE-ONLY linearity curve (VERDICT r8 #3): N "
+        "distinct synthetic vectors, K = N/512, hierarchical_codebook "
+        "training + the two-level arrow operator end-to-end — skips "
+        "the flat-assignment twin, which is already intractable at "
+        "these N (110.6 s assignment alone at 2M; the lane exists "
+        "precisely because of that).",
+    )
+    ap.add_argument(
         "--synthetic",
         type=str,
         default=None,
@@ -218,6 +230,66 @@ def main() -> None:
                         coarse=(coarse, owner),
                     )
                 ),
+            )
+            vecs.unpersist()
+        spark.stop()
+        return
+
+    if args.trained:
+        from vspace_spark.operators.dedup import (
+            hierarchical_codebook,
+            semantic_dedup,
+        )
+
+        dim = 64
+        for n in [int(s) for s in args.trained.split(",")]:
+            k = max(16, n // 512)
+            vecs = (
+                spark.range(n)
+                .repartition(64)
+                .select(
+                    F.col("id").alias("vec_id"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: (
+                            F.xxhash64(F.col("id"), i) % 1000
+                        ).cast("float")
+                        / 500.0,
+                    ).alias("embedding"),
+                )
+                .persist()
+            )
+            vecs.count()
+            t0 = time.perf_counter()
+            # K > 8192 needs the sample cap raised CONSCIOUSLY (the
+            # operator docstring's rule: >= 32 points per fine center
+            # or cells degenerate and the pairwise stage goes
+            # quadratic — first 8M run with the default 262k cap:
+            # 16.8 pts/center, operator 102 s vs ~25 s healthy)
+            fine, coarse, owner = hierarchical_codebook(
+                vecs, k, sample_rows=max(32 * k, 32768)
+            )
+            t_train = time.perf_counter() - t0
+            times = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                force(
+                    semantic_dedup(
+                        vecs,
+                        fine,
+                        threshold=0.95,
+                        engine="arrow",
+                        coarse=(coarse, owner),
+                    )
+                )
+                times.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+                vecs.persist().count()
+            print(
+                f"trained n={n} K={k} (Kc={len(coarse)}): "
+                f"train {t_train:.1f}s, operator min {min(times):.1f}s "
+                f"reps {[round(t, 1) for t in times]}",
+                flush=True,
             )
             vecs.unpersist()
         spark.stop()

@@ -47,6 +47,8 @@ EXPECTED_QUERIES = {
     "events_variant_stats", "dedup_semantic_fast", "corpus_pmi_bigrams",
     "dedup_semantic_trained",
     "dedup_fuzzy_pairs_qgram", "dedup_fuzzy_pairs_global",
+    # new in r9: PassJoin segment generator (exact at all key lengths)
+    "dedup_fuzzy_pairs_passjoin",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "embedding_norms", "ml_tfidf_features",

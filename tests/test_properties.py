@@ -289,3 +289,45 @@ def test_qgram_pairs_match_exhaustive_in_guarantee_domain(spark, corpus):
     assert got <= guarded, f"guard lost: {got - guarded}"
     for a, b, dist in guarded:
         assert a < b and 0 <= dist <= k
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_FUZZY_CORPUS)
+def test_passjoin_pairs_match_exhaustive_everywhere(spark, corpus):
+    """passjoin_edit_pairs is EXACT at every key length (no guarantee
+    domain to restrict to): over random small-alphabet keys — the
+    regime that exercises every lane (short residual, segment index,
+    both multi-match window caps) and every edit orientation — the
+    segment path must emit exactly the exhaustive path's pairs. This
+    is the empirical pin for the multi-match-aware substring windows
+    (Li/Deng/Feng Lemma 3): any unsound tightening of the position
+    window loses a pair here."""
+    from pyspark.sql import Row
+
+    from vspace_spark.operators.dedup import (
+        edit_distance_pairs,
+        passjoin_edit_pairs,
+    )
+
+    k = 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    key = F.col("text")
+    got = {
+        (r.a, r.b, r.dist)
+        for r in passjoin_edit_pairs(
+            docs, key, block=[], max_dist=k
+        ).collect()
+    }
+    want = {
+        (r.a, r.b, r.dist)
+        for r in edit_distance_pairs(
+            docs, key, block=[], max_dist=k
+        ).collect()
+    }
+    assert got == want, f"diff: {got ^ want}"

@@ -1600,17 +1600,45 @@ def _hot_pairs_segment(
             ).cast("int"),
         )
         .filter(F.col("_sl") >= 1)
+        # multi-match-aware substring selection (Li/Deng/Feng ICDE
+        # 2011, Lemma 3 — VERDICT r8 #8): the start-position window
+        # for segment i against a probe of length |s| is
+        #   p − st ∈ [max(−i, Δ − (k−i)), min(i, Δ + (k−i))],
+        # Δ = |s| − Lr (0-indexed i), instead of the naive ±k. The
+        # left/right caps encode that if segment i is the FIRST
+        # (resp. LAST) untouched segment, at least i edits precede
+        # (resp. k−i follow) it; the paper proves the windows stay
+        # COLLECTIVELY complete — a pair missed at one (i, p) is
+        # guaranteed a match inside another segment's window. Shrinks
+        # probe fan-out from (2k+1)²·(k+1) to O(k²) substring rows
+        # per key (measured 3.5× row reduction at k=3 on 16-char
+        # keys: 153 → 44 probe rows/key, PERF.md r9); completeness
+        # pinned by the exhaustive-identity fixture + hypothesis
+        # property tests.
+        .withColumn("_dl", F.length("_k") - F.col("_Lr"))
+        .withColumn(
+            "_plo",
+            F.col("_st")
+            + F.greatest(-F.col("_i"), F.col("_dl") - (F.lit(k) - F.col("_i"))),
+        )
+        .withColumn(
+            "_phi",
+            F.col("_st")
+            + F.least(F.col("_i"), F.col("_dl") + (F.lit(k) - F.col("_i"))),
+        )
         .withColumn(
             "_p",
             F.explode(
                 F.when(
-                    F.length("_k") - F.col("_sl") + 1
-                    >= F.greatest(F.lit(1), F.col("_st") - F.lit(k)),
+                    F.least(
+                        F.length("_k") - F.col("_sl") + 1, F.col("_phi")
+                    )
+                    >= F.greatest(F.lit(1), F.col("_plo")),
                     F.sequence(
-                        F.greatest(F.lit(1), F.col("_st") - F.lit(k)),
+                        F.greatest(F.lit(1), F.col("_plo")),
                         F.least(
                             F.length("_k") - F.col("_sl") + 1,
-                            F.col("_st") + F.lit(k),
+                            F.col("_phi"),
                         ),
                     ),
                 )

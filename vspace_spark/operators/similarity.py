@@ -498,7 +498,7 @@ def pq_codebook(
     pure md5-random codebook carries no information about the data
     distribution and measured recall 0; k-means training would add
     ~0.12 recall but is engine-specific — that quality lane stays
-    ``ann_ivf_top5``'s KMeans path)."""
+    ``ann_ivf_top5``'s trained hierarchical-Lloyd path)."""
     sub = dim // m
     seed_rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))

