@@ -78,6 +78,15 @@ def main() -> None:
         help="also time the pyspark.ml KMeans trainer (the replaced "
         "slow lane — minutes at K>=2048)",
     )
+    ap.add_argument(
+        "--refine",
+        type=int,
+        default=0,
+        metavar="STEPS",
+        help="also run STEPS distributed full-corpus Lloyd refinement "
+        "passes on the trained codebook (refine_codebook) and report "
+        "the recall recovery vs the sample-only trainer",
+    )
     args = ap.parse_args()
 
     from vspace_spark.operators.dedup import hierarchical_codebook
@@ -146,6 +155,36 @@ def main() -> None:
             f"recall@5={r2:.3f}",
             flush=True,
         )
+
+        if args.refine:
+            from vspace_spark.operators.similarity import refine_codebook
+
+            t0 = time.perf_counter()
+            rc, rcoarse = refine_codebook(
+                vecs,
+                fine,
+                (coarse, owner),
+                steps=args.refine,
+                id_col="vec_id",
+                vec_col="embedding",
+            )
+            t_ref = time.perf_counter() - t0
+            out4 = ivf_topk(
+                q,
+                vecs,
+                k=5,
+                n_cells=k,
+                n_probe=args.n_probe,
+                centers=rc,
+                assign_engine="arrow",
+            )
+            r4 = recall_at_5(spark, q, vecs, out4)
+            print(
+                f"n={args.n} K={k}: refine x{args.refine} "
+                f"{t_ref:.1f} s ({t_ref / args.refine:.1f} s/step) "
+                f"recall@5={r4:.3f}",
+                flush=True,
+            )
 
         if args.ml:
             from pyspark.ml.clustering import KMeans

@@ -277,3 +277,55 @@ def test_ivf_assign_engine_validation(spark, sf_dir):
             strid,
             assign_engine="arrow",
         )
+
+
+def test_refine_codebook_improves_centers_and_keeps_contract(spark):
+    """Distributed full-corpus Lloyd refinement must (a) reduce
+    k-means inertia (each step is an exact Lloyd step — assignment
+    then exact per-cell means), (b) preserve the codebook contract
+    (center count, coarse ownership with every coarse cell owning
+    >= 1 fine center, coarse centers = mean of their fine centers).
+    Fixture: 4 planted clusters trained from a deliberately tiny
+    sample, so there is real imbalance for refinement to fix."""
+    import numpy as np
+
+    from vspace_spark.operators.dedup import hierarchical_codebook
+    from vspace_spark.operators.similarity import refine_codebook
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for g in range(4):
+        base = np.zeros(6)
+        base[g] = 8.0
+        for _ in range(300):
+            rows.append(
+                (vid, [float(x) for x in base + rng.normal(0, 0.3, 6)])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    X = np.asarray([r[1] for r in rows])
+
+    def inertia(C):
+        C = np.asarray(C)
+        d = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        return float((d.min(1) + (X * X).sum(1)).sum())
+
+    fine0, coarse0, owner0 = hierarchical_codebook(
+        df, 4, sample_rows=48, iters=2
+    )
+    fine1, coarse1 = refine_codebook(
+        df, fine0, (coarse0, owner0), steps=2
+    )
+    assert len(fine1) == len(fine0)
+    assert coarse1[1] == [int(o) for o in owner0]  # ownership preserved
+    assert set(coarse1[1]) == set(range(len(coarse1[0])))
+    # coarse centers are the means of their fine centers
+    CF = np.asarray(fine1)
+    own = np.asarray(coarse1[1])
+    for c, cc in enumerate(coarse1[0]):
+        np.testing.assert_allclose(cc, CF[own == c].mean(0), atol=1e-9)
+    assert inertia(fine1) < inertia(fine0) * 0.999, (
+        inertia(fine0),
+        inertia(fine1),
+    )

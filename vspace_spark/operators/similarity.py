@@ -275,6 +275,139 @@ def _probe_cells_arrow(
     ).mapInPandas(probe, "query_id long, cell int, _qv array<double>")
 
 
+def refine_codebook(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    coarse: "tuple[list[list[float]], list[int]] | None" = None,
+    steps: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[list[list[float]], tuple[list[list[float]], list[int]] | None]":
+    """Distributed Lloyd refinement over the FULL corpus: each step is
+    ONE Spark job — arrow matmul assignment (two-level when ``coarse``
+    is given) emitting per-Arrow-batch PARTIAL sums (cell, count,
+    Σvec), then a map-side-combined (cell, dim) aggregation whose
+    output is codebook-sized — followed by a driver-side mean. This is
+    the Spark-first k-means step: pyspark.ml KMeans pays the same full
+    corpus pass ~20 times with row-at-a-time distance code; the
+    sample-trained ``hierarchical_codebook`` + 1-2 refinement passes
+    recovers full-data cell balance at a fraction of that (recall
+    measured in scripts/ivf_trainer_bench.py --refine; the
+    sample-vs-full balance gap was the one honest cost of the r9
+    trainer swap).
+
+    Returns ``(centers, coarse)`` with coarse centers recomputed as
+    the mean of their (moved) fine centers — ownership is preserved,
+    so the two-level routing contract (every coarse cell owns ≥1 fine
+    center) survives refinement. Empty cells keep their old center.
+    Like every trained lane, rows-only by design (float accumulation
+    order).
+    """
+    import numpy as np
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    C_cur = [list(map(float, c)) for c in centers]
+    owner = None if coarse is None else [int(o) for o in coarse[1]]
+    dim = len(C_cur[0])
+    for _ in range(int(steps)):
+        centers_rows = C_cur
+        coarse_rows = (
+            None
+            if coarse is None
+            else [list(map(float, c)) for c in coarse[0]]
+        )
+        owner_rows = owner
+
+        def partial_sums(
+            batches: "Iterator[pd.DataFrame]",
+        ) -> "Iterator[pd.DataFrame]":
+            import numpy as _np
+            import pandas as _pd
+
+            C = _np.asarray(centers_rows, dtype=_np.float64)
+            c2 = (C * C).sum(1)[None, :]
+            if coarse_rows is not None:
+                CC = _np.asarray(coarse_rows, dtype=_np.float64)
+                cc2 = (CC * CC).sum(1)[None, :]
+                own = _np.asarray(owner_rows, dtype=_np.int64)
+                members = [
+                    _np.nonzero(own == c)[0] for c in range(len(CC))
+                ]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _np.stack(
+                    [
+                        _np.asarray(v, dtype=_np.float64)
+                        for v in pdf["_vin"]
+                    ]
+                )
+                if coarse_rows is None:
+                    cells = (c2 - 2.0 * (V @ C.T)).argmin(1)
+                else:
+                    cgrp = (cc2 - 2.0 * (V @ CC.T)).argmin(1)
+                    cells = _np.empty(len(V), dtype=_np.int64)
+                    for c in range(len(CC)):
+                        rows = _np.nonzero(cgrp == c)[0]
+                        if not len(rows):
+                            continue
+                        m = members[c]
+                        sub = c2[0, m][None, :] - 2.0 * (
+                            V[rows] @ C[m].T
+                        )
+                        cells[rows] = m[sub.argmin(1)]
+                uniq = _np.unique(cells)
+                sums = _np.zeros((len(uniq), V.shape[1]))
+                cnts = _np.zeros(len(uniq), dtype=_np.int64)
+                for j, c in enumerate(uniq):
+                    mask = cells == c
+                    cnts[j] = mask.sum()
+                    sums[j] = V[mask].sum(0)
+                yield _pd.DataFrame(
+                    {
+                        "cell": uniq.astype("int32"),
+                        "n": cnts,
+                        "s": list(sums),
+                    }
+                )
+
+        partials = corpus.select(
+            F.col(vec_col).alias("_vin")
+        ).mapInPandas(partial_sums, "cell int, n long, s array<double>")
+        counts = partials.groupBy("cell").agg(F.sum("n").alias("n"))
+        sums = (
+            partials.select("cell", F.posexplode("s").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("sv"))
+        )
+        # bounded-collect: codebook-sized (K rows / K×D rows)
+        n_by_cell = {r.cell: r.n for r in counts.collect()}
+        # bounded-collect: K×D rows — the new centers themselves
+        sv = {(r.cell, r.pos): r.sv for r in sums.collect()}
+        C_new = []
+        for c, old in enumerate(C_cur):
+            n = n_by_cell.get(c, 0)
+            if not n:
+                C_new.append(old)  # empty cell keeps its center
+                continue
+            C_new.append([sv[(c, p)] / n for p in range(dim)])
+        C_cur = C_new
+        if coarse is not None:
+            own = np.asarray(owner)
+            CF = np.asarray(C_cur)
+            coarse = (
+                [
+                    [float(x) for x in CF[own == c].mean(0)]
+                    for c in range(len(coarse[0]))
+                ],
+                owner,
+            )
+    return C_cur, coarse
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -287,6 +420,7 @@ def ivf_topk(
     centers: list[list[float]] | None = None,
     assign_engine: str = "fold",
     trainer_sample_rows: int | None = None,
+    refine_steps: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into cells; each query
     scores only its ``n_probe`` nearest cells. The inverted-file
@@ -339,6 +473,18 @@ def ivf_topk(
         )
         centers = fine
         coarse = (coarse_centers, owner)
+        if refine_steps:
+            # full-corpus Lloyd passes recover the cell balance a
+            # sample-trained codebook lacks on structure-free data —
+            # one Spark job per step (see refine_codebook)
+            centers, coarse = refine_codebook(
+                corpus,
+                centers,
+                coarse,
+                steps=refine_steps,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
 
     def cell_dists(vec: F.Column) -> F.Column:
         return _cell_dist_structs(vec, centers)
