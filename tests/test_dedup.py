@@ -1403,3 +1403,121 @@ def test_passjoin_collapse_matches_raw(spark):
     pairs = {(a, b) for a, b, _ in collapsed}
     # short clones pair at dist 0, and bridge to "xy" at dist 1
     assert {(1, 2), (1, 6), (10, 11), (30, 31), (30, 40)} <= pairs
+
+
+def _dense_gram_fixture(spark, n=4000):
+    """16-char keys over {a,c,g,t} (scripts/passjoin_bench.py's dense
+    regime): every 3-gram bucket holds ~n/64 keys — no cold grams."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.concat_ws(
+            "",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(c) for c in "acgt"]),
+                    (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(4)) + 1)
+                    .cast("int"),
+                )
+                for i in range(16)
+            ],
+        ).alias("text"),
+    )
+    edits = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        "source",
+        F.concat(
+            F.substring("text", 1, 7), F.lit("x"), F.substring("text", 9, 8)
+        ).alias("text"),
+    )
+    return base.unionByName(edits)
+
+
+def _sparse_gram_fixture(spark, n=4000):
+    """16-char base-36 hash keys — near-singleton 3-gram buckets, the
+    regime where the count filter's cheaper index wins."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.substring(
+            F.concat(
+                F.conv(F.hex(F.xxhash64("id", F.lit(0))), 16, 36),
+                F.conv(F.hex(F.xxhash64("id", F.lit(1))), 16, 36),
+            ),
+            1,
+            16,
+        ).alias("text"),
+    )
+    edits = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        "source",
+        F.concat(
+            F.substring("text", 1, 7), F.lit("!"), F.substring("text", 9, 8)
+        ).alias("text"),
+    )
+    return base.unionByName(edits)
+
+
+def test_fuzzy_pairs_auto_routes_by_occupancy(spark, monkeypatch):
+    """VERDICT r9 #4 acceptance: the occupancy probe routes each
+    planted regime to its MEASURED winner (PERF.md round 9 — PassJoin
+    4.7x on dense grams, qgram on cold buckets), and the router's
+    output is byte-identical to BOTH generators on the shared
+    exactness domain."""
+    import vspace_spark.operators.dedup as dd
+
+    dense = _dense_gram_fixture(spark)
+    sparse = _sparse_gram_fixture(spark)
+
+    p_dense = dd.gram_occupancy_probe(dense, F.col("text"), q=3)
+    p_sparse = dd.gram_occupancy_probe(sparse, F.col("text"), q=3)
+    # dense: every bucket ~n/64 keys; sparse: near-singleton buckets.
+    # Both sit far from the 32.0 cutoff, so the assertion is about the
+    # regimes, not a knife-edge constant.
+    assert p_dense["mean_occ"] >= 32.0, p_dense
+    assert p_sparse["mean_occ"] < 32.0, p_sparse
+
+    picked: list[str] = []
+    real_pj, real_qg = dd.passjoin_edit_pairs, dd.qgram_edit_pairs
+
+    def spy_pj(*a, **kw):
+        picked.append("passjoin")
+        return real_pj(*a, **kw)
+
+    def spy_qg(*a, **kw):
+        picked.append("qgram")
+        return real_qg(*a, **kw)
+
+    monkeypatch.setattr(dd, "passjoin_edit_pairs", spy_pj)
+    monkeypatch.setattr(dd, "qgram_edit_pairs", spy_qg)
+
+    key = F.col("text")
+    auto_dense = {
+        (r.a, r.b, r.dist)
+        for r in dd.fuzzy_pairs_auto(
+            dense, key, block=["source"], q=3, max_dist=3
+        ).collect()
+    }
+    auto_sparse = {
+        (r.a, r.b, r.dist)
+        for r in dd.fuzzy_pairs_auto(
+            sparse, key, block=["source"], q=3, max_dist=3
+        ).collect()
+    }
+    assert picked == ["passjoin", "qgram"], picked
+
+    for fixture, auto in ((dense, auto_dense), (sparse, auto_sparse)):
+        pj = {
+            (r.a, r.b, r.dist)
+            for r in real_pj(
+                fixture, key, block=["source"], max_dist=3
+            ).collect()
+        }
+        qg = {
+            (r.a, r.b, r.dist)
+            for r in real_qg(
+                fixture, key, block=["source"], q=3, max_dist=3
+            ).collect()
+        }
+        assert auto == pj == qg, (len(auto), len(pj), len(qg))
+        assert len(auto) > 0

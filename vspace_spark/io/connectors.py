@@ -137,8 +137,20 @@ def append_index_batch_bucketed(
     (managed table ⇒ the partition's files are deleted with it), then
     appends with the same bucket spec — a replay replaces its own
     partition only, like the parquet contract's dynamic overwrite.
+
+    File-count discipline (VERDICT r9 #5): a bucketed write emits one
+    file PER (writer task × bucket it holds rows for) — appending a
+    32-shuffle-partition batch into 32 buckets can emit ~1000 files
+    per batch, and the accreting probe re-lists every history file
+    each round (the measured 888.8 s vs 329.3 s small-batch
+    regression). Repartitioning the batch to ``n_buckets`` on the
+    bucket columns first aligns writer tasks 1:1 with buckets (both
+    sides are pmod(Murmur3, n)) so each append emits EXACTLY
+    ``n_buckets`` files per partition.
     """
-    out = batch.withColumn("batch", F.lit(int(batch_id)))
+    out = batch.withColumn("batch", F.lit(int(batch_id))).repartition(
+        n_buckets, *bucket_cols
+    )
     if spark.catalog.tableExists(table):
         spark.sql(
             f"ALTER TABLE {table} DROP IF EXISTS PARTITION "

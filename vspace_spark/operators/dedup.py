@@ -69,8 +69,6 @@ def shingle_pairs_jaccard(
 
     Returns ``[a, b, jaccard]`` with a < b and jaccard ≥ threshold.
     """
-    from pyspark import StorageLevel
-
     block = [block_col] if block_col else []
     if not collapse_exact or _clone_light(docs, text_col):
         return _shingle_pairs_raw(
@@ -103,9 +101,10 @@ def _collapse_by_key(
     outright. NOTE the semantics are intentionally DIFFERENT from the
     raw guard, not a pair-for-pair match — see
     :func:`minhash_lsh_pairs`. The members map is cached and
-    materialized so the expansion joins plan from honest sizes."""
-    from pyspark import StorageLevel
-
+    materialized so the expansion joins plan from honest sizes; the
+    level follows the shared policy (VERDICT r9 #1) with the source's
+    decompressed bytes as an upper bound — members is two id columns
+    per input row, strictly narrower than the source."""
     keyed = docs.select(
         F.col(id_col).alias("_cid"), *block, *keep_cols, key.alias("_ch")
     )
@@ -125,7 +124,12 @@ def _collapse_by_key(
             .select("_canon")
         )
         members = members.join(F.broadcast(bad), "_canon", "left_anti")
-    members = members.persist(StorageLevel.MEMORY_AND_DISK)
+    from vspace_spark.operators.scale import (
+        est_relation_bytes,
+        persist_shared,
+    )
+
+    members = persist_shared(members, est_relation_bytes(docs))
     members.count()  # bounded-collect: one scalar, forces the cache
     canon_docs = with_canon.filter(F.col("_cid") == F.col("_canon"))
     if max_group is not None:
@@ -275,18 +279,28 @@ def _shingle_pairs_raw(
 ) -> DataFrame:
     """The inverted-index pair generation itself (see
     :func:`shingle_pairs_jaccard`)."""
-    from pyspark import StorageLevel
+    from vspace_spark.operators.scale import (
+        TOKEN_STREAM_EXPANSION,
+        est_relation_bytes,
+        persist_shared,
+        rebalance_for_compute,
+    )
 
-    from vspace_spark.operators.scale import rebalance_for_compute
-
+    est = est_relation_bytes(docs, expansion=TOKEN_STREAM_EXPANSION)
     docs = rebalance_for_compute(docs)
-    shingles = docs.select(
-        F.col(id_col).alias("_id"),
-        *block,
-        F.explode(
-            F.array_distinct(ngrams_col(tokenize_col(text_col), n))
-        ).alias("shingle"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # exploded shingle stream — several times the document bytes, so
+    # the persist-policy estimate carries the token-stream expansion
+    # factor (VERDICT r9 #1 / ADVICE r9)
+    shingles = persist_shared(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            *block,
+            F.explode(
+                F.array_distinct(ngrams_col(tokenize_col(text_col), n))
+            ).alias("shingle"),
+        ),
+        est,
+    )
     # persisted: consumed three times (sizes + both sides of the
     # self-join) — without it the tokenize/shingle pipeline re-runs per
     # consumer. MATERIALIZED eagerly so join planning sees the cache's
@@ -467,8 +481,6 @@ def minhash_lsh_pairs(
     Returns ``[a, b, est_jaccard]`` (signature agreement fraction,
     a cheap estimate computed from the two signatures — no text rejoin).
     """
-    from pyspark import StorageLevel
-
     if collapse_exact and (
         # with a group cap the guard semantics REQUIRE the collapsed
         # path (see docstring) — only clone-light-skip when output
@@ -486,10 +498,18 @@ def minhash_lsh_pairs(
         return _expand_pairs(raw, members, {"est_jaccard": F.lit(1.0)})
     rows = num_hashes // bands
     tokens = ngrams_col(tokenize_col(text_col), shingle_n)
+    from vspace_spark.operators.scale import (
+        est_relation_bytes,
+        persist_shared,
+    )
+
     # compact (num_hashes longs per doc) and consumed by both sides of
-    # the bucket self-join — persist so hashing runs once
-    sigs = minhash_signatures(docs, id_col, tokens, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # the bucket self-join — persist so hashing runs once; level by
+    # the shared policy sized rows × signature width (exact when docs
+    # is a bare scan; source-bytes upper bound otherwise)
+    sigs = persist_shared(
+        minhash_signatures(docs, id_col, tokens, num_hashes),
+        est_relation_bytes(docs, row_bytes=8 * num_hashes + 32),
     )
     banded = sigs.select(
         "_id",
@@ -565,8 +585,6 @@ def minhash_lsh_pairs_portable(
     identical exact-dedup prepass as :func:`minhash_lsh_pairs`.
     Returns ``[a, b, est_jaccard]``.
     """
-    from pyspark import StorageLevel
-
     if collapse_exact and (
         max_bucket_size is not None or not _clone_light(docs, text_col)
     ):
@@ -605,9 +623,18 @@ def minhash_lsh_pairs_portable(
     mins = hashed.groupBy("_id").agg(
         *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
     )
-    sigs = mins.select(
-        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from vspace_spark.operators.scale import (
+        est_relation_bytes,
+        persist_shared,
+    )
+
+    sigs = persist_shared(
+        mins.select(
+            "_id",
+            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+        ),
+        est_relation_bytes(docs, row_bytes=8 * num_hashes + 32),
+    )
     banded = sigs.select(
         "_id",
         "sig",
@@ -751,8 +778,6 @@ def simhash_near_pairs(
     :func:`minhash_lsh_pairs` (identical texts ⇒ identical
     signatures ⇒ hamming 0, always within radius).
     """
-    from pyspark import StorageLevel
-
     if max_hamming >= n_chunks:
         raise ValueError(
             f"pigeonhole blocking with {n_chunks} chunks guarantees recall "
@@ -773,8 +798,16 @@ def simhash_near_pairs(
         return _expand_pairs(raw, members, {"hamming": F.lit(0)})
     width = 64 // n_chunks
     tokens = tokenize_col(text_col)
-    sigs = simhash_signatures(docs, id_col, tokens).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from vspace_spark.operators.scale import (
+        est_relation_bytes,
+        persist_shared,
+    )
+
+    # one 64-bit signature per doc — rows × 40 B, tiny next to the
+    # corpus, so the shared policy keeps it on-heap at any real scale
+    sigs = persist_shared(
+        simhash_signatures(docs, id_col, tokens),
+        est_relation_bytes(docs, row_bytes=40),
     )
     chunks = F.array(
         *[
@@ -832,8 +865,6 @@ def simhash_near_pairs_portable(
     shuffles being the vote aggregation and the (chunk, value) bucket
     self-join.
     """
-    from pyspark import StorageLevel
-
     if max_hamming >= n_chunks:
         raise ValueError(
             f"pigeonhole blocking with {n_chunks} chunks guarantees "
@@ -879,8 +910,14 @@ def simhash_near_pairs_portable(
         sig = sig + F.when(
             F.col(f"_v{j}") > 0, F.lit(2**j).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    sigs = votes.select("_id", sig.alias("sig")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from vspace_spark.operators.scale import (
+        est_relation_bytes,
+        persist_shared,
+    )
+
+    sigs = persist_shared(
+        votes.select("_id", sig.alias("sig")),
+        est_relation_bytes(docs, row_bytes=40),
     )
     chunks = F.array(
         *[
@@ -1158,16 +1195,24 @@ def semantic_dedup(
         core_in = canon_vecs.unionByName(
             embeddings.filter(~nz).select(id_col, vec_col)
         )
-        from pyspark import StorageLevel
+        from vspace_spark.operators.scale import (
+            est_relation_bytes,
+            persist_shared,
+        )
 
         # persisted: consumed twice (member expansion + the zero/NULL
         # pass-through anti-join) — unpersisted, each consumer re-runs
         # the whole md5(json) collapse chain and the in-cell join
-        # (measured 100 s → see PERF.md round 6)
-        core = semantic_dedup(
-            core_in, centers, id_col, vec_col, threshold,
-            collapse_exact=False, engine=engine, coarse=coarse,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # (measured 100 s → see PERF.md round 6). Narrow output (id +
+        # cell + kept + duplicate_of, ~64 B/row) sized by footer rows
+        # when the input is a bare scan.
+        core = persist_shared(
+            semantic_dedup(
+                core_in, centers, id_col, vec_col, threshold,
+                collapse_exact=False, engine=engine, coarse=coarse,
+            ),
+            est_relation_bytes(embeddings, row_bytes=64),
+        )
         core.count()  # bounded-collect: one scalar, forces the cache
         # expand: members join their canonical's row; non-canonical
         # members are dropped with the closed-form duplicate_of above
@@ -1193,15 +1238,23 @@ def semantic_dedup(
             embeddings, centers, id_col, vec_col, threshold, coarse
         )
 
-    from pyspark import StorageLevel
+    from vspace_spark.operators.scale import (
+        est_relation_bytes,
+        persist_shared,
+    )
 
-    assigned = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.array_sort(_cell_dist_structs(F.col(vec_col), centers))[0][
-            "cell"
-        ].alias("cell"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # carries the full vector column → the persisted relation is
+    # embedding-corpus-sized; est = the source's decompressed bytes
+    assigned = persist_shared(
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.array_sort(_cell_dist_structs(F.col(vec_col), centers))[0][
+                "cell"
+            ].alias("cell"),
+        ),
+        est_relation_bytes(embeddings),
+    )
     # persisted + materialized: consumed three times (both sides of
     # the in-cell self-join + the final output join) — the K-centroid
     # argmin is an interpreted fold per row, and without the cache the
@@ -1771,6 +1824,116 @@ def passjoin_edit_pairs(
         F.col(id_col).alias("_id"), *block, key.alias("_k")
     )
     return _hot_pairs_segment(keyed, list(block), max_dist)
+
+
+def gram_occupancy_probe(
+    docs: DataFrame,
+    key,
+    id_col: str = "doc_id",
+    block: list[str] | tuple = (),
+    q: int = 3,
+) -> dict:
+    """The ONE-AGGREGATION occupancy probe the r8/r9 decision rules
+    are stated over (PERF.md rounds 8–9): per-(block, gram) bucket
+    occupancies of the q-gram inverted index, reduced to
+
+    - ``rows``  = Σ occ   (total gram rows — index build cost),
+    - ``work``  = Σ occ²  (count-filter join's candidate-row volume),
+    - ``mean_occ`` = work / rows (the occupancy a RANDOM GRAM ROW
+      sees — the per-key candidate multiplier; robust to corpus size
+      in a way max-occupancy is not).
+
+    Cost: one gram explode → map-side-combined count per bucket → one
+    global sum/sum-of-squares; the collect is ONE row. The same probe
+    answers both decision rules: ``hot_gram_cap`` (enable when capped
+    work drops ≳50×) and qgram-vs-PassJoin routing
+    (:func:`fuzzy_pairs_auto`).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    occ = (
+        docs.select(*block, key.alias("_k"))
+        .filter(F.length("_k") >= q)
+        .select(
+            *block,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_k) - {q} + 1), "
+                    f"i -> substring(_k, i, {q}))"
+                )
+            ).alias("_gram"),
+        )
+        .groupBy(*block, "_gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    # bounded-collect: one row (global sums over gram buckets)
+    row = occ.agg(
+        F.sum("_occ").alias("rows"),
+        F.sum(F.col("_occ") * F.col("_occ")).alias("work"),
+    ).collect()[0]
+    rows = int(row["rows"] or 0)
+    work = int(row["work"] or 0)
+    return {
+        "rows": rows,
+        "work": work,
+        "mean_occ": (work / rows) if rows else 0.0,
+    }
+
+
+def fuzzy_pairs_auto(
+    docs: DataFrame,
+    key,
+    id_col: str = "doc_id",
+    block: list[str] | tuple = ("source",),
+    q: int = 3,
+    max_dist: int = 3,
+    collapse_exact: bool = True,
+    dense_occ_cutoff: float = 32.0,
+) -> DataFrame:
+    """Edit-distance near-pairs with the candidate GENERATOR CHOSEN BY
+    MEASUREMENT, not lore (VERDICT r9 #4): run
+    :func:`gram_occupancy_probe` once, then route —
+
+    - ``mean_occ < dense_occ_cutoff`` (gram buckets genuinely cold:
+      natural text, high-entropy keys) → :func:`qgram_edit_pairs`,
+      whose index is cheaper to build (one row per gram vs
+      (2k+1)·(k+1) probe rows per key) and whose candidate volume
+      Σ occ² stays near the true-pair set;
+    - ``mean_occ ≥ dense_occ_cutoff`` (dense grams: small alphabets,
+      templated ids, tiny word pools — EVERY bucket a quadratic
+      candidate source, no cold grams for a skew guard to keep) →
+      :func:`passjoin_edit_pairs`, whose segment keys carry an order
+      of magnitude more entropy per key.
+
+    The cutoff is calibrated from the round-9/10 A/Bs
+    (scripts/passjoin_bench.py, PERF.md): the dense-gram fixture
+    (mean_occ ≈ n/4^q, passjoin 4.7× faster) and word-pool text
+    (Zipf-dense, passjoin 2.8×) both sit far ABOVE it; the fixture
+    corpus's 16-char prefixes and random alphanumeric keys (qgram
+    faster — near-singleton buckets) sit far BELOW. The per-key
+    candidate multiplier qgram pays is ≈ mean_occ, while passjoin's
+    per-key probe fan-out is the CONSTANT (2k+1)·(k+1) = 28 at k=3 —
+    the cutoff is that constant's magnitude, where the two cost
+    models cross.
+
+    Output contract: identical to both generators — ``[a, b, dist]``,
+    a < b, dist ≤ ``max_dist`` — and BYTE-IDENTICAL between lanes on
+    the shared exactness domain (keys with ``max(len) ≥ q·(k+1)``,
+    the count-filter bound's floor; planted-fixture identity is
+    asserted in tests/test_dedup.py). Callers that keep shorter keys
+    must pin the domain themselves or call passjoin directly (exact
+    at every length).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    probe = gram_occupancy_probe(docs, key, id_col, list(block), q)
+    if probe["mean_occ"] >= dense_occ_cutoff:
+        return passjoin_edit_pairs(
+            docs, key, id_col=id_col, block=list(block),
+            max_dist=max_dist, collapse_exact=collapse_exact,
+        )
+    return qgram_edit_pairs(
+        docs, key, id_col=id_col, block=list(block), q=q,
+        max_dist=max_dist, collapse_exact=collapse_exact,
+    )
 
 
 def _semantic_dedup_arrow_raw(

@@ -16,6 +16,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vspace_spark.operators.scale import est_relation_bytes, persist_shared
+
 
 def connected_components(
     nodes: DataFrame | None,
@@ -24,6 +26,7 @@ def connected_components(
     src_col: str = "a",
     dst_col: str = "b",
     max_iterations: int = 20,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Label every node with the smallest node id reachable from it.
 
@@ -38,8 +41,20 @@ def connected_components(
     can never change labels, so excluding them drops each round's
     join + convergence-count cost from corpus-sized to
     edge-incident-sized.
+
+    Persist policy (VERDICT r9 #1): the symmetrized edge list and the
+    per-round label tables are both EDGE-sized (labels iterate over
+    edge-incident nodes, ≤ 2·|edges| rows), so every persist here goes
+    through the shared :func:`persist_shared` policy — DISK_ONLY once
+    the estimate crosses the floor, keeping multi-GB cache buffers off
+    an aged old-gen. ``est_bytes`` defaults to a footer probe of the
+    edge subplan's INPUT files — an upper-bound proxy for the derived
+    edge list (candidate-pair generators emit sub-corpus-sized output
+    by construction).
     """
-    sym = (
+    if est_bytes is None:
+        est_bytes = est_relation_bytes(edges)
+    sym = persist_shared(
         edges.select(
             F.col(src_col).alias("u"), F.col(dst_col).alias("v")
         )
@@ -48,18 +63,22 @@ def connected_components(
                 F.col(dst_col).alias("u"), F.col(src_col).alias("v")
             )
         )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        est_bytes,
     )
     if nodes is None:
         base = sym.select("u").distinct()
-        labels = base.select(
-            "u", F.col("u").alias("component")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        labels = persist_shared(
+            base.select("u", F.col("u").alias("component")), est_bytes
+        )
     else:
-        labels = nodes.select(
-            F.col(node_col).alias("u"), F.col(node_col).alias("component")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        labels = persist_shared(
+            nodes.select(
+                F.col(node_col).alias("u"),
+                F.col(node_col).alias("component"),
+            ),
+            est_bytes,
+        )
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -67,15 +86,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        new_labels = persist_shared(
             labels.join(neighbor_min, "u", "left")
             .select(
                 "u",
                 F.least(
                     "component", F.coalesce("nmin", "component")
                 ).alias("component"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            ),
+            est_bytes,
         )
         changed = (
             new_labels.join(
@@ -134,6 +153,7 @@ def pagerank(
     dst_col: str = "v",
     iterations: int = 5,
     damping: float = 0.875,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list (symmetrized internally),
     fixed iteration count — the weighted-iteration sibling of
@@ -166,8 +186,21 @@ def pagerank(
     each mapper only its local partial and skew dies in the combine.
     Symmetrized graphs have no dangling nodes, so no dangling-mass
     redistribution term is needed.
+
+    Persist policy (VERDICT r9 #1): the symmetrized edge list — the
+    one edge-sized persist, held across every iteration — goes
+    through :func:`persist_shared` (DISK_ONLY above the floor): a
+    heap-resident edge cache in an aged JVM measured 3–6× inflation
+    on the q21 harness, and pagerank is the single most expensive
+    100× query. The degree table and per-iteration rank states are
+    NODE-sized (the same vector the join broadcasts, a few MB even at
+    the 100× replica scale) and stay MEMORY_AND_DISK — on-heap is
+    harmless there and skips the disk round-trip. ``est_bytes``
+    defaults to a footer probe of the edge subplan's input files.
     """
-    sym = (
+    if est_bytes is None:
+        est_bytes = est_relation_bytes(edges)
+    sym = persist_shared(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
@@ -184,8 +217,8 @@ def pagerank(
         # the rank vector cannot broadcast, the v-keyed join reshuffles
         # sym exactly as the (u,v)-partitioned distinct output would —
         # no regression in that mode.
-        .repartition("u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition("u"),
+        est_bytes,
     )
     deg = (
         sym.groupBy("u")

@@ -98,6 +98,48 @@ def footer_row_count(df: DataFrame) -> int | None:
 
 _DISK_PERSIST_FLOOR = 512 << 20
 
+# Expected blow-up of an exploded unigram+bigram/shingle token stream
+# relative to its source documents' decompressed bytes (ADVICE r9):
+# every token reappears in each n-gram that covers it plus the struct/
+# offset overhead of the exploded rows, so sizing the persisted TOKEN
+# relation by the DOCUMENT bytes under-estimates by roughly an order
+# of magnitude — a corpus just under the 512 MB floor would otherwise
+# park a multi-GB token cache heap-resident.
+TOKEN_STREAM_EXPANSION = 8.0
+
+
+def est_relation_bytes(
+    src: DataFrame,
+    row_bytes: int | None = None,
+    expansion: float = 1.0,
+) -> int | None:
+    """Best-effort DECOMPRESSED size of a relation DERIVED from
+    ``src``, for :func:`persist_shared`'s policy decision.
+
+    Two estimators, most-precise first:
+
+    - ``row_bytes`` given and ``src`` is a bare parquet scan →
+      ``footer_row_count(src) * row_bytes`` — EXACT row count from
+      footers times the derived relation's known per-row width (e.g.
+      a MinHash signature is ``8 * num_hashes`` bytes + id, regardless
+      of how wide the source text is).
+    - otherwise → ``_uncompressed_input_bytes(src) * expansion`` —
+      the source's decompressed bytes scaled by the relation's
+      expected blow-up (1.0 for narrower-than-source projections,
+      :data:`TOKEN_STREAM_EXPANSION` for exploded token streams).
+
+    Returns None (= unknown, persist_shared falls back to
+    MEMORY_AND_DISK) when neither estimator applies.
+    """
+    if row_bytes is not None:
+        n = footer_row_count(src)
+        if n is not None:
+            return n * row_bytes
+    est = _uncompressed_input_bytes(src)
+    if est is None:
+        return None
+    return int(est * expansion)
+
 
 def persist_shared(
     df: DataFrame,

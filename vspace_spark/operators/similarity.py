@@ -377,16 +377,23 @@ def refine_codebook(
         partials = corpus.select(
             F.col(vec_col).alias("_vin")
         ).mapInPandas(partial_sums, "cell int, n long, s array<double>")
-        counts = partials.groupBy("cell").agg(F.sum("n").alias("n"))
-        sums = (
-            partials.select("cell", F.posexplode("s").alias("pos", "v"))
+        # ONE aggregation (and so ONE action = one corpus pass — the
+        # original counts/sums pair of collects re-ran the mapInPandas
+        # assignment twice per step, ADVICE r9): posexplode the
+        # partial sum vectors and fold count + per-dim sum together.
+        # Each partial row repeats its n on every pos, so per-(cell,
+        # pos) sum(n) IS the cell's total count (identical across pos).
+        stats = (
+            partials.select(
+                "cell", "n", F.posexplode("s").alias("pos", "v")
+            )
             .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("sv"))
+            .agg(F.sum("v").alias("sv"), F.sum("n").alias("n"))
         )
-        # bounded-collect: codebook-sized (K rows / K×D rows)
-        n_by_cell = {r.cell: r.n for r in counts.collect()}
         # bounded-collect: K×D rows — the new centers themselves
-        sv = {(r.cell, r.pos): r.sv for r in sums.collect()}
+        rows = stats.collect()
+        n_by_cell = {r.cell: r.n for r in rows if r.pos == 0}
+        sv = {(r.cell, r.pos): r.sv for r in rows}
         C_new = []
         for c, old in enumerate(C_cur):
             n = n_by_cell.get(c, 0)
@@ -490,12 +497,19 @@ def ivf_topk(
         return _cell_dist_structs(vec, centers)
 
     if assign_engine == "arrow":
-        id_type = dict(corpus.dtypes).get(id_col)
-        if id_type not in ("bigint", "int", "smallint", "tinyint"):
-            raise TypeError(
-                f"ivf_topk(assign_engine='arrow') requires an integral "
-                f"{id_col!r} (got {id_type}); use assign_engine='fold'"
-            )
+        # BOTH sides: _assign_cells_arrow and _probe_cells_arrow each
+        # re-type ids with astype('int64') executor-side — a string-id
+        # QUERIES frame would be silently re-typed (digits) or crash
+        # in a worker (non-digits) if only the corpus were checked
+        # (ADVICE r9; the same guard semantic_dedup applies).
+        for side, frame in (("corpus", corpus), ("queries", queries)):
+            id_type = dict(frame.dtypes).get(id_col)
+            if id_type not in ("bigint", "int", "smallint", "tinyint"):
+                raise TypeError(
+                    f"ivf_topk(assign_engine='arrow') requires an "
+                    f"integral {id_col!r} on {side} (got {id_type}); "
+                    f"use assign_engine='fold'"
+                )
         assigned = _assign_cells_arrow(
             corpus, centers, id_col, vec_col, coarse
         )

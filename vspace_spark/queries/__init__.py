@@ -45,30 +45,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-9 window composition (re-prove-what-changed + oldest evidence,
-# VERDICT r8 #2):
-#   - the queries whose code changed in round 9 plus the new one:
-#     dedup_fuzzy_pairs_passjoin (NEW — PassJoin segment generator,
-#     exact at all key lengths), tfidf_top3_per_doc (small-scale plan
-#     gate), vocab_gated_stats / q21_waiting_suppliers / vocabulary
-#     (persist_shared policy swap), dedup_semantic (hoisted
-#     engine/coarse validation), stream_dedup_docs_incremental
-#     (index_layout branch added; registered query runs the default
-#     partitioned lane);
-#   - ALL 10 r5-latest rows (the stalest evidence: the UDF-shape
-#     suite, curation split/mixture, resize plan, token arrays);
-#   - 30 of the 42 remaining r6-latest rows — the dedup family,
-#     corpus pipelines, TPC-H shapes, streaming-dedup twins (the 12
-#     deferred to r10: churned_customers_1995, customer_running_spend,
-#     customers_with_high_value_order, customers_without_orders,
-#     math_functions_suite, order_rank_suite, part_brand_except_all,
-#     part_brand_intersect_all, part_price_bands, price_percentiles,
-#     string_functions_suite, trailing_30d_spend — all r1/r2-era
-#     function-suite/window shapes whose operators are unchanged);
-#   - flagship §2.11 continuity rows (vocabulary doubles as an
-#     r9-changed row).
-# (r8's window: 4 r8-changed + all 17 r4-latest + 24 r5-latest +
-# flagship — 50/50 green, CORRECTNESS_r08.json.)
+# Round-10 window composition (re-prove-what-changed + oldest evidence,
+# VERDICT r9 #3):
+#   - the queries whose code changed in round 10 plus the new one:
+#     dedup_fuzzy_pairs_auto (NEW — occupancy-probe router, VERDICT r9
+#     #4); the persist_shared policy swap (VERDICT r9 #1) re-proves
+#     every query through the swapped sites: pagerank_purchase_graph
+#     (graph.py sym), dedup_clusters / dedup_keep_best (CC labels +
+#     collapse), dedup_jaccard_pairs (shingle stream, token-expansion
+#     est), dedup_minhash_lsh / dedup_simhash (signature persists),
+#     dedup_semantic (core/assigned persists), dedup_fuzzy_pairs /
+#     _qgram / _passjoin (collapse-prepass members persist),
+#     vocab_gated_stats (token-expansion est — ADVICE r9);
+#   - ALL 12 deferred r6-latest rows (the stalest oracled evidence:
+#     r1/r2-era function-suite/window shapes named in the r9 window
+#     comment);
+#   - 26 of the 41 r7-latest rows, alphabetical-first (deferred to
+#     r11: q18_large_quantity_orders, q4_priority_late_orders,
+#     q6_forecast_revenue, q8_market_share, source_language_map,
+#     source_wc_profile, stratified_sample_uniform, stream_dedup_docs,
+#     stream_dedup_embeddings, tfidf_search, token_cms_estimates,
+#     user_hll_distinct, user_rfm_segments, user_sessions,
+#     vocab_bloom_membership — 15 rows, all r7-green, operators
+#     unchanged since).
+# (r9's window: 7 r9-changed + all 10 r5-latest + 30 oldest r6-latest
+# + flagship — 50/50 green, CORRECTNESS_r09.json.)
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
@@ -77,60 +78,59 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # their oracled portable twins, so window slots go to oracled queries
 # only.
 _WINDOW = [
-    # --- r9 changes + the new PassJoin generator
-    "dedup_fuzzy_pairs_passjoin",
-    "tfidf_top3_per_doc",
-    "vocab_gated_stats",
-    "q21_waiting_suppliers",
-    "vocabulary",
-    "dedup_semantic",
-    "stream_dedup_docs_incremental",
-    # --- all 10 r5-latest rows (stalest evidence)
-    "doc_token_arrays",
-    "doc_token_counts",
-    "doc_train_test_split",
-    "domain_mixture_weights",
-    "embedding_norms",
-    "grouped_map_source_ranks",
-    "map_functions_suite",
-    "multimodal_resize_plan",
-    "token_positions",
-    "udtf_token_chunks",
-    # --- 30 of 42 remaining r6-latest rows (oldest-first fill)
-    "corpus_job_ini",
-    "corpus_jsonl_roundtrip",
-    "corpus_pmi_bigrams",
-    "cube_lineitem_counts",
-    "customer_order_full_outer",
-    "daily_revenue_gapfilled",
+    # --- r10 changes + the new occupancy router
+    "dedup_fuzzy_pairs_auto",
+    "pagerank_purchase_graph",
     "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_fuzzy_pairs",
-    "dedup_jaccard_pairs",
     "dedup_keep_best",
+    "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "events_variant_stats",
-    "grouping_sets_revenue",
-    "merge_upsert_orders",
-    "min_cost_supplier_per_part",
-    "multimodal_frame_sample",
-    "orders_above_segment_avg",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q5_nation_revenue",
-    "q7_nation_volume",
-    "repeat_customers_both_years",
-    "rollup_order_totals",
-    "shard_manifest",
-    "stream_dedup_docs_minhash",
-    "top3_orders_per_customer",
-    # --- flagship §2.11 continuity
-    "term_stats_ngram",
-    "normalize_corpus",
-    "stream_term_stats",
+    "dedup_semantic",
+    "dedup_fuzzy_pairs",
+    "dedup_fuzzy_pairs_qgram",
+    "dedup_fuzzy_pairs_passjoin",
+    "vocab_gated_stats",
+    # --- all 12 deferred r6-latest rows (stalest evidence)
+    "churned_customers_1995",
+    "customer_running_spend",
+    "customers_with_high_value_order",
+    "customers_without_orders",
+    "math_functions_suite",
+    "order_rank_suite",
+    "part_brand_except_all",
+    "part_brand_intersect_all",
+    "part_price_bands",
+    "price_percentiles",
+    "string_functions_suite",
+    "trailing_30d_spend",
+    # --- 26 of 41 r7-latest rows (oldest-first fill, alphabetical)
+    "ann_ivf_fixed_top5",
+    "asof_purchase_prior_view",
+    "cohort_daily_retention",
+    "daily_event_pivot",
+    "distinct_users_per_type",
+    "doc_boilerplate_share",
+    "doc_oov_rate",
+    "doc_pii_scrub",
+    "doc_span_novelty",
+    "doc_span_scrub",
+    "doc_term_frequencies",
+    "doc_training_order",
+    "doc_wordcount",
+    "events_anomaly_zscore",
+    "events_json_stats",
+    "events_rollup_cascade",
+    "funnel_conversion_window",
+    "funnel_view_click_purchase",
+    "monthly_revenue",
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    "multimodal_phash_dedup",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
 ]
 
 

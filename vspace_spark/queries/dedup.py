@@ -658,3 +658,36 @@ def dedup_fuzzy_pairs_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passjoin_edit_pairs(
         docs, F.substring("text", 1, 16), block=["source"], max_dist=4
     )
+
+
+@query(
+    "dedup_fuzzy_pairs_auto",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source, substr(text, 1, 16) AS pre FROM documents
+  WHERE length(text) >= 16
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       levenshtein(x.pre, y.pre)::INT AS dist
+FROM p x JOIN p y
+  ON x.source = y.source AND x.doc_id < y.doc_id
+WHERE levenshtein(x.pre, y.pre) <= 3
+""",
+)
+def dedup_fuzzy_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-pair surface through the MEASURED router
+    (operators/dedup.py:fuzzy_pairs_auto, VERDICT r9 #4): one
+    occupancy-probe aggregation decides qgram count-filter vs
+    PassJoin segments per corpus instead of the caller hand-picking
+    from PERF.md lore. Both lanes are exact (and byte-identical —
+    planted-fixture-tested) on this domain (16-char keys ≥ q·(k+1) =
+    12 at q=3, k=3), so the oracle is lane-independent: the driver's
+    equality check holds whichever generator the probe picks."""
+    from vspace_spark.operators.dedup import fuzzy_pairs_auto
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 16
+    )
+    return fuzzy_pairs_auto(
+        docs, F.substring("text", 1, 16), block=["source"], q=3, max_dist=3
+    )

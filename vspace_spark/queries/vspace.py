@@ -182,17 +182,23 @@ def vocab_gated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vocabulary here = bigrams with document_frequency ≥ 20, derived from
     the corpus itself so the query is self-contained."""
     from vspace_spark.operators.scale import (
-        _uncompressed_input_bytes,
+        TOKEN_STREAM_EXPANSION,
+        est_relation_bytes,
         persist_shared,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     # consumed three times (vocab build + both gate branches); level
     # by the shared policy — DISK_ONLY once the corpus is big enough
-    # that a heap-resident block would couple to aged-JVM GC state
+    # that a heap-resident block would couple to aged-JVM GC state.
+    # The persisted relation is the EXPLODED unigram+bigram stream —
+    # several times the document bytes — so the estimate carries the
+    # token-stream expansion factor (ADVICE r9: sizing it by raw doc
+    # bytes let a just-under-floor corpus park a multi-GB token cache
+    # on-heap).
     toks = persist_shared(
         tokenized_documents(docs, min_n=1, max_n=2),
-        _uncompressed_input_bytes(docs),
+        est_relation_bytes(docs, expansion=TOKEN_STREAM_EXPANSION),
     )
     vocab = (
         toks.filter(F.col("token").contains(" "))

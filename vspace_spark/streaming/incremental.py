@@ -133,6 +133,7 @@ def incremental_minhash_dedup(
     n_input_files: int = 8,
     progress_out: list | None = None,
     index_layout: str = "partitioned",
+    index_buckets: int | None = None,
 ) -> DataFrame:
     """Replay ``docs`` as a multi-batch file stream and dedup each
     micro-batch against the accreting signature index. Returns the
@@ -198,18 +199,44 @@ def incremental_minhash_dedup(
         # saveAsTable then fails with LOCATION_ALREADY_EXISTS (caught
         # live by the r9 bench rerun). Clear the orphan dir too; the
         # work_dir-keyed table name scopes this to our own leftovers.
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        )
-        if wh.startswith("file:"):
-            wh = wh[len("file:"):]
-        shutil.rmtree(os.path.join(wh, index_table), ignore_errors=True)
+        # The managed location is <database location>/<table>, which
+        # equals <warehouse.dir>/<table> ONLY in the default database
+        # (non-default dbs live under <db>.db/ — ADVICE r9), so
+        # resolve the CURRENT database's locationUri via the catalog
+        # instead of joining warehouse.dir with the bare table name.
+        db_loc = spark.catalog.getDatabase(
+            spark.catalog.currentDatabase()
+        ).locationUri
+        if db_loc.startswith("file:"):
+            db_loc = db_loc[len("file:"):]
+        shutil.rmtree(os.path.join(db_loc, index_table), ignore_errors=True)
 
     # materialize the replay with Spark writers (no driver collect);
     # range partitioning by id keeps file contents disjoint
     docs.repartitionByRange(n_input_files, "doc_id").write.mode(
         "overwrite"
     ).parquet(in_dir)
+
+    if index_layout == "bucketed" and index_buckets is None:
+        # Adaptive bucket count (VERDICT r9 #5): the bucket count is
+        # fixed for the TABLE's lifetime, and every micro-batch append
+        # emits exactly index_buckets files — at small batches 32
+        # buckets means 32 near-empty files × history partitions of
+        # listing/footer cost per probe. Size from the replay's OWN
+        # footer row counts (free — the files were just written):
+        # one band-row bucket file should hold ≥ ~32k rows, clamped
+        # to [4, 32]. Big-batch ingest (the layout's target regime)
+        # stays at 32; the 500k-doc/48-batch bench drops to 4.
+        from vspace_spark.operators.scale import footer_row_count
+
+        total_rows = footer_row_count(spark.read.parquet(in_dir))
+        if total_rows:
+            batch_index_rows = (total_rows / max(n_input_files, 1)) * bands
+            index_buckets = max(4, min(32, int(batch_index_rows // 32768) or 4))
+        else:
+            index_buckets = 32
+    elif index_buckets is None:
+        index_buckets = 32
 
     schema = spark.read.parquet(in_dir).schema
     stream = (
@@ -331,6 +358,7 @@ def incremental_minhash_dedup(
                 index_table,
                 batch_id,
                 bucket_cols=["band", "bucket"],
+                n_buckets=index_buckets,
             )
         else:
             append_index_batch(
