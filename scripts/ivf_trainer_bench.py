@@ -54,6 +54,45 @@ def synth(spark, n: int, dim: int = 64):
     return vecs
 
 
+def synth_structured(
+    spark, n: int, dim: int = 64, n_clusters: int = 4096,
+    spread: float = 0.08,
+):
+    """Planted-cluster corpus (VERDICT r9 #6): n vectors in
+    ``n_clusters`` true Gaussian-ish blobs — cluster centers on the
+    same [-2,2] lattice as :func:`synth`, each vector = its cluster
+    center + uniform noise of half-width ``spread``·4. Unlike the
+    hash-uniform corpus (structure-free: recall differences are
+    noise-bound, PERF.md round 9) this gives a trainer real cell
+    structure to find, so trained-vs-ml recall deltas are signal."""
+    cid = (F.xxhash64(F.col("id")) % n_clusters + n_clusters) % n_clusters
+    vecs = (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            F.col("id").alias("vec_id"),
+            cid.alias("_cid"),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (F.xxhash64(F.col("_cid"), i) % 1000).cast("float")
+                    / 500.0
+                    + (F.xxhash64(F.col("vec_id"), i, F.lit(7)) % 1000)
+                    .cast("float")
+                    / 500.0
+                    * F.lit(spread)
+                ),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    vecs.count()
+    return vecs
+
+
 def recall_at_5(spark, queries, corpus, out) -> float:
     from vspace_spark.operators.similarity import brute_force_topk_arrow
 
@@ -87,6 +126,22 @@ def main() -> None:
         "passes on the trained codebook (refine_codebook) and report "
         "the recall recovery vs the sample-only trainer",
     )
+    ap.add_argument(
+        "--structured",
+        type=int,
+        default=0,
+        metavar="N_CLUSTERS",
+        help="use the planted-cluster corpus (VERDICT r9 #6) with this "
+        "many true clusters instead of the hash-uniform one",
+    )
+    ap.add_argument(
+        "--probe-sweep",
+        type=int,
+        nargs="*",
+        default=[],
+        help="extra n_probe values to re-probe the TRAINED codebook "
+        "with (the +n_probe recall buy-back curve)",
+    )
     args = ap.parse_args()
 
     from vspace_spark.operators.dedup import hierarchical_codebook
@@ -94,7 +149,12 @@ def main() -> None:
     from vspace_spark.session import get_spark
 
     spark = get_spark("ivf-trainer-bench")
-    vecs = synth(spark, args.n, args.dim)
+    if args.structured:
+        vecs = synth_structured(
+            spark, args.n, args.dim, n_clusters=args.structured
+        )
+    else:
+        vecs = synth(spark, args.n, args.dim)
     q = vecs.filter(F.col("vec_id") < args.n_queries)
 
     for k in args.k:
@@ -183,6 +243,29 @@ def main() -> None:
                 f"n={args.n} K={k}: refine x{args.refine} "
                 f"{t_ref:.1f} s ({t_ref / args.refine:.1f} s/step) "
                 f"recall@5={r4:.3f}",
+                flush=True,
+            )
+            for np_ in args.probe_sweep:
+                out5 = ivf_topk(
+                    q, vecs, k=5, n_cells=k, n_probe=np_,
+                    centers=rc, assign_engine="arrow",
+                )
+                r5 = recall_at_5(spark, q, vecs, out5)
+                print(
+                    f"n={args.n} K={k}: refined n_probe={np_} "
+                    f"recall@5={r5:.3f}",
+                    flush=True,
+                )
+
+        for np_ in args.probe_sweep:
+            out5 = ivf_topk(
+                q, vecs, k=5, n_cells=k, n_probe=np_,
+                centers=fine, assign_engine="arrow",
+            )
+            r5 = recall_at_5(spark, q, vecs, out5)
+            print(
+                f"n={args.n} K={k}: sample-trained n_probe={np_} "
+                f"recall@5={r5:.3f}",
                 flush=True,
             )
 
