@@ -621,6 +621,10 @@ def main() -> None:
     line_out.pop("detail_headline", None)
     line_out["detail"] = "bench_result.json"
     line = json.dumps(line_out)
+    if len(line) > 1900:  # shed the contention list first (it lives
+        # in bench_result.json too), headline totals last
+        line_out.pop("contended_headline", None)
+        line = json.dumps(line_out)
     if len(line) > 1900:  # last resort: headline total still parses
         line_out.pop("queries", None)
         line = json.dumps(line_out)

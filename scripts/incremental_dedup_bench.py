@@ -17,7 +17,7 @@ scripts/bucketed_probe_bench.py) is design, not this code path.
 Reports first/last-quartile mean batch duration, the linear-fit slope
 (ms per batch of index growth), and total pairs. Results → PERF.md.
 
-Run: python scripts/incremental_dedup_bench.py [replicas] [n_batches] [layout]
+Run: python scripts/incremental_dedup_bench.py [replicas] [n_batches] [layout] [buckets]
 
 layout = partitioned (default) | bucketed: the r9 landed bucketed
 signature table (io/connectors.py:append_index_batch_bucketed) —
@@ -44,6 +44,7 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     layout = sys.argv[3] if len(sys.argv) > 3 else "partitioned"
+    buckets = int(sys.argv[4]) if len(sys.argv) > 4 else None
     # recentProgress keeps only the last N updates (default 100) — a
     # run past that cap would silently truncate the curve and mislabel
     # the first-quartile stats, so raise the cap above any plausible
@@ -94,6 +95,7 @@ def main() -> None:
         n_input_files=n_batches,
         progress_out=progress,
         index_layout=layout,
+        index_buckets=buckets,
     )
     n_pairs = pairs.count()
     elapsed = time.perf_counter() - t0

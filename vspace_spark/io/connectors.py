@@ -121,6 +121,7 @@ def append_index_batch_bucketed(
     batch_id: int,
     bucket_cols: list[str] | tuple,
     n_buckets: int = 32,
+    drop_existing: bool | None = None,
 ) -> None:
     """The accreting-index contract (:func:`append_index_batch`) over
     a BUCKETED metastore table — the warehouse-scale layout the
@@ -151,7 +152,14 @@ def append_index_batch_bucketed(
     out = batch.withColumn("batch", F.lit(int(batch_id))).repartition(
         n_buckets, *bucket_cols
     )
-    if spark.catalog.tableExists(table):
+    # drop_existing=None (auto) checks the catalog; callers that KNOW
+    # whether this batch id was already appended (e.g. the incremental
+    # operator's per-run ledger) pass a bool and skip the per-batch
+    # tableExists + DROP round-trip — metastore DDL is a measurable
+    # share of small-batch ingest cost (PERF.md round 10)
+    if drop_existing is None:
+        drop_existing = spark.catalog.tableExists(table)
+    if drop_existing:
         spark.sql(
             f"ALTER TABLE {table} DROP IF EXISTS PARTITION "
             f"(batch={int(batch_id)})"

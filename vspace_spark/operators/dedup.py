@@ -1608,9 +1608,73 @@ def _hot_pairs_segment(
     regimes run k ≤ 4); segments of length L/(k+1) are far more
     selective index keys than q-grams, which is the point.
     """
+    idx = _segment_index_rows(hot_keyed, block, k)
+    probe = _segment_probe_rows(hot_keyed, block, k)
+    jcond = (
+        (F.col("_Lr") == F.col("_rlen"))
+        & (probe._i == idx._i)
+        & (F.col("_sub") == F.col("_seg"))
+        & (F.col("_pid") != F.col("_rid"))
+    )
+    for c in block:
+        jcond = jcond & (F.col(c) == F.col(f"_r_{c}"))
+    cand = (
+        probe.join(idx, jcond)
+        .select(
+            F.least("_pid", "_rid").alias("a"),
+            F.greatest("_pid", "_rid").alias("b"),
+        )
+        .distinct()
+    )
+    ka = hot_keyed.select(F.col("_id").alias("a"), F.col("_k").alias("_ka"))
+    kb = hot_keyed.select(F.col("_id").alias("b"), F.col("_k").alias("_kb"))
+    dist = F.levenshtein("_ka", "_kb", k)
+    seg_pairs = (
+        cand.join(ka, "a")
+        .join(kb, "b")
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+    # residual: both sides shorter than k+1 — the lemma is vacuous
+    # there (empty segments), and the segment lane never probes
+    # target lengths below k+1, so short×short pairs are exactly the
+    # uncovered set (short×long still routes through the long side's
+    # index). Banded self-join over this tiny slice only.
     seg_cnt = k + 1
-    long_h = hot_keyed.filter(F.length("_k") >= seg_cnt)
-    idx = (
+    short_h = hot_keyed.filter(F.length("_k") < seg_cnt)
+    left_s = short_h.select(
+        *block, F.col("_id").alias("a"), F.col("_k").alias("_ka")
+    )
+    right_s = short_h.select(
+        *[F.col(c).alias(f"_r_{c}") for c in block],
+        F.col("_id").alias("b"),
+        F.col("_k").alias("_kb"),
+    )
+    scond = (F.col("a") < F.col("b")) & (
+        F.abs(F.length("_ka") - F.length("_kb")) <= k
+    )
+    for c in block:
+        scond = scond & (F.col(c) == F.col(f"_r_{c}"))
+    short_pairs = (
+        left_s.join(right_s, scond)
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+    return seg_pairs.unionByName(short_pairs)
+
+
+def _segment_index_rows(
+    keyed: DataFrame, block: list, k: int
+) -> DataFrame:
+    """PassJoin SEGMENT INDEX rows for keys ``[_id, *block, _k]``:
+    each long-enough key (length ≥ k+1) contributes its k+1 even
+    segments as ``[*_r_<block>, _rid, _rlen, _i, _seg]``. Pure column
+    expressions — reusable as a PERSISTED artifact (VERDICT r9 #8):
+    write these rows once, probe many (see
+    streaming/incremental.py:incremental_passjoin_dedup)."""
+    seg_cnt = k + 1
+    long_h = keyed.filter(F.length("_k") >= seg_cnt)
+    return (
         long_h.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k))))
         .select(
             *[F.col(c).alias(f"_r_{c}") for c in block],
@@ -1625,8 +1689,20 @@ def _hot_pairs_segment(
         )
         .filter(F.length("_seg") >= 1)
     )
-    probe = (
-        hot_keyed.withColumn(
+
+
+def _segment_probe_rows(
+    keyed: DataFrame, block: list, k: int
+) -> DataFrame:
+    """PassJoin PROBE rows for keys ``[_id, *block, _k]``: for every
+    candidate partner length Lr in [|s|−k, |s|+k] (Lr ≥ k+1) and
+    every segment#, the Lemma-3 multi-match window's substrings —
+    ``[*block, _pid, _Lr, _i, _sub]``. Joins
+    :func:`_segment_index_rows` output on the all-equi key
+    (block, _Lr=_rlen, _i, _sub=_seg)."""
+    seg_cnt = k + 1
+    return (
+        keyed.withColumn(
             "_Lr",
             F.explode(
                 F.when(
@@ -1705,56 +1781,6 @@ def _hot_pairs_segment(
             F.expr("substr(_k, _p, _sl)").alias("_sub"),
         )
     )
-    jcond = (
-        (F.col("_Lr") == F.col("_rlen"))
-        & (probe._i == idx._i)
-        & (F.col("_sub") == F.col("_seg"))
-        & (F.col("_pid") != F.col("_rid"))
-    )
-    for c in block:
-        jcond = jcond & (F.col(c) == F.col(f"_r_{c}"))
-    cand = (
-        probe.join(idx, jcond)
-        .select(
-            F.least("_pid", "_rid").alias("a"),
-            F.greatest("_pid", "_rid").alias("b"),
-        )
-        .distinct()
-    )
-    ka = hot_keyed.select(F.col("_id").alias("a"), F.col("_k").alias("_ka"))
-    kb = hot_keyed.select(F.col("_id").alias("b"), F.col("_k").alias("_kb"))
-    dist = F.levenshtein("_ka", "_kb", k)
-    seg_pairs = (
-        cand.join(ka, "a")
-        .join(kb, "b")
-        .select("a", "b", dist.alias("dist"))
-        .filter(F.col("dist") >= 0)
-    )
-    # residual: both sides shorter than k+1 — the lemma is vacuous
-    # there (empty segments), and the segment lane never probes
-    # target lengths below k+1, so short×short pairs are exactly the
-    # uncovered set (short×long still routes through the long side's
-    # index). Banded self-join over this tiny slice only.
-    short_h = hot_keyed.filter(F.length("_k") < seg_cnt)
-    left_s = short_h.select(
-        *block, F.col("_id").alias("a"), F.col("_k").alias("_ka")
-    )
-    right_s = short_h.select(
-        *[F.col(c).alias(f"_r_{c}") for c in block],
-        F.col("_id").alias("b"),
-        F.col("_k").alias("_kb"),
-    )
-    scond = (F.col("a") < F.col("b")) & (
-        F.abs(F.length("_ka") - F.length("_kb")) <= k
-    )
-    for c in block:
-        scond = scond & (F.col(c) == F.col(f"_r_{c}"))
-    short_pairs = (
-        left_s.join(right_s, scond)
-        .select("a", "b", dist.alias("dist"))
-        .filter(F.col("dist") >= 0)
-    )
-    return seg_pairs.unionByName(short_pairs)
 
 
 def passjoin_edit_pairs(

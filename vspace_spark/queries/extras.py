@@ -532,6 +532,45 @@ def stream_dedup_docs_incremental(
 
 
 @query(
+    "stream_dedup_docs_passjoin",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 16) AS pre FROM documents
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       levenshtein(x.pre, y.pre)::INT AS dist
+FROM p x JOIN p y ON x.doc_id < y.doc_id
+WHERE levenshtein(x.pre, y.pre) <= 4
+""",
+)
+def stream_dedup_docs_passjoin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental EDIT-DISTANCE dedup against a growing PassJoin
+    segment index (VERDICT r9 #8 — the text analog of
+    ``stream_dedup_docs_incremental``'s signature table): the corpus
+    replays as an 8-file stream; each micro-batch self-joins its own
+    segments, probes its Lemma-3 substrings against the PERSISTED
+    segments of all earlier batches (build once, probe many — the
+    index rows are never re-derived), then appends its own segments
+    and keys. Exactly oracle-checked because the pair set is
+    batch-boundary independent and PassJoin is exact at every key
+    length (streaming/incremental.py:incremental_passjoin_dedup has
+    the cross-batch completeness argument)."""
+    from vspace_spark.io.sinks import keyed_tmp_dir
+    from vspace_spark.streaming.incremental import (
+        incremental_passjoin_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = keyed_tmp_dir("vspace_incr_pj", sf_dir)
+    return incremental_passjoin_dedup(
+        spark, docs, key_col="text", key_len=16, max_dist=4,
+        work_dir=work,
+    )
+
+
+@query(
     "ann_ivf_pq_top5",
     oracle="""
 WITH c AS (

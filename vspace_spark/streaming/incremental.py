@@ -218,21 +218,29 @@ def incremental_minhash_dedup(
     ).parquet(in_dir)
 
     if index_layout == "bucketed" and index_buckets is None:
-        # Adaptive bucket count (VERDICT r9 #5): the bucket count is
-        # fixed for the TABLE's lifetime, and every micro-batch append
-        # emits exactly index_buckets files — at small batches 32
-        # buckets means 32 near-empty files × history partitions of
-        # listing/footer cost per probe. Size from the replay's OWN
-        # footer row counts (free — the files were just written):
-        # one band-row bucket file should hold ≥ ~32k rows, clamped
-        # to [4, 32]. Big-batch ingest (the layout's target regime)
-        # stays at 32; the 500k-doc/48-batch bench drops to 4.
+        # Adaptive bucket count (VERDICT r9 #5, measured round 10):
+        # the count is fixed for the TABLE's lifetime and trades
+        # per-batch FILE COUNT (exactly index_buckets files/batch
+        # after the connector's repartition fix) against PROBE
+        # PARALLELISM (a bucketed-scan join runs one task per
+        # bucket). Both regimes measured at 48 batches (PERF.md
+        # round 10): 8.3k index rows/batch → 4 buckets beats
+        # partitioned (129.0 vs 144.3 s); 83k rows/batch → 4 buckets
+        # LOSES 1.9× to 32 (557.6 vs 348.1 s — four probe tasks on a
+        # 32-core box). Rule: small batches (< 32k rows) take 4,
+        # everything else takes full parallelism capped at 32. Sized
+        # from the replay's own footer row counts (free — the files
+        # were just written).
         from vspace_spark.operators.scale import footer_row_count
 
         total_rows = footer_row_count(spark.read.parquet(in_dir))
         if total_rows:
             batch_index_rows = (total_rows / max(n_input_files, 1)) * bands
-            index_buckets = max(4, min(32, int(batch_index_rows // 32768) or 4))
+            index_buckets = (
+                4
+                if batch_index_rows < 32768
+                else min(32, spark.sparkContext.defaultParallelism)
+            )
         else:
             index_buckets = 32
     elif index_buckets is None:
@@ -250,6 +258,15 @@ def incremental_minhash_dedup(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         )
     )
+
+    # per-run ledger of appended batch ids: a NEW run always starts
+    # from an empty index (DROP TABLE / rmtree above), so within-run
+    # closure state answers "are there earlier partitions?" and "was
+    # this id already appended (= engine-level replay)?" without a
+    # SHOW PARTITIONS collect + DROP DDL per batch — metastore
+    # round-trips were a measurable share of the bucketed lane's
+    # small-batch cost (PERF.md round 10)
+    appended: set[int] = set()
 
     def process(batch: DataFrame, batch_id: int) -> None:
         bb = _banded(
@@ -293,17 +310,11 @@ def incremental_minhash_dedup(
         # earlier partitions — same file set the old hand-built path
         # list produced.
         if index_layout == "bucketed":
-            # catalog-backed table: existence + the batch < current
-            # partition filter do the pruning the directory listing
-            # does on the parquet lane; the bucketed scan keeps the
-            # index side of the probe join exchange-free
-            # numeric compare — lexicographic "batch=10" < "batch=2"
-            has_earlier = spark.catalog.tableExists(index_table) and any(
-                int(r.partition.split("=", 1)[1]) < batch_id
-                for r in spark.sql(f"SHOW PARTITIONS {index_table}")
-                # bounded-collect: one row per batch partition
-                .collect()
-            )
+            # the per-run ledger answers this without a catalog
+            # round-trip (the run started from an empty table); the
+            # batch < current partition filter still does the actual
+            # pruning in the probe scan below
+            has_earlier = any(i < batch_id for i in appended)
         else:
             has_earlier = os.path.isdir(index_dir) and any(
                 e.startswith("batch=")
@@ -359,7 +370,11 @@ def incremental_minhash_dedup(
                 batch_id,
                 bucket_cols=["band", "bucket"],
                 n_buckets=index_buckets,
+                # only an engine-level replay of an id this run already
+                # appended needs the idempotency DROP
+                drop_existing=batch_id in appended,
             )
+            appended.add(batch_id)
         else:
             append_index_batch(
                 spark,
@@ -406,5 +421,199 @@ def incremental_minhash_dedup(
     return (
         read_index(spark, out_dir, fmt="parquet")
         .select("a", "b", "agree")
+        .localCheckpoint(eager=True)
+    )
+
+
+def incremental_passjoin_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    key_col: str = "text",
+    key_len: int = 16,
+    max_dist: int = 3,
+    work_dir: str | None = None,
+    n_input_files: int = 8,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """:func:`incremental_minhash_dedup`'s TEXT analog — the PassJoin
+    SEGMENT index as a PERSISTED build-once/probe-many artifact
+    (VERDICT r9 #8): replay ``docs`` as a multi-batch file stream and
+    edit-distance-dedup each micro-batch against the accreting index.
+    Returns the PAIRS ``[a, b, dist]`` (a < b, Levenshtein distance ≤
+    ``max_dist`` on the first ``key_len`` chars of ``key_col``).
+
+    Two relations accrete, both through the shared per-batch-partition
+    contract (replay-idempotent like the signature index):
+
+    - ``seg``:  the segment-index rows of every ingested key
+      (operators/dedup.py:_segment_index_rows — (length, segment#,
+      content) equi-keys), written ONCE per document at ingest;
+    - ``keys``: (id, key) for verification and the short-key residual.
+
+    Per batch: intra-batch pairs via the plain segment self-join
+    (:func:`~vspace_spark.operators.dedup._hot_pairs_segment`), then
+    cross pairs by probing the NEW batch's Lemma-3 substrings
+    (``_segment_probe_rows``) against the STORED segments of all
+    earlier batches — the index side is never re-derived, which is
+    the whole point: per-batch candidate cost is probe-rows(batch) ×
+    matched buckets, not |history| re-hashing. Completeness across
+    the batch boundary: a pair (new, old) with |old| ≥ k+1 is found
+    through old's stored segments (one-directional PassJoin is
+    complete — Lemma 3); |old| < k+1 forces |new| ≤ 2k by the length
+    band, so the residual lane joins stored short keys against the
+    batch's ≤ 2k-char keys (length-banded equi-free slice, both sides
+    k-bounded tiny). Union over batches therefore equals the batch
+    :func:`~vspace_spark.operators.dedup.passjoin_edit_pairs` pair
+    set regardless of replay slicing — the oracle-checkable contract.
+    """
+    from vspace_spark.operators.dedup import (
+        _hot_pairs_segment,
+        _segment_index_rows,
+        _segment_probe_rows,
+    )
+
+    k = max_dist
+    if work_dir is None:
+        work_dir = os.path.join(
+            "/tmp", f"vspace_incr_pj_{uuid.uuid4().hex[:12]}"
+        )
+    in_dir = os.path.join(work_dir, "in")
+    seg_dir = os.path.join(work_dir, "seg")
+    keys_dir = os.path.join(work_dir, "keys")
+    out_dir = os.path.join(work_dir, "out")
+    import shutil
+
+    # new run starts clean (same stale-partition hazard as the
+    # signature index — see incremental_minhash_dedup)
+    for d in (seg_dir, keys_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs.select(
+        F.col("doc_id"), F.substring(key_col, 1, key_len).alias("_k")
+    ).filter(F.col("_k").isNotNull()).repartitionByRange(
+        n_input_files, "doc_id"
+    ).write.mode("overwrite").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        keyed = batch.select(F.col("doc_id").alias("_id"), "_k").persist()
+        keyed.count()  # bounded work: one micro-batch
+        intra = _hot_pairs_segment(keyed, [], k)
+        has_earlier = os.path.isdir(seg_dir) and any(
+            e.startswith("batch=") and int(e.split("=", 1)[1]) < batch_id
+            for e in os.listdir(seg_dir)
+        )
+        pairs = intra
+        if has_earlier:
+            seg_old = (
+                read_index(spark, seg_dir, fmt="parquet")
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
+            )
+            keys_old = (
+                read_index(spark, keys_dir, fmt="parquet")
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
+            )
+            probe_new = _segment_probe_rows(keyed, [], k)
+            cand = (
+                probe_new.join(
+                    seg_old,
+                    (F.col("_Lr") == F.col("_rlen"))
+                    & (probe_new._i == seg_old._i)
+                    & (F.col("_sub") == F.col("_seg")),
+                )
+                .select(
+                    F.col("_pid").alias("_nid"),
+                    F.col("_rid").alias("_oid"),
+                )
+                .distinct()
+            )
+            kn = keyed.select(
+                F.col("_id").alias("_nid"), F.col("_k").alias("_kn")
+            )
+            ko = keys_old.select(
+                F.col("_id").alias("_oid"), F.col("_k").alias("_ko")
+            )
+            dist = F.levenshtein("_kn", "_ko", k)
+            cross_long = (
+                cand.join(kn, "_nid")
+                .join(ko, "_oid")
+                .select(
+                    F.least("_nid", "_oid").alias("a"),
+                    F.greatest("_nid", "_oid").alias("b"),
+                    dist.alias("dist"),
+                )
+                .filter(F.col("dist") >= 0)
+            )
+            # residual: stored key shorter than k+1 (no segments in
+            # the index) — its partners are <= 2k chars by the length
+            # band, so this slice is k-bounded on both sides
+            short_old = keys_old.filter(F.length("_k") < k + 1).select(
+                F.col("_id").alias("_oid"), F.col("_k").alias("_ko")
+            )
+            shortish_new = keyed.filter(F.length("_k") <= 2 * k).select(
+                F.col("_id").alias("_nid"), F.col("_k").alias("_kn")
+            )
+            cross_short = (
+                shortish_new.join(
+                    short_old,
+                    F.abs(F.length("_kn") - F.length("_ko")) <= k,
+                )
+                .select(
+                    F.least("_nid", "_oid").alias("a"),
+                    F.greatest("_nid", "_oid").alias("b"),
+                    dist.alias("dist"),
+                )
+                .filter(F.col("dist") >= 0)
+            )
+            pairs = intra.unionByName(cross_long).unionByName(cross_short)
+        flagged = pairs.groupBy("a", "b").agg(F.min("dist").alias("dist"))
+        append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
+        # this batch's segments + keys append AFTER probing
+        append_index_batch(
+            spark,
+            _segment_index_rows(keyed, [], k),
+            seg_dir,
+            batch_id,
+            fmt="parquet",
+        )
+        append_index_batch(
+            spark,
+            keyed.select("_id", "_k"),
+            keys_dir,
+            batch_id,
+            fmt="parquet",
+        )
+        keyed.unpersist()
+
+    q = stream.writeStream.foreachBatch(process).start()
+    try:
+        q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(
+                {
+                    "batch_id": p["batchId"],
+                    "duration_ms": p["batchDuration"],
+                    "rows": p["numInputRows"],
+                }
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            )
+    finally:
+        q.stop()
+    if not os.path.isdir(out_dir) or not any(
+        e.startswith("batch=") for e in os.listdir(out_dir)
+    ):
+        return spark.createDataFrame([], "a long, b long, dist integer")
+    return (
+        read_index(spark, out_dir, fmt="parquet")
+        .select("a", "b", "dist")
         .localCheckpoint(eager=True)
     )
