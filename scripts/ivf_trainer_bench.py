@@ -135,6 +135,13 @@ def main() -> None:
         "many true clusters instead of the hash-uniform one",
     )
     ap.add_argument(
+        "--spread",
+        type=float,
+        default=0.08,
+        help="structured-corpus noise half-width relative to the "
+        "center lattice (0.08 = well-separated, ~0.5+ = overlapping)",
+    )
+    ap.add_argument(
         "--probe-sweep",
         type=int,
         nargs="*",
@@ -151,7 +158,8 @@ def main() -> None:
     spark = get_spark("ivf-trainer-bench")
     if args.structured:
         vecs = synth_structured(
-            spark, args.n, args.dim, n_clusters=args.structured
+            spark, args.n, args.dim, n_clusters=args.structured,
+            spread=args.spread,
         )
     else:
         vecs = synth(spark, args.n, args.dim)
