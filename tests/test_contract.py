@@ -48,6 +48,7 @@ EXPECTED_QUERIES = {
     "dedup_semantic_trained",
     "dedup_fuzzy_pairs_qgram", "dedup_fuzzy_pairs_global",
     # new in r9: PassJoin segment generator (exact at all key lengths)
+    "dedup_fuzzy_pairs_auto",
     "dedup_fuzzy_pairs_passjoin",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
@@ -80,6 +81,7 @@ EXPECTED_QUERIES = {
     "ann_bruteforce_top5_fast", "ann_ivf_pq_top5_fast",
     "ann_ivf_fixed_top5", "ann_ivf_pq_top5", "stream_dedup_embeddings",
     "stream_dedup_docs_minhash", "stream_dedup_docs_incremental",
+    "stream_dedup_docs_passjoin",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",

@@ -1891,11 +1891,12 @@ def gram_occupancy_probe(
         .groupBy(*block, "_gram")
         .agg(F.count(F.lit(1)).alias("_occ"))
     )
-    # bounded-collect: one row (global sums over gram buckets)
-    row = occ.agg(
+    sums = occ.agg(
         F.sum("_occ").alias("rows"),
         F.sum(F.col("_occ") * F.col("_occ")).alias("work"),
-    ).collect()[0]
+    )
+    # bounded-collect: one row (global sums over gram buckets)
+    row = sums.collect()[0]
     rows = int(row["rows"] or 0)
     work = int(row["work"] or 0)
     return {
