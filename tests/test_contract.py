@@ -81,7 +81,7 @@ EXPECTED_QUERIES = {
     "ann_bruteforce_top5_fast", "ann_ivf_pq_top5_fast",
     "ann_ivf_fixed_top5", "ann_ivf_pq_top5", "stream_dedup_embeddings",
     "stream_dedup_docs_minhash", "stream_dedup_docs_incremental",
-    "stream_dedup_docs_passjoin",
+    "stream_dedup_docs_passjoin", "stream_dedup_embeddings_incremental",
     # streaming
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_user_sessions", "stream_dedup_events",

@@ -519,3 +519,83 @@ class TestIncrementalPassjoin:
             n_input_files=5,
         )
         assert {(r.a, r.b, r.dist) for r in again.collect()} == want
+
+
+class TestIncrementalEmbedding:
+    def test_matches_batch_lsh_pairs(self, spark, sf_dir, tmp_path):
+        """The embedding leg of the accreting-index trilogy: the union
+        over micro-batches must equal the BATCH hyperplane-LSH pair
+        set (same portable planes, same exact-cosine confirm) — the
+        batch-boundary-independence contract — and replay over the
+        same work_dir must be idempotent."""
+        from vspace_spark.functions.vectors import cosine_similarity
+        from vspace_spark.io.tables import load_table
+        from vspace_spark.operators.similarity import (
+            lsh_signature,
+            portable_hyperplanes,
+        )
+        from vspace_spark.streaming.incremental import (
+            incremental_embedding_dedup,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        work = str(tmp_path / "emb")
+        inc = incremental_embedding_dedup(
+            spark, emb, bits=32, bits_per_table=4, threshold=0.4,
+            work_dir=work, n_input_files=5,
+        )
+        got = {(r.a, r.b, r.cos) for r in inc.collect()}
+
+        planes = portable_hyperplanes(64, 32)
+        sigs = emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_signature(
+                                F.col("embedding"),
+                                planes[t * 4 : (t + 1) * 4],
+                            ).alias("bucket"),
+                        )
+                        for t in range(8)
+                    ]
+                )
+            ).alias("_tb"),
+        ).select("vec_id", "embedding", "_tb.tbl", "_tb.bucket")
+        left = sigs.select(
+            F.col("vec_id").alias("a"),
+            F.col("embedding").alias("_va"),
+            "tbl",
+            "bucket",
+        )
+        right = sigs.select(
+            F.col("vec_id").alias("b"),
+            F.col("embedding").alias("_vb"),
+            "tbl",
+            "bucket",
+        )
+        want = {
+            (r.a, r.b, r.cos)
+            for r in left.join(right, ["tbl", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select(
+                "a",
+                "b",
+                F.round(
+                    cosine_similarity(F.col("_va"), F.col("_vb")), 6
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= 0.4)
+            .distinct()
+            .collect()
+        }
+        assert got == want, (len(got), len(want))
+        assert len(got) > 0
+        again = incremental_embedding_dedup(
+            spark, emb, bits=32, bits_per_table=4, threshold=0.4,
+            work_dir=work, n_input_files=5,
+        )
+        assert {(r.a, r.b, r.cos) for r in again.collect()} == want

@@ -60,8 +60,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   - ALL 12 deferred r6-latest rows (the stalest oracled evidence:
 #     r1/r2-era function-suite/window shapes named in the r9 window
 #     comment);
-#   - 25 of the 41 r7-latest rows, alphabetical-first (deferred to
-#     r11: q17_small_quantity_revenue, q18_large_quantity_orders, q4_priority_late_orders,
+#   - 24 of the 41 r7-latest rows, alphabetical-first (deferred to
+#     r11: q15_top_supplier, q17_small_quantity_revenue,
+#     q18_large_quantity_orders, q4_priority_late_orders,
 #     q6_forecast_revenue, q8_market_share, source_language_map,
 #     source_wc_profile, stratified_sample_uniform, stream_dedup_docs,
 #     stream_dedup_embeddings, tfidf_search, token_cms_estimates,
@@ -78,9 +79,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # their oracled portable twins, so window slots go to oracled queries
 # only.
 _WINDOW = [
-    # --- r10 changes + the two new queries
+    # --- r10 changes + the three new queries
     "dedup_fuzzy_pairs_auto",
     "stream_dedup_docs_passjoin",
+    "stream_dedup_embeddings_incremental",
     "pagerank_purchase_graph",
     "dedup_clusters",
     "dedup_keep_best",
@@ -130,7 +132,6 @@ _WINDOW = [
     "multimodal_phash_dedup",
     "q10_returned_revenue",
     "q13_customer_distribution",
-    "q15_top_supplier",
 ]
 
 

@@ -229,6 +229,71 @@ def stream_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_stream_to_memory(matched, "append")
 
+@query(
+    "stream_dedup_embeddings_incremental",
+    oracle="""
+WITH p AS (
+  SELECT b.b AS bit,
+         list_transform(range(0, 64),
+           i -> ('0x' || substr(md5(b.b::VARCHAR || ':' || i::VARCHAR),
+                 1, 13))::BIGINT / 2251799813685248.0 - 1) AS plane
+  FROM (SELECT unnest(range(32)) AS b) b
+),
+sigs AS (
+  SELECT e.vec_id, p.bit // 4 AS tbl,
+         sum(CASE WHEN list_sum(list_transform(
+                    range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * p.plane[i])) > 0
+             THEN 1 << (p.bit % 4) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, p.bit // 4
+),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM sigs x JOIN sigs y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+),
+sc AS (
+  SELECT pairs.a, pairs.b,
+         list_sum(list_transform(range(1, len(x.embedding) + 1),
+                  i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(x.embedding,
+                  v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(y.embedding,
+                  v -> v::DOUBLE * v::DOUBLE)))) AS cos
+  FROM pairs
+  JOIN embeddings x ON x.vec_id = pairs.a
+  JOIN embeddings y ON y.vec_id = pairs.b
+)
+SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.4
+""",
+)
+def stream_dedup_embeddings_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EMBEDDING leg of the accreting-index trilogy (MinHash text,
+    PassJoin edit distance, hyperplane-LSH cosine —
+    streaming/incremental.py:incremental_embedding_dedup): the vector
+    stream replays as an 8-file stream; each micro-batch LSH-buckets
+    its vectors, self-joins intra-batch, probes the PERSISTED postings
+    of all earlier batches on (table, bucket), confirms with exact
+    cosine (>= 0.4), then appends its own postings + vectors. Same
+    portable md5 hyperplanes as the stream-static twin
+    (``stream_dedup_embeddings``), and the pair set is batch-boundary
+    independent — so the IDENTICAL all-pairs oracle checks the union
+    over batches exactly."""
+    from vspace_spark.io.sinks import keyed_tmp_dir
+    from vspace_spark.streaming.incremental import (
+        incremental_embedding_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = keyed_tmp_dir("vspace_incr_emb", sf_dir)
+    return incremental_embedding_dedup(
+        spark, emb, bits=32, bits_per_table=4, threshold=0.4,
+        work_dir=work,
+    )
+
+
 
 @query("dedup_simhash_fast")  # xxhash64 bit votes — no SQL twin
 def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

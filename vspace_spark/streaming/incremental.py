@@ -617,3 +617,193 @@ def incremental_passjoin_dedup(
         .select("a", "b", "dist")
         .localCheckpoint(eager=True)
     )
+
+
+def incremental_embedding_dedup(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    bits_per_table: int = 4,
+    threshold: float = 0.4,
+    work_dir: str | None = None,
+    n_input_files: int = 8,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """The EMBEDDING leg of the incremental-dedup trilogy (MinHash
+    text signatures, PassJoin edit-distance segments, and now
+    hyperplane-LSH cosine): replay ``embeddings`` as a multi-batch
+    file stream and near-dup each micro-batch against the accreting
+    bucket index. Returns PAIRS ``[a, b, cos]`` (a < b, exact cosine
+    ≥ ``threshold``, rounded to 6 — the float discipline).
+
+    Two relations accrete through the shared per-batch-partition
+    contract: ``idx`` (id, table, bucket — the LSH postings) and
+    ``vecs`` (id, vector — for the exact-cosine confirm). Buckets use
+    the PORTABLE md5 hyperplanes (every sign bit exact in IEEE double
+    on any engine), so the union over batches equals the batch LSH
+    pair set and the operator is fully oracle-checkable with the same
+    SQL as ``stream_dedup_docs``'s embedding twin — the
+    batch-boundary-independence argument is the module docstring's:
+    each qualifying pair surfaces exactly once, via the index probe
+    when its endpoints arrive apart or the intra-batch self-join when
+    together.
+    """
+    from vspace_spark.functions.vectors import cosine_similarity, dot
+    from vspace_spark.operators.similarity import portable_hyperplanes
+
+    n_tables = bits // bits_per_table
+    if work_dir is None:
+        work_dir = os.path.join(
+            "/tmp", f"vspace_incr_emb_{uuid.uuid4().hex[:12]}"
+        )
+    in_dir = os.path.join(work_dir, "in")
+    idx_dir = os.path.join(work_dir, "idx")
+    vecs_dir = os.path.join(work_dir, "vecs")
+    out_dir = os.path.join(work_dir, "out")
+    import shutil
+
+    for d in (idx_dir, vecs_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).repartitionByRange(n_input_files, "_id").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    # dim from the materialized replay's first row — bounded-collect:
+    # one scalar (the hyperplanes are a driver-side literal table)
+    dim = spark.read.parquet(in_dir).select(F.size("_v")).first()[0]
+    planes = portable_hyperplanes(dim, bits)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        tables = []
+        for t in range(n_tables):
+            bucket = F.lit(0).cast("bigint")
+            for j in range(bits_per_table):
+                bit = t * bits_per_table + j
+                plane = F.array(*[F.lit(float(x)) for x in planes[bit]])
+                bucket = bucket + F.when(
+                    dot(F.col("_v"), plane) > 0,
+                    F.lit(2**j).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            tables.append(
+                F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+            )
+        return df.select(
+            "_id", "_v", F.explode(F.array(*tables)).alias("_tb")
+        ).select("_id", "_v", F.col("_tb.tbl"), F.col("_tb.bucket"))
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        bb = bucketed(batch).persist()
+        bb.count()  # bounded work: one micro-batch
+        left = bb.select(
+            F.col("_id").alias("a"), F.col("_v").alias("_va"),
+            "tbl", "bucket",
+        )
+        right = bb.select(
+            F.col("_id").alias("b"), F.col("_v").alias("_vb"),
+            "tbl", "bucket",
+        )
+        cands = (
+            left.join(right, ["tbl", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "_va", "_vb")
+        )
+        has_earlier = os.path.isdir(idx_dir) and any(
+            e.startswith("batch=") and int(e.split("=", 1)[1]) < batch_id
+            for e in os.listdir(idx_dir)
+        )
+        if has_earlier:
+            idx = (
+                read_index(spark, idx_dir, fmt="parquet")
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
+            )
+            vecs_old = (
+                read_index(spark, vecs_dir, fmt="parquet")
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
+            )
+            probe = bb.select(
+                F.col("_id").alias("nid"),
+                F.col("_v").alias("nv"),
+                "tbl",
+                "bucket",
+            ).join(idx, ["tbl", "bucket"]).filter(
+                F.col("nid") != F.col("_id")
+            )
+            cross = (
+                probe.join(
+                    vecs_old.withColumnRenamed("_id", "_oid")
+                    .withColumnRenamed("_v", "_ov"),
+                    probe["_id"] == F.col("_oid"),
+                )
+                .select(
+                    F.least("nid", "_oid").alias("a"),
+                    F.greatest("nid", "_oid").alias("b"),
+                    F.when(F.col("nid") < F.col("_oid"), F.col("nv"))
+                    .otherwise(F.col("_ov"))
+                    .alias("_va"),
+                    F.when(F.col("nid") < F.col("_oid"), F.col("_ov"))
+                    .otherwise(F.col("nv"))
+                    .alias("_vb"),
+                )
+            )
+            cands = cands.unionByName(cross)
+        flagged = (
+            cands.select("a", "b", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .distinct()  # one row per pair, however many tables matched
+        )
+        append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
+        append_index_batch(
+            spark,
+            bb.select("_id", "tbl", "bucket"),
+            idx_dir,
+            batch_id,
+            fmt="parquet",
+        )
+        append_index_batch(
+            spark,
+            bb.select("_id", "_v").distinct(),
+            vecs_dir,
+            batch_id,
+            fmt="parquet",
+        )
+        bb.unpersist()
+
+    q = stream.writeStream.foreachBatch(process).start()
+    try:
+        q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(
+                {
+                    "batch_id": p["batchId"],
+                    "duration_ms": p["batchDuration"],
+                    "rows": p["numInputRows"],
+                }
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            )
+    finally:
+        q.stop()
+    if not os.path.isdir(out_dir) or not any(
+        e.startswith("batch=") for e in os.listdir(out_dir)
+    ):
+        return spark.createDataFrame([], "a long, b long, cos double")
+    return (
+        read_index(spark, out_dir, fmt="parquet")
+        .select("a", "b", "cos")
+        .localCheckpoint(eager=True)
+    )
