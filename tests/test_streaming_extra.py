@@ -584,11 +584,14 @@ class TestIncrementalEmbedding:
             .select(
                 "a",
                 "b",
-                F.round(
-                    cosine_similarity(F.col("_va"), F.col("_vb")), 6
-                ).alias("cos"),
+                cosine_similarity(F.col("_va"), F.col("_vb")).alias(
+                    "_c"
+                ),
             )
-            .filter(F.col("cos") >= 0.4)
+            # RAW-value filter, then round — matching the operator and
+            # the registered oracle (ADVICE r10 medium)
+            .filter(F.col("_c") >= 0.4)
+            .select("a", "b", F.round("_c", 6).alias("cos"))
             .distinct()
             .collect()
         }

@@ -45,93 +45,113 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-10 window composition (re-prove-what-changed + oldest evidence,
-# VERDICT r9 #3):
-#   - the queries whose code changed in round 10 plus the new one:
-#     dedup_fuzzy_pairs_auto (NEW — occupancy-probe router, VERDICT r9
-#     #4); the persist_shared policy swap (VERDICT r9 #1) re-proves
-#     every query through the swapped sites: pagerank_purchase_graph
-#     (graph.py sym), dedup_clusters / dedup_keep_best (CC labels +
-#     collapse), dedup_jaccard_pairs (shingle stream, token-expansion
-#     est), dedup_minhash_lsh / dedup_simhash (signature persists),
-#     dedup_semantic (core/assigned persists), dedup_fuzzy_pairs /
-#     _qgram / _passjoin (collapse-prepass members persist),
-#     vocab_gated_stats (token-expansion est — ADVICE r9);
-#   - ALL 12 deferred r6-latest rows (the stalest oracled evidence:
-#     r1/r2-era function-suite/window shapes named in the r9 window
-#     comment);
-#   - 24 of the 41 r7-latest rows, alphabetical-first (deferred to
-#     r11: q15_top_supplier, q17_small_quantity_revenue,
-#     q18_large_quantity_orders, q4_priority_late_orders,
-#     q6_forecast_revenue, q8_market_share, source_language_map,
-#     source_wc_profile, stratified_sample_uniform, stream_dedup_docs,
-#     stream_dedup_embeddings, tfidf_search, token_cms_estimates,
-#     user_hll_distinct, user_rfm_segments, user_sessions,
-#     vocab_bloom_membership — 15 rows, all r7-green, operators
-#     unchanged since).
-# (r9's window: 7 r9-changed + all 10 r5-latest + 30 oldest r6-latest
-# + flagship — 50/50 green, CORRECTNESS_r09.json.)
+# Round-11 window composition (re-prove-what-changed + oldest
+# evidence, VERDICT r10 #1/#3):
+#   - the 2 queries through round 11's incremental.py changes
+#     (raw-cosine threshold filter, ADVICE r10 medium; attempted-
+#     before-append replay ledger, ADVICE r10 low);
+#   - the 4 NEW oracled agreement gates for the never-driver-checked
+#     fast twins (queries/agreement.py, VERDICT r10 #3);
+#   - ALL 17 deferred r7-latest rows (the stalest oracled evidence,
+#     named in the r10 window comment);
+#   - 27 of the 41 r8-latest rows, alphabetical-first (deferred to
+#     r12, staying r8-latest: stream_hourly_counts,
+#     stream_purchase_view_full_join, stream_purchase_view_join,
+#     stream_purchase_view_left_join, stream_sliding_counts,
+#     stream_stateful_user_totals, stream_term_stats_ngram,
+#     stream_transition_matrix, stream_user_sessions,
+#     temperature_resample, term_stats_by_source,
+#     term_stats_incremental_merge, term_stats_unigram,
+#     user_value_ewma — 14 rows, all r8-green, operators unchanged
+#     since; tests/test_registry.py's staleness guard tracks them).
+# (r10's window: 14 r10-changed/new + all 12 r6-latest + 24 of 41
+# r7-latest, alphabetical — 50/50 green, CORRECTNESS_r10.json; its
+# comment's "26 of 41"/"15 rows" were miscounts for 24/17, ADVICE
+# r10 low.)
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
 # ann_ivf_pq_top5_fast, dedup_semantic_fast, dedup_semantic_trained)
-# — their evidence is the recall/rank-agreement property tests against
-# their oracled portable twins, so window slots go to oracled queries
-# only.
+# — their float outputs stay rows-only, but as of round 11 each is
+# pinned by an oracled agree_* gate in the window below.
 _WINDOW = [
-    # --- r10 changes + the three new queries
-    "dedup_fuzzy_pairs_auto",
-    "stream_dedup_docs_passjoin",
+    # --- r11 changes + the four new agreement gates
     "stream_dedup_embeddings_incremental",
-    "pagerank_purchase_graph",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_semantic",
-    "dedup_fuzzy_pairs",
-    "dedup_fuzzy_pairs_qgram",
-    "dedup_fuzzy_pairs_passjoin",
-    "vocab_gated_stats",
-    # --- all 12 deferred r6-latest rows (stalest evidence)
-    "churned_customers_1995",
-    "customer_running_spend",
-    "customers_with_high_value_order",
-    "customers_without_orders",
-    "math_functions_suite",
-    "order_rank_suite",
-    "part_brand_except_all",
-    "part_brand_intersect_all",
-    "part_price_bands",
-    "price_percentiles",
-    "string_functions_suite",
-    "trailing_30d_spend",
-    # --- 26 of 41 r7-latest rows (oldest-first fill, alphabetical)
-    "ann_ivf_fixed_top5",
-    "asof_purchase_prior_view",
-    "cohort_daily_retention",
-    "daily_event_pivot",
-    "distinct_users_per_type",
-    "doc_boilerplate_share",
-    "doc_oov_rate",
-    "doc_pii_scrub",
-    "doc_span_novelty",
-    "doc_span_scrub",
-    "doc_term_frequencies",
-    "doc_training_order",
-    "doc_wordcount",
-    "events_anomaly_zscore",
-    "events_json_stats",
-    "events_rollup_cascade",
-    "funnel_conversion_window",
-    "funnel_view_click_purchase",
-    "monthly_revenue",
-    "multimodal_audio_chunks",
-    "multimodal_features",
-    "multimodal_phash_dedup",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
+    "stream_dedup_docs_incremental",
+    "agree_ann_bruteforce_fast",
+    "agree_ann_ivf_pq_fast",
+    "agree_dedup_semantic_fast",
+    "agree_dedup_semantic_trained",
+    # --- all 17 deferred r7-latest rows (stalest evidence)
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q4_priority_late_orders",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "source_language_map",
+    "source_wc_profile",
+    "stratified_sample_uniform",
+    "stream_dedup_docs",
+    "stream_dedup_embeddings",
+    "tfidf_search",
+    "token_cms_estimates",
+    "user_hll_distinct",
+    "user_rfm_segments",
+    "user_sessions",
+    "vocab_bloom_membership",
+    # --- 27 of 41 r8-latest rows (oldest-first fill, alphabetical)
+    "ann_bruteforce_top5",
+    "ann_ivf_pq_top5",
+    "ann_lsh_top5",
+    "corpus_report",
+    "curated_corpus",
+    "daily_revenue_interpolated",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_fuzzy_pairs_global",
+    "doc_decontamination",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_length_outliers",
+    "doc_pack_sequences",
+    "doc_quality",
+    "doc_repetition",
+    "event_transition_matrix",
+    "events_zorder_keys",
+    "multimodal_image_meta",
+    "q11_important_stock",
+    "q12_late_priority_counts",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q22_lapsed_customer_balance",
+    "q9_product_profit",
+    "stream_category_counts",
+    "stream_dedup_events",
+]
+
+# Named deferrals: oracled queries deliberately left OUT of this
+# round's window whose driver evidence is older than the staleness
+# bound tests/test_registry.py enforces (every oracled query must be
+# in _WINDOW, have evidence within the last 3 completed rounds, or be
+# named here with evidence within the last 4). Keeping this list
+# machine-readable is what keeps the rotation honest as the registry
+# grows (VERDICT r10 #8) — a row going stale silently now fails CI.
+_DEFERRED = [
+    "stream_hourly_counts",
+    "stream_purchase_view_full_join",
+    "stream_purchase_view_join",
+    "stream_purchase_view_left_join",
+    "stream_sliding_counts",
+    "stream_stateful_user_totals",
+    "stream_term_stats_ngram",
+    "stream_transition_matrix",
+    "stream_user_sessions",
+    "temperature_resample",
+    "term_stats_by_source",
+    "term_stats_incremental_merge",
+    "term_stats_unigram",
+    "user_value_ewma",
 ]
 
 
@@ -152,6 +172,7 @@ def load_all() -> None:
         relational2,
         relational3,
         extras,
+        agreement,
     )
 
     ordered: dict[str, QueryFn] = {}

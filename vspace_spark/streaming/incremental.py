@@ -259,14 +259,21 @@ def incremental_minhash_dedup(
         )
     )
 
-    # per-run ledger of appended batch ids: a NEW run always starts
+    # per-run ledger of ATTEMPTED batch ids: a NEW run always starts
     # from an empty index (DROP TABLE / rmtree above), so within-run
     # closure state answers "are there earlier partitions?" and "was
-    # this id already appended (= engine-level replay)?" without a
+    # this id already attempted (= engine-level replay)?" without a
     # SHOW PARTITIONS collect + DROP DDL per batch — metastore
     # round-trips were a measurable share of the bucketed lane's
-    # small-batch cost (PERF.md round 10)
-    appended: set[int] = set()
+    # small-batch cost (PERF.md round 10). The ledger records the id
+    # BEFORE the append runs: if the append partially commits and the
+    # foreachBatch fn then fails, the engine retry must still see the
+    # id and drop the half-written partition (ADVICE r10) — recording
+    # after the append would narrow idempotency to clean replays. An
+    # id strictly earlier than the current batch always denotes a
+    # COMPLETED append (a failed foreachBatch fails the query, so the
+    # stream never advances past it within a run).
+    attempted: set[int] = set()
 
     def process(batch: DataFrame, batch_id: int) -> None:
         bb = _banded(
@@ -314,7 +321,7 @@ def incremental_minhash_dedup(
             # round-trip (the run started from an empty table); the
             # batch < current partition filter still does the actual
             # pruning in the probe scan below
-            has_earlier = any(i < batch_id for i in appended)
+            has_earlier = any(i < batch_id for i in attempted)
         else:
             has_earlier = os.path.isdir(index_dir) and any(
                 e.startswith("batch=")
@@ -363,6 +370,12 @@ def incremental_minhash_dedup(
         append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
         # this batch's signatures append AFTER probing
         if index_layout == "bucketed":
+            # only an engine-level replay of an id this run already
+            # ATTEMPTED needs the idempotency DROP — and only when the
+            # prior attempt got far enough to create the table (the
+            # catalog round-trip is paid on retry paths only)
+            replayed = batch_id in attempted
+            attempted.add(batch_id)
             append_index_batch_bucketed(
                 spark,
                 bb.select("_id", "sig", "band", "bucket"),
@@ -370,11 +383,9 @@ def incremental_minhash_dedup(
                 batch_id,
                 bucket_cols=["band", "bucket"],
                 n_buckets=index_buckets,
-                # only an engine-level replay of an id this run already
-                # appended needs the idempotency DROP
-                drop_existing=batch_id in appended,
+                drop_existing=replayed
+                and spark.catalog.tableExists(index_table),
             )
-            appended.add(batch_id)
         else:
             append_index_batch(
                 spark,
@@ -702,7 +713,11 @@ def incremental_embedding_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    # RAW cosine for the threshold filter (the oracle's WHERE cos >=
+    # threshold also filters the raw value, rounding only in SELECT —
+    # filtering the rounded value would disagree on cosines in
+    # [threshold - 5e-7, threshold)); round only for the output column.
+    cos_raw = cosine_similarity(F.col("_va"), F.col("_vb"))
 
     def process(batch: DataFrame, batch_id: int) -> None:
         bb = bucketed(batch).persist()
@@ -762,8 +777,9 @@ def incremental_embedding_dedup(
             )
             cands = cands.unionByName(cross)
         flagged = (
-            cands.select("a", "b", cos.alias("cos"))
-            .filter(F.col("cos") >= threshold)
+            cands.select("a", "b", cos_raw.alias("_cos_raw"))
+            .filter(F.col("_cos_raw") >= threshold)
+            .select("a", "b", F.round("_cos_raw", 6).alias("cos"))
             .distinct()  # one row per pair, however many tables matched
         )
         append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
