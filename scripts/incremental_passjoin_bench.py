@@ -103,7 +103,10 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     mode = sys.argv[3] if len(sys.argv) > 3 else "probe_only"
-    key_len, k = 16, 2
+    # k as argv[4] (VERDICT r10 #6: the k=3 fan-out point — PassJoin's
+    # per-key probe rows grow as (2k+1)(k+1): 15 at k=2, 28 at k=3)
+    key_len = 16
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     spark = get_spark(
         "incremental-passjoin-bench",
         extra_conf={
@@ -153,6 +156,7 @@ def main() -> None:
     print(
         {
             "mode": mode,
+            "k": k,
             "n_docs": n_docs,
             "n_batches": n,
             "n_pairs": n_pairs,

@@ -61,6 +61,45 @@ def dense_gram_corpus(spark, n: int):
     return base.unionByName(edits)
 
 
+def base36_corpus(spark, n: int):
+    """16-char keys over the 36-char alphanumeric alphabet — the
+    tunable MID-OCCUPANCY regime (VERDICT r10 #7): gram buckets are
+    uniform with Poisson occupancy lambda = n*14/36^3, so the probe's
+    size-biased mean_occ ~ lambda + 1 lands wherever n puts it
+    (n=35k -> ~11, n=100k -> ~31, n=155k -> ~47) — exactly the 10-50
+    band the chunk-pool fixtures could not synthesize. ~n/100 planted
+    1-char edits, as in the dense regime."""
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(c) for c in alpha]),
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("id"), F.lit(i)),
+                            F.lit(len(alpha)),
+                        )
+                        + 1
+                    ).cast("int"),
+                )
+                for i in range(16)
+            ],
+        ).alias("text"),
+    )
+    edits = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 7),
+            F.lit("x"),
+            F.substring("text", 9, 8),
+        ).alias("text"),
+    )
+    return base.unionByName(edits)
+
+
 def text_corpus(spark, n: int):
     """16-char keys assembled from a Zipf-ish word pool — the natural
     regime where gram buckets are sparse."""
@@ -97,11 +136,18 @@ def text_corpus(spark, n: int):
 
 def run(name, docs, q, k, reps):
     from vspace_spark.operators.dedup import (
+        gram_occupancy_probe,
         passjoin_edit_pairs,
         qgram_edit_pairs,
     )
 
     key = F.col("text")
+    probe = gram_occupancy_probe(docs, key, block=[], q=q)
+    print(
+        f"{name}: probe mean_occ={probe['mean_occ']:.1f} "
+        f"rows={probe['rows']} work={probe['work']}",
+        flush=True,
+    )
     outs = {}
     for gen, fn in [
         (
@@ -153,7 +199,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=2)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
-        "--regime", choices=["dense", "text", "both"], default="both"
+        "--regime",
+        choices=["dense", "text", "mid", "both"],
+        default="both",
     )
     args = ap.parse_args()
 
@@ -164,6 +212,11 @@ def main() -> None:
         docs = dense_gram_corpus(spark, args.n).persist()
         docs.count()
         run("dense-gram", docs, args.q, args.k, args.reps)
+        docs.unpersist()
+    if args.regime == "mid":
+        docs = base36_corpus(spark, args.n).persist()
+        docs.count()
+        run(f"mid-base36-n{args.n}", docs, args.q, args.k, args.reps)
         docs.unpersist()
     if args.regime in ("text", "both"):
         docs = text_corpus(spark, args.n).persist()
