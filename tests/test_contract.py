@@ -50,6 +50,10 @@ EXPECTED_QUERIES = {
     # new in r9: PassJoin segment generator (exact at all key lengths)
     "dedup_fuzzy_pairs_auto",
     "dedup_fuzzy_pairs_passjoin",
+    # new in r11: oracled agreement gates pinning the rows-only
+    # matmul/trained twins to their portable counterparts
+    "agree_ann_bruteforce_fast", "agree_ann_ivf_pq_fast",
+    "agree_dedup_semantic_fast", "agree_dedup_semantic_trained",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "embedding_norms", "ml_tfidf_features",
