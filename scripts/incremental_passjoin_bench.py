@@ -36,7 +36,16 @@ from vspace_spark.session import get_spark
 def replicated_docs(spark, sf_dir: str, replicas: int):
     """Near-dup replicas: each replica perturbs ONE char of the 16-char
     prefix so replicas are genuine edit-distance-1 partners of their
-    source, and cross-batch probes do real verify work."""
+    source, and cross-batch probes do real verify work.
+
+    CLONE-STRESS corpus: every replica r > 0 of a base doc carries the
+    SAME perturbed key, so each micro-batch's TRUE pair output grows
+    linearly with the accreted index (batch i's docs pair with every
+    earlier clone of their base) — the per-batch curve then measures
+    inherent output growth, not probe cost. Round 11 measured it so:
+    k=2 at 500k docs emitted 50.9M pairs with slope +2476 ms/batch,
+    ~all of it unavoidable cross-batch clone pairs. Use
+    :func:`distinct_docs` for the marginal-INGEST-cost question."""
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     span = base.agg(F.max("doc_id")).first()[0] + 1
     return base.crossJoin(
@@ -51,6 +60,45 @@ def replicated_docs(spark, sf_dir: str, replicas: int):
             )
         ).alias("text"),
     )
+
+
+def distinct_docs(spark, n: int, plant_every: int = 100):
+    """Marginal-cost corpus (VERDICT r10 #6): n DISTINCT 16-char
+    base-36 keys (xxhash-derived, deterministic) plus one 1-char-edit
+    partner per ``plant_every`` keys — true pair output is ~n/100
+    TOTAL and roughly constant per batch, so the per-batch duration
+    curve isolates what the question asks: probe + index-accretion
+    cost as the segment index grows, with verify work bounded by the
+    candidate set instead of a quadratic clone term."""
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(c) for c in alpha]),
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("id"), F.lit(i)),
+                            F.lit(len(alpha)),
+                        )
+                        + 1
+                    ).cast("int"),
+                )
+                for i in range(16)
+            ],
+        ).alias("text"),
+    )
+    edits = base.filter(F.col("doc_id") % plant_every == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 7),
+            F.lit("#"),
+            F.substring("text", 9, 8),
+        ).alias("text"),
+    )
+    return base.unionByName(edits)
 
 
 def run_rebuild(spark, docs, n_batches: int, key_len: int, k: int):
@@ -107,6 +155,11 @@ def main() -> None:
     # per-key probe rows grow as (2k+1)(k+1): 15 at k=2, 28 at k=3)
     key_len = 16
     k = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # corpus = clone (near-dup replicas of the fixture corpus — the
+    # clone-stress regime) | distinct (distinct keys + planted pairs —
+    # the marginal-ingest-cost regime). argv[1] is replicas for clone,
+    # TOTAL DOC COUNT for distinct.
+    corpus = sys.argv[5] if len(sys.argv) > 5 else "clone"
     spark = get_spark(
         "incremental-passjoin-bench",
         extra_conf={
@@ -116,7 +169,10 @@ def main() -> None:
         },
     )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    docs = replicated_docs(spark, sf_dir, replicas)
+    if corpus == "distinct":
+        docs = distinct_docs(spark, replicas)
+    else:
+        docs = replicated_docs(spark, sf_dir, replicas)
     n_docs = docs.count()
 
     t0 = time.perf_counter()
@@ -157,6 +213,7 @@ def main() -> None:
         {
             "mode": mode,
             "k": k,
+            "corpus": corpus,
             "n_docs": n_docs,
             "n_batches": n,
             "n_pairs": n_pairs,
