@@ -16,7 +16,16 @@ cost grows with the index accreted by batches 0..i-1.
 Reports the same shape as scripts/incremental_dedup_bench.py
 (first/last-quartile batch ms, least-squares slope, totals).
 
-Run: python scripts/incremental_embedding_bench.py [replicas] [n_batches]
+LSH width must SCALE WITH N (measured the hard way: the operator's
+fixture-sized defaults, bits_per_table=4 => 16 buckets/table, put
+~N/16 vectors in every bucket — candidate volume ~N^2/2 at 200k
+vectors, >12 min for ONE batch). Buckets per table should track
+corpus size (bits_per_table ~ log2(N/target_occupancy)), so the
+harness defaults to bits=64, bits_per_table=16 (65536 buckets/table,
+4 tables) at the 100x scale and takes both on the CLI.
+
+Run: python scripts/incremental_embedding_bench.py [replicas]
+     [n_batches] [bits] [bits_per_table]
 """
 
 from __future__ import annotations
@@ -61,6 +70,8 @@ def replicated_embeddings(spark, sf_dir: str, replicas: int):
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    bits = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    bits_per_table = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     spark = get_spark(
         "incremental-embedding-bench",
         extra_conf={
@@ -82,6 +93,8 @@ def main() -> None:
     pairs = incremental_embedding_dedup(
         spark,
         emb,
+        bits=bits,
+        bits_per_table=bits_per_table,
         work_dir=work,
         n_input_files=n_batches,
         progress_out=progress,
@@ -103,6 +116,8 @@ def main() -> None:
     ) / max(sum((i - xbar) ** 2 for i in range(n)), 1e-9)
     print(
         {
+            "bits": bits,
+            "bits_per_table": bits_per_table,
             "n_vecs": n_vecs,
             "n_batches": n,
             "n_pairs": n_pairs,
