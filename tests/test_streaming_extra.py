@@ -602,3 +602,60 @@ class TestIncrementalEmbedding:
             work_dir=work, n_input_files=5,
         )
         assert {(r.a, r.b, r.cos) for r in again.collect()} == want
+
+
+class TestAutoBucketWidth:
+    def test_sizing_rule_values(self):
+        """The embedding leg's bucket-width rule: ~8 vectors per
+        bucket per table, clamped to [4, min(16, bits)] — the knob
+        that silently broke at 100x when fixture-sized (round 11)."""
+        from vspace_spark.streaming.incremental import (
+            _auto_bits_per_table,
+        )
+
+        assert _auto_bits_per_table(100, 32) == 4
+        assert _auto_bits_per_table(500, 32) == 6
+        assert _auto_bits_per_table(200_000, 32) == 15
+        assert _auto_bits_per_table(200_000, 64) == 15
+        assert _auto_bits_per_table(10**9, 64) == 16  # upper clamp
+        assert _auto_bits_per_table(2, 32) == 4  # lower clamp
+        assert _auto_bits_per_table(10**9, 8) == 8  # bits bound
+
+    def test_auto_matches_explicit_at_chosen_width(self, spark, tmp_path):
+        """bits_per_table=None on a 100-vector corpus must pick width
+        4 and emit exactly the explicit bits_per_table=4 pair set —
+        auto-sizing changes the default, never the semantics."""
+        import numpy as np
+
+        from vspace_spark.streaming.incremental import (
+            incremental_embedding_dedup,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, [float(x) for x in rng.normal(0, 1, 16)])
+            for i in range(96)
+        ]
+        # four planted near-dups so the pair set is non-empty
+        for j in (3, 17, 40, 71):
+            rows.append(
+                (
+                    96 + j,
+                    [float(x * 1.000001) for x in rows[j][1]],
+                )
+            )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        auto = incremental_embedding_dedup(
+            spark, emb, bits=32, threshold=0.9,
+            work_dir=str(tmp_path / "auto"), n_input_files=4,
+        )
+        explicit = incremental_embedding_dedup(
+            spark, emb, bits=32, bits_per_table=4, threshold=0.9,
+            work_dir=str(tmp_path / "explicit"), n_input_files=4,
+        )
+        got = {(r.a, r.b, r.cos) for r in auto.collect()}
+        want = {(r.a, r.b, r.cos) for r in explicit.collect()}
+        assert got == want, (len(got), len(want))
+        assert len(got) >= 4

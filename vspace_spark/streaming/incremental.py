@@ -48,6 +48,17 @@ from vspace_spark.io.connectors import (
 )
 
 
+def _auto_bits_per_table(n: int, bits: int) -> int:
+    """Bucket-width sizing rule for the embedding leg's LSH tables:
+    target ~8 vectors per bucket per table (``ceil(log2(n/8))``),
+    clamped to [4, min(16, bits)]. See
+    :func:`incremental_embedding_dedup`'s docstring for the measured
+    failure this prevents and the bits-vs-recall tradeoff."""
+    import math
+
+    return max(4, min(16, bits, math.ceil(math.log2(max(n, 2) / 8))))
+
+
 def _portable_minhash_sigs(
     docs: DataFrame,
     id_col: str,
@@ -636,7 +647,7 @@ def incremental_embedding_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 32,
-    bits_per_table: int = 4,
+    bits_per_table: int | None = None,
     threshold: float = 0.4,
     work_dir: str | None = None,
     n_input_files: int = 8,
@@ -660,11 +671,26 @@ def incremental_embedding_dedup(
     each qualifying pair surfaces exactly once, via the index probe
     when its endpoints arrive apart or the intra-batch self-join when
     together.
+
+    ``bits_per_table=None`` (default) AUTO-SIZES the bucket width to
+    the corpus: a fixed fixture-sized width is the one knob here that
+    silently breaks at scale — 4-bit tables (16 buckets) put ~N/16
+    vectors in EVERY bucket, so candidate volume grows ~N²·tables /
+    buckets (measured round 11: one 6.2k-vector micro-batch against a
+    200k-vector corpus ran >12 minutes, the few hot join partitions
+    idling the rest of the box). The rule targets ~8 vectors per
+    bucket per table: ``bpt = ceil(log2(N/8))`` clamped to
+    ``[4, min(16, bits)]``. At fixed ``bits``, wider buckets mean
+    fewer OR-amplification tables (the recall knob) — callers at
+    scale raise ``bits`` proportionally to hold the table count
+    (the 100× harness runs bits=64, bpt=16 → 4 tables of 65536
+    buckets). Pass an explicit width to pin the bucket layout — the
+    registered oracle query does (its SQL mirrors the 4-bit bands).
     """
     from vspace_spark.functions.vectors import cosine_similarity, dot
+    from vspace_spark.operators.scale import footer_row_count
     from vspace_spark.operators.similarity import portable_hyperplanes
 
-    n_tables = bits // bits_per_table
     if work_dir is None:
         work_dir = os.path.join(
             "/tmp", f"vspace_incr_emb_{uuid.uuid4().hex[:12]}"
@@ -688,6 +714,14 @@ def incremental_embedding_dedup(
     # one scalar (the hyperplanes are a driver-side literal table)
     dim = spark.read.parquet(in_dir).select(F.size("_v")).first()[0]
     planes = portable_hyperplanes(dim, bits)
+    if bits_per_table is None:
+        # auto-size from the replay's parquet footers (a metadata
+        # read; count() only as fallback) — see docstring for the rule
+        n_est = footer_row_count(spark.read.parquet(in_dir))
+        if n_est is None:
+            n_est = spark.read.parquet(in_dir).count()
+        bits_per_table = _auto_bits_per_table(n_est, bits)
+    n_tables = bits // bits_per_table
 
     def bucketed(df: DataFrame) -> DataFrame:
         tables = []
