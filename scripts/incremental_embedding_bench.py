@@ -72,6 +72,7 @@ def main() -> None:
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     bits = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     bits_per_table = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    carry = (sys.argv[5] if len(sys.argv) > 5 else "carry") == "carry"
     spark = get_spark(
         "incremental-embedding-bench",
         extra_conf={
@@ -95,6 +96,7 @@ def main() -> None:
         emb,
         bits=bits,
         bits_per_table=bits_per_table,
+        carry_vectors=carry,
         work_dir=work,
         n_input_files=n_batches,
         progress_out=progress,
@@ -118,6 +120,7 @@ def main() -> None:
         {
             "bits": bits,
             "bits_per_table": bits_per_table,
+            "carry_vectors": carry,
             "n_vecs": n_vecs,
             "n_batches": n,
             "n_pairs": n_pairs,

@@ -659,3 +659,28 @@ class TestAutoBucketWidth:
         want = {(r.a, r.b, r.cos) for r in explicit.collect()}
         assert got == want, (len(got), len(want))
         assert len(got) >= 4
+
+    def test_carry_vectors_layouts_identical(self, spark, tmp_path):
+        """carry_vectors=True (vector-carrying postings, one probe
+        join) and False (id-only postings + vecs relation, two joins)
+        must emit the identical pair set — the layouts trade storage
+        vs per-batch shuffle, never semantics."""
+        from vspace_spark.io.tables import load_table
+        from vspace_spark.streaming.incremental import (
+            incremental_embedding_dedup,
+        )
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a = incremental_embedding_dedup(
+            spark, emb, bits=32, bits_per_table=4, threshold=0.4,
+            work_dir=str(tmp_path / "carry"), n_input_files=4,
+            carry_vectors=True,
+        )
+        b = incremental_embedding_dedup(
+            spark, emb, bits=32, bits_per_table=4, threshold=0.4,
+            work_dir=str(tmp_path / "twored"), n_input_files=4,
+            carry_vectors=False,
+        )
+        got = {(r.a, r.b, r.cos) for r in a.collect()}
+        want = {(r.a, r.b, r.cos) for r in b.collect()}
+        assert got == want and len(got) > 0, (len(got), len(want))

@@ -652,6 +652,7 @@ def incremental_embedding_dedup(
     work_dir: str | None = None,
     n_input_files: int = 8,
     progress_out: list | None = None,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """The EMBEDDING leg of the incremental-dedup trilogy (MinHash
     text signatures, PassJoin edit-distance segments, and now
@@ -660,13 +661,25 @@ def incremental_embedding_dedup(
     bucket index. Returns PAIRS ``[a, b, cos]`` (a < b, exact cosine
     ≥ ``threshold``, rounded to 6 — the float discipline).
 
-    Two relations accrete through the shared per-batch-partition
-    contract: ``idx`` (id, table, bucket — the LSH postings) and
-    ``vecs`` (id, vector — for the exact-cosine confirm). Buckets use
-    the PORTABLE md5 hyperplanes (every sign bit exact in IEEE double
-    on any engine), so the union over batches equals the batch LSH
-    pair set and the operator is fully oracle-checkable with the same
-    SQL as ``stream_dedup_docs``'s embedding twin — the
+    The index accretes through the shared per-batch-partition
+    contract. ``carry_vectors=True`` (default) stores the vector IN
+    each LSH posting (id, vector, table, bucket), so a probe is ONE
+    equi-join on (table, bucket) and the cosine confirm reads the
+    matched rows directly. The r11 100× measurement motivated this:
+    the original two-relation layout (id-only postings + a separate
+    ``vecs`` relation) re-shuffled the ENTIRE vector history through
+    the candidate→vector join every micro-batch — a per-batch cost
+    linear in corpus history (slope +292 ms/batch at 200k vectors),
+    which is quadratic total ingest work. Carrying the vector costs
+    ``n_tables``× vector storage in the postings; for high-dim
+    embeddings where that dominates, ``carry_vectors=False`` keeps
+    the two-relation layout (same output, equality-tested) — at
+    warehouse scale its ``vecs`` relation would be bucketed by id so
+    the candidate join co-locates instead of re-shuffling history.
+    Buckets use the PORTABLE md5 hyperplanes (every sign bit exact in
+    IEEE double on any engine), so the union over batches equals the
+    batch LSH pair set and the operator is fully oracle-checkable
+    with the same SQL as ``stream_dedup_docs``'s embedding twin — the
     batch-boundary-independence argument is the module docstring's:
     each qualifying pair surfaces exactly once, via the index probe
     when its endpoints arrive apart or the intra-batch self-join when
@@ -779,35 +792,44 @@ def incremental_embedding_dedup(
                 .filter(F.col("batch") < batch_id)
                 .drop("batch")
             )
-            vecs_old = (
-                read_index(spark, vecs_dir, fmt="parquet")
-                .filter(F.col("batch") < batch_id)
-                .drop("batch")
-            )
-            probe = bb.select(
+            new_side = bb.select(
                 F.col("_id").alias("nid"),
                 F.col("_v").alias("nv"),
                 "tbl",
                 "bucket",
-            ).join(idx, ["tbl", "bucket"]).filter(
-                F.col("nid") != F.col("_id")
             )
-            cross = (
-                probe.join(
+            if carry_vectors:
+                # postings carry the vector: ONE (tbl, bucket) join
+                # yields candidate rows with both vectors in hand —
+                # no history-sized second shuffle
+                probe = new_side.join(
+                    idx.withColumnRenamed("_id", "_oid")
+                    .withColumnRenamed("_v", "_ov"),
+                    ["tbl", "bucket"],
+                ).filter(F.col("nid") != F.col("_oid"))
+            else:
+                vecs_old = (
+                    read_index(spark, vecs_dir, fmt="parquet")
+                    .filter(F.col("batch") < batch_id)
+                    .drop("batch")
+                )
+                matched = new_side.join(idx, ["tbl", "bucket"]).filter(
+                    F.col("nid") != F.col("_id")
+                )
+                probe = matched.join(
                     vecs_old.withColumnRenamed("_id", "_oid")
                     .withColumnRenamed("_v", "_ov"),
-                    probe["_id"] == F.col("_oid"),
+                    matched["_id"] == F.col("_oid"),
                 )
-                .select(
-                    F.least("nid", "_oid").alias("a"),
-                    F.greatest("nid", "_oid").alias("b"),
-                    F.when(F.col("nid") < F.col("_oid"), F.col("nv"))
-                    .otherwise(F.col("_ov"))
-                    .alias("_va"),
-                    F.when(F.col("nid") < F.col("_oid"), F.col("_ov"))
-                    .otherwise(F.col("nv"))
-                    .alias("_vb"),
-                )
+            cross = probe.select(
+                F.least("nid", "_oid").alias("a"),
+                F.greatest("nid", "_oid").alias("b"),
+                F.when(F.col("nid") < F.col("_oid"), F.col("nv"))
+                .otherwise(F.col("_ov"))
+                .alias("_va"),
+                F.when(F.col("nid") < F.col("_oid"), F.col("_ov"))
+                .otherwise(F.col("nv"))
+                .alias("_vb"),
             )
             cands = cands.unionByName(cross)
         flagged = (
@@ -817,20 +839,29 @@ def incremental_embedding_dedup(
             .distinct()  # one row per pair, however many tables matched
         )
         append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
-        append_index_batch(
-            spark,
-            bb.select("_id", "tbl", "bucket"),
-            idx_dir,
-            batch_id,
-            fmt="parquet",
-        )
-        append_index_batch(
-            spark,
-            bb.select("_id", "_v").distinct(),
-            vecs_dir,
-            batch_id,
-            fmt="parquet",
-        )
+        if carry_vectors:
+            append_index_batch(
+                spark,
+                bb.select("_id", "_v", "tbl", "bucket"),
+                idx_dir,
+                batch_id,
+                fmt="parquet",
+            )
+        else:
+            append_index_batch(
+                spark,
+                bb.select("_id", "tbl", "bucket"),
+                idx_dir,
+                batch_id,
+                fmt="parquet",
+            )
+            append_index_batch(
+                spark,
+                bb.select("_id", "_v").distinct(),
+                vecs_dir,
+                batch_id,
+                fmt="parquet",
+            )
         bb.unpersist()
 
     q = stream.writeStream.foreachBatch(process).start()
