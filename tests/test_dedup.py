@@ -1471,11 +1471,12 @@ def test_fuzzy_pairs_auto_routes_by_occupancy(spark, monkeypatch):
 
     p_dense = dd.gram_occupancy_probe(dense, F.col("text"), q=3)
     p_sparse = dd.gram_occupancy_probe(sparse, F.col("text"), q=3)
-    # dense: every bucket ~n/64 keys; sparse: near-singleton buckets.
-    # Both sit far from the 32.0 cutoff, so the assertion is about the
-    # regimes, not a knife-edge constant.
-    assert p_dense["mean_occ"] >= 32.0, p_dense
-    assert p_sparse["mean_occ"] < 32.0, p_sparse
+    # dense: every bucket ~n/64 keys (occ ~875 at n=4000); sparse:
+    # near-singleton buckets. Both sit far from the measured cutoff
+    # (DENSE_OCC_CUTOFF, r11 calibration), so the assertion is about
+    # the regimes, not a knife-edge constant.
+    assert p_dense["mean_occ"] >= dd.DENSE_OCC_CUTOFF, p_dense
+    assert p_sparse["mean_occ"] < dd.DENSE_OCC_CUTOFF, p_sparse
 
     picked: list[str] = []
     real_pj, real_qg = dd.passjoin_edit_pairs, dd.qgram_edit_pairs

@@ -1906,6 +1906,18 @@ def gram_occupancy_probe(
     }
 
 
+# qgram-vs-PassJoin routing cutoff on the probe's mean_occ. Round-9/10
+# placed it at the PassJoin probe constant (2k+1)(k+1)=28 from the
+# cost model; the round-11 mid-band calibration (PERF.md round 11,
+# scripts/passjoin_bench.py --regime mid: uniform base-36 corpora with
+# mean_occ dialed by n) MEASURED the crossover instead — qgram still
+# wins 1.45× at occ 48, dead-heats at 67.7, loses 1.53× at 95 and
+# 2.8× at 142 — so the cutoff sits at the measured tie, not the
+# modeled constant (qgram's per-candidate cost is cheaper than the
+# model priced it).
+DENSE_OCC_CUTOFF = 72.0
+
+
 def fuzzy_pairs_auto(
     docs: DataFrame,
     key,
@@ -1914,7 +1926,7 @@ def fuzzy_pairs_auto(
     q: int = 3,
     max_dist: int = 3,
     collapse_exact: bool = True,
-    dense_occ_cutoff: float = 32.0,
+    dense_occ_cutoff: float = DENSE_OCC_CUTOFF,
 ) -> DataFrame:
     """Edit-distance near-pairs with the candidate GENERATOR CHOSEN BY
     MEASUREMENT, not lore (VERDICT r9 #4): run
@@ -1931,16 +1943,19 @@ def fuzzy_pairs_auto(
       :func:`passjoin_edit_pairs`, whose segment keys carry an order
       of magnitude more entropy per key.
 
-    The cutoff is calibrated from the round-9/10 A/Bs
-    (scripts/passjoin_bench.py, PERF.md): the dense-gram fixture
-    (mean_occ ≈ n/4^q, passjoin 4.7× faster) and word-pool text
-    (Zipf-dense, passjoin 2.8×) both sit far ABOVE it; the fixture
-    corpus's 16-char prefixes and random alphanumeric keys (qgram
-    faster — near-singleton buckets) sit far BELOW. The per-key
-    candidate multiplier qgram pays is ≈ mean_occ, while passjoin's
-    per-key probe fan-out is the CONSTANT (2k+1)·(k+1) = 28 at k=3 —
-    the cutoff is that constant's magnitude, where the two cost
-    models cross.
+    The cutoff is the MEASURED crossover (round-11 mid-band
+    calibration, PERF.md round 11): uniform base-36 corpora with
+    mean_occ dialed by corpus size put the tie at occ ≈ 68 (qgram
+    1.4–1.6× faster at 12/31/48, passjoin 1.5×/2.8× at 95/142, and
+    1.7–15× on the r9/r10 chunk-pool corpora at occ ≥ 1880); the
+    dense-gram fixture (mean_occ ≈ n/4^q) and word-pool text sit far
+    ABOVE it, natural-text prefixes and random alphanumeric keys far
+    BELOW. The old cost model — qgram's per-key multiplier ≈ mean_occ
+    vs passjoin's constant (2k+1)·(k+1) = 28 probe rows — placed the
+    cutoff at 32; measurement moved it: qgram's per-candidate work
+    (one length-band count filter) is cheaper per row than passjoin's
+    segment probing, so qgram carries ~2.4× more candidate volume at
+    equal cost.
 
     Output contract: identical to both generators — ``[a, b, dist]``,
     a < b, dist ≤ ``max_dist`` — and BYTE-IDENTICAL between lanes on
