@@ -73,6 +73,7 @@ def main() -> None:
     bits = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     bits_per_table = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     carry = (sys.argv[5] if len(sys.argv) > 5 else "carry") == "carry"
+    sig_engine = sys.argv[6] if len(sys.argv) > 6 else "fold"
     spark = get_spark(
         "incremental-embedding-bench",
         extra_conf={
@@ -97,6 +98,7 @@ def main() -> None:
         bits=bits,
         bits_per_table=bits_per_table,
         carry_vectors=carry,
+        sig_engine=sig_engine,
         work_dir=work,
         n_input_files=n_batches,
         progress_out=progress,
@@ -121,6 +123,7 @@ def main() -> None:
             "bits": bits,
             "bits_per_table": bits_per_table,
             "carry_vectors": carry,
+            "sig_engine": sig_engine,
             "n_vecs": n_vecs,
             "n_batches": n,
             "n_pairs": n_pairs,

@@ -684,3 +684,31 @@ class TestAutoBucketWidth:
         got = {(r.a, r.b, r.cos) for r in a.collect()}
         want = {(r.a, r.b, r.cos) for r in b.collect()}
         assert got == want and len(got) > 0, (len(got), len(want))
+
+    def test_sig_engines_identical_on_fixture(self, spark, tmp_path):
+        """sig_engine='arrow' (one matmul per Arrow batch) must emit
+        the fold lane's exact pair set on the fixture — margins there
+        are clear of the ±0 sign-flip caveat. Also rejects unknown
+        engines before any Spark work."""
+        import pytest
+
+        from vspace_spark.io.tables import load_table
+        from vspace_spark.streaming.incremental import (
+            incremental_embedding_dedup,
+        )
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        with pytest.raises(ValueError, match="unknown sig_engine"):
+            incremental_embedding_dedup(spark, emb, sig_engine="numpy")
+        fold = incremental_embedding_dedup(
+            spark, emb, bits=32, bits_per_table=4, threshold=0.4,
+            work_dir=str(tmp_path / "fold"), n_input_files=4,
+        )
+        arrow = incremental_embedding_dedup(
+            spark, emb, bits=32, bits_per_table=4, threshold=0.4,
+            work_dir=str(tmp_path / "arrow"), n_input_files=4,
+            sig_engine="arrow",
+        )
+        got = {(r.a, r.b, r.cos) for r in arrow.collect()}
+        want = {(r.a, r.b, r.cos) for r in fold.collect()}
+        assert got == want and len(got) > 0, (len(got), len(want))

@@ -653,6 +653,7 @@ def incremental_embedding_dedup(
     n_input_files: int = 8,
     progress_out: list | None = None,
     carry_vectors: bool = True,
+    sig_engine: str = "fold",
 ) -> DataFrame:
     """The EMBEDDING leg of the incremental-dedup trilogy (MinHash
     text signatures, PassJoin edit-distance segments, and now
@@ -699,7 +700,20 @@ def incremental_embedding_dedup(
     (the 100× harness runs bits=64, bpt=16 → 4 tables of 65536
     buckets). Pass an explicit width to pin the bucket layout — the
     registered oracle query does (its SQL mirrors the 4-bit bands).
+
+    ``sig_engine``: ``"fold"`` (default) computes every sign bit with
+    the interpreted JVM dot fold — exact-in-double on any engine, the
+    oracle-checkable lane. ``"arrow"`` computes the whole batch's
+    signature matrix with ONE numpy matmul per Arrow batch
+    (mapInPandas, planes shipped as literals) — the production ingest
+    lane, since the per-row fold is the flat-but-high per-batch
+    constant once the probe is index-bounded (PERF.md round 11). Same
+    rows-only caveat as every matmul twin (BLAS summation order can
+    flip a sign bit on a dot product at ±0); fold/arrow output
+    equality on the fixture is pinned in tests.
     """
+    if sig_engine not in ("fold", "arrow"):
+        raise ValueError(f"unknown sig_engine: {sig_engine}")
     from vspace_spark.functions.vectors import cosine_similarity, dot
     from vspace_spark.operators.scale import footer_row_count
     from vspace_spark.operators.similarity import portable_hyperplanes
@@ -736,7 +750,7 @@ def incremental_embedding_dedup(
         bits_per_table = _auto_bits_per_table(n_est, bits)
     n_tables = bits // bits_per_table
 
-    def bucketed(df: DataFrame) -> DataFrame:
+    def bucketed_fold(df: DataFrame) -> DataFrame:
         tables = []
         for t in range(n_tables):
             bucket = F.lit(0).cast("bigint")
@@ -753,6 +767,52 @@ def incremental_embedding_dedup(
         return df.select(
             "_id", "_v", F.explode(F.array(*tables)).alias("_tb")
         ).select("_id", "_v", F.col("_tb.tbl"), F.col("_tb.bucket"))
+
+    # plain literals so the closure is self-contained (executors
+    # cannot import this repo when the driver runs elsewhere —
+    # NOTES.md seam #2, same as brute_force_topk_arrow)
+    planes_lit = [[float(x) for x in p] for p in planes[: bits]]
+    n_tables_lit, bpt_lit = n_tables, bits_per_table
+
+    def bucketed_arrow(df: DataFrame) -> DataFrame:
+        def sigs(batches):
+            import numpy as np
+            import pandas as pd
+
+            P = np.asarray(planes_lit, dtype=np.float64)  # bits × dim
+            weights = (
+                2 ** np.arange(bpt_lit, dtype=np.int64)
+            )  # bit j → 2^j within its table
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                bits_on = (V @ P.T) > 0  # rows × bits, one matmul
+                out_frames = []
+                for t in range(n_tables_lit):
+                    chunk = bits_on[:, t * bpt_lit : (t + 1) * bpt_lit]
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "_id": pdf["_id"].to_numpy(),
+                                "_v": pdf["_v"].to_numpy(),
+                                "tbl": np.full(len(pdf), t, dtype=np.int32),
+                                "bucket": chunk @ weights,
+                            }
+                        )
+                    )
+                yield pd.concat(out_frames, ignore_index=True)
+
+        return df.mapInPandas(
+            sigs,
+            schema=(
+                "_id long, _v array<float>, tbl int, bucket long"
+            ),
+        )
+
+    bucketed = bucketed_arrow if sig_engine == "arrow" else bucketed_fold
 
     schema = spark.read.parquet(in_dir).schema
     stream = (
