@@ -44,7 +44,12 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     layout = sys.argv[3] if len(sys.argv) > 3 else "partitioned"
-    buckets = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    buckets = (
+        int(sys.argv[4])
+        if len(sys.argv) > 4 and sys.argv[4] != "-"
+        else None
+    )
+    hash_engine = sys.argv[5] if len(sys.argv) > 5 else "portable"
     # recentProgress keeps only the last N updates (default 100) — a
     # run past that cap would silently truncate the curve and mislabel
     # the first-quartile stats, so raise the cap above any plausible
@@ -96,6 +101,7 @@ def main() -> None:
         progress_out=progress,
         index_layout=layout,
         index_buckets=buckets,
+        hash_engine=hash_engine,
     )
     n_pairs = pairs.count()
     elapsed = time.perf_counter() - t0
@@ -120,6 +126,7 @@ def main() -> None:
     print(
         {
             "layout": layout,
+            "hash_engine": hash_engine,
             "n_docs": n_docs,
             "n_batches": n,
             "n_pairs": n_pairs,

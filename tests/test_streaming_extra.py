@@ -712,3 +712,72 @@ class TestAutoBucketWidth:
         got = {(r.a, r.b, r.cos) for r in arrow.collect()}
         want = {(r.a, r.b, r.cos) for r in fold.collect()}
         assert got == want and len(got) > 0, (len(got), len(want))
+
+
+class TestIncrementalMinhashXxhash:
+    def test_xxhash_lane_matches_expected_and_replays(
+        self, spark, sf_dir, tmp_path
+    ):
+        """hash_engine='xxhash64' (the batch fast twin's hash): the
+        union over micro-batches must equal the BATCH pair set built
+        from the same signature + banding pieces, and replay over the
+        same work_dir must be idempotent. Unknown engines rejected
+        before any Spark work."""
+        import pytest
+
+        from vspace_spark.io.tables import load_table
+        from vspace_spark.streaming.incremental import (
+            _banded,
+            _portable_minhash_sigs,
+            incremental_minhash_dedup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        with pytest.raises(ValueError, match="unknown hash_engine"):
+            incremental_minhash_dedup(spark, docs, hash_engine="md5")
+        work = str(tmp_path / "xx")
+        inc = incremental_minhash_dedup(
+            spark, docs, work_dir=work, n_input_files=5,
+            hash_engine="xxhash64",
+        )
+        got = {(r.a, r.b, r.agree) for r in inc.collect()}
+
+        bb = _banded(
+            _portable_minhash_sigs(
+                docs, "doc_id", "text", 3, 32, hash_engine="xxhash64"
+            ),
+            8,
+            4,
+        )
+        left = bb.select(
+            F.col("_id").alias("a"), F.col("sig").alias("sig_a"),
+            "band", "bucket",
+        )
+        right = bb.select(
+            F.col("_id").alias("b"), F.col("sig").alias("sig_b"),
+            "band", "bucket",
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        want = {
+            (r.a, r.b, r.agree)
+            for r in left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", agree.alias("agree"))
+            .filter(F.col("agree") >= 16)
+            .distinct()
+            .collect()
+        }
+        assert got == want, (len(got), len(want))
+        assert len(got) > 0
+        again = incremental_minhash_dedup(
+            spark, docs, work_dir=work, n_input_files=5,
+            hash_engine="xxhash64",
+        )
+        assert {(r.a, r.b, r.agree) for r in again.collect()} == want

@@ -65,12 +65,20 @@ def _portable_minhash_sigs(
     text_col: str,
     shingle_n: int,
     num_hashes: int,
+    hash_engine: str = "portable",
 ) -> DataFrame:
-    """(id, sig) with the portable md5 60-bit signature — the same
-    hash definition as ``operators.dedup.minhash_lsh_pairs_portable``
-    (15 hex chars → always-positive BIGINT), via the scale path:
-    distinct shingles exploded once, hashed ``num_hashes``× in one
-    projection, per-seed MIN with map-side partial aggregation.
+    """(id, sig) minhash signatures via the scale path: distinct
+    shingles exploded once, hashed ``num_hashes``× in one projection,
+    per-seed MIN with map-side partial aggregation.
+
+    ``hash_engine="portable"`` (default) is the md5 60-bit definition
+    of ``operators.dedup.minhash_lsh_pairs_portable`` (15 hex chars →
+    always-positive BIGINT) — reproducible in any engine, the
+    oracle-checkable lane. ``"xxhash64"`` is the batch fast twin's
+    definition (``minhash_lsh_pairs``: one JVM hash instruction per
+    seed vs md5's per-seed string digest) — the production ingest
+    lane; same banding, same agreement semantics, different hash
+    values, so it pairs with the batch xxhash64 twin, not the oracle.
 
     The input is rebalanced first: inside ``foreachBatch`` each
     micro-batch arrives with the FILE SOURCE's partitioning (one file
@@ -89,6 +97,8 @@ def _portable_minhash_sigs(
     )
 
     def h(i: int) -> F.Column:
+        if hash_engine == "xxhash64":
+            return F.xxhash64("_sh", F.lit(i))
         return F.conv(
             F.substring(
                 F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_sh"))), 1, 15
@@ -145,6 +155,7 @@ def incremental_minhash_dedup(
     progress_out: list | None = None,
     index_layout: str = "partitioned",
     index_buckets: int | None = None,
+    hash_engine: str = "portable",
 ) -> DataFrame:
     """Replay ``docs`` as a multi-batch file stream and dedup each
     micro-batch against the accreting signature index. Returns the
@@ -157,6 +168,13 @@ def incremental_minhash_dedup(
     so the index genuinely accretes across ≥ ``n_input_files`` probe
     rounds — a single-batch replay would degenerate to the intra-batch
     self-join and never exercise the index path.
+
+    ``hash_engine``: ``"portable"`` (default) keeps the md5 signature
+    the oracle reproduces; ``"xxhash64"`` swaps in the batch fast
+    twin's one-instruction hash (see
+    :func:`_portable_minhash_sigs`) — the production ingest lane,
+    measured in PERF.md round 11; pair-set-vs-expected equality and
+    replay idempotency are test-pinned for both.
 
     ``index_layout``: ``"partitioned"`` (default) keeps the signature
     index as batch-partitioned bare parquet. ``"bucketed"`` stores it
@@ -173,6 +191,8 @@ def incremental_minhash_dedup(
     """
     if index_layout not in ("partitioned", "bucketed"):
         raise ValueError(f"unknown index_layout: {index_layout}")
+    if hash_engine not in ("portable", "xxhash64"):
+        raise ValueError(f"unknown hash_engine: {hash_engine}")
     rows = num_hashes // bands
     if work_dir is None:
         work_dir = os.path.join(
@@ -289,7 +309,8 @@ def incremental_minhash_dedup(
     def process(batch: DataFrame, batch_id: int) -> None:
         bb = _banded(
             _portable_minhash_sigs(
-                batch, "doc_id", "text", shingle_n, num_hashes
+                batch, "doc_id", "text", shingle_n, num_hashes,
+                hash_engine=hash_engine,
             ),
             bands,
             rows,
