@@ -221,3 +221,35 @@ def test_ntile_scalable_matches_window_ntile(spark):
     w = {r["id"]: r["b"] for r in want.collect()}
     g = {r["id"]: r["b"] for r in got.collect()}
     assert g == w
+
+
+def test_ntile_scalable_multi_matches_chained(spark):
+    """ntile_scalable_multi (one shared persist/count, slim
+    per-dimension numbering, join-back on the id — the fused
+    user_rfm_segments plan, VERDICT r11 #7) must emit exactly the
+    per-dimension window ntiles, including a descending dimension
+    expressed as a negated key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vspace_spark.operators.ordering import ntile_scalable_multi
+
+    df = spark.range(103).select(
+        F.col("id"),
+        (F.col("id") * 37 % 11).alias("v"),
+        (-(F.col("id") * 13 % 7)).alias("w"),
+    )
+    want = df.select(
+        "id",
+        F.ntile(4).over(Window.orderBy("v", "id")).alias("bv"),
+        F.ntile(4).over(Window.orderBy("w", "id")).alias("bw"),
+    )
+    got = ntile_scalable_multi(
+        df.repartition(5),
+        4,
+        [(["v", "id"], "bv"), (["w", "id"], "bw")],
+        "id",
+    ).select("id", "bv", "bw")
+    w = {r["id"]: (r["bv"], r["bw"]) for r in want.collect()}
+    g = {r["id"]: (r["bv"], r["bw"]) for r in got.collect()}
+    assert g == w

@@ -30,19 +30,39 @@ load_all()
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _evidence() -> tuple[int, dict[str, int]]:
-    """(latest completed round, query -> latest round with a driver
-    row) from the CORRECTNESS_r*.json ledger at the repo root."""
+def _row_is_green(row: object) -> bool:
+    """A driver row counts as evidence only when it PASSED: a red row
+    (hash mismatch, schema drift, or an error) refreshing the
+    staleness clock would silence exactly the failures this guard
+    exists to keep in attention (VERDICT r11 #4 / ADVICE r11)."""
+    return (
+        isinstance(row, dict)
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+        and not row.get("err")
+    )
+
+
+def _evidence(
+    ledgers: list[Path] | None = None,
+) -> tuple[int, dict[str, int]]:
+    """(latest completed round, query -> latest round with a GREEN
+    driver row) from the CORRECTNESS_r*.json ledger at the repo
+    root (or an injected fixture list, for testing the guard)."""
     latest: dict[str, int] = {}
     rounds = []
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    if ledgers is None:
+        ledgers = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    for f in ledgers:
         m = re.search(r"_r(\d+)\.json$", f.name)
         if not m:
             continue
         r = int(m.group(1))
         rounds.append(r)
-        for name in json.loads(f.read_text()):
-            latest[name] = max(r, latest.get(name, 0))
+        for name, row in json.loads(f.read_text()).items():
+            if _row_is_green(row):
+                latest[name] = max(r, latest.get(name, 0))
     return (max(rounds) if rounds else 0), latest
 
 
@@ -63,6 +83,42 @@ def test_deferrals_are_registered_oracled_and_not_windowed():
     assert not unknown, f"deferred names not oracled queries: {unknown}"
     both = set(Q._DEFERRED) & set(Q._WINDOW)
     assert not both, f"deferred AND windowed (pick one): {sorted(both)}"
+
+
+def test_red_driver_rows_are_not_evidence(tmp_path):
+    """A failing driver row must NOT refresh the staleness clock: the
+    guard synthesizes a ledger where `broken_q` only ever appears red
+    (hash mismatch, then an error) and `green_q` passes once, and
+    asserts only the green row registers."""
+    rows = {
+        "r1": {
+            "green_q": {
+                "rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": 3, "oracle_rows": 3,
+                "err": None,
+            },
+            "broken_q": {
+                "rows_match": True, "schema_match": True,
+                "hash_match": False, "spark_rows": 3, "oracle_rows": 3,
+                "err": None,
+            },
+        },
+        "r2": {
+            "broken_q": {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": 0, "oracle_rows": 3,
+                "err": "AnalysisException: ...",
+            },
+        },
+    }
+    ledgers = []
+    for tag, content in rows.items():
+        p = tmp_path / f"CORRECTNESS_{tag}.json"
+        p.write_text(json.dumps(content))
+        ledgers.append(p)
+    cur, latest = _evidence(ledgers)
+    assert cur == 2
+    assert latest == {"green_q": 1}, latest
 
 
 def test_no_oracled_query_goes_stale_unnamed():

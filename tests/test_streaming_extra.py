@@ -606,20 +606,44 @@ class TestIncrementalEmbedding:
 
 class TestAutoBucketWidth:
     def test_sizing_rule_values(self):
-        """The embedding leg's bucket-width rule: ~8 vectors per
-        bucket per table, clamped to [4, min(16, bits)] — the knob
-        that silently broke at 100x when fixture-sized (round 11)."""
+        """The embedding leg's layout rule: width targets ~8 vectors
+        per bucket per table (clamped [4, 16]) and bits AUTO-RAISES
+        to hold the table count the configured bits bought at the
+        4-bit floor — the recall knob no longer silently erodes at
+        scale (VERDICT r11 #5)."""
+        import pytest
+
+        from vspace_spark.streaming.incremental import _auto_lsh_layout
+
+        assert _auto_lsh_layout(100, 32) == (32, 4)  # 8 tables held
+        assert _auto_lsh_layout(500, 32) == (48, 6)  # 8 tables held
+        assert _auto_lsh_layout(2, 32) == (32, 4)  # lower clamp
+        assert _auto_lsh_layout(10**9, 64) == (256, 16)  # upper clamp
+        # the VERDICT r11 #5 case: default bits=32 at 200k vectors
+        # must keep all 8 tables (old rule: 32 // 15 = 2 tables)
+        bits, bpt = _auto_lsh_layout(200_000, 32)
+        assert bpt == 15 and bits // bpt == 8
+        with pytest.raises(ValueError, match="bits must be >= 4"):
+            _auto_lsh_layout(100, 3)
+
+    def test_explicit_width_wider_than_bits_raises(self, spark):
+        """Explicit bits_per_table > bits would make n_tables == 0 and
+        silently emit an empty pair set — must raise instead
+        (ADVICE r11)."""
+        import pytest
+
         from vspace_spark.streaming.incremental import (
-            _auto_bits_per_table,
+            incremental_embedding_dedup,
         )
 
-        assert _auto_bits_per_table(100, 32) == 4
-        assert _auto_bits_per_table(500, 32) == 6
-        assert _auto_bits_per_table(200_000, 32) == 15
-        assert _auto_bits_per_table(200_000, 64) == 15
-        assert _auto_bits_per_table(10**9, 64) == 16  # upper clamp
-        assert _auto_bits_per_table(2, 32) == 4  # lower clamp
-        assert _auto_bits_per_table(10**9, 8) == 8  # bits bound
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="exceeds bits"):
+            incremental_embedding_dedup(
+                spark, emb, bits=8, bits_per_table=40,
+            )
 
     def test_auto_matches_explicit_at_chosen_width(self, spark, tmp_path):
         """bits_per_table=None on a 100-vector corpus must pick width

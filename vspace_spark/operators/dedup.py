@@ -1914,7 +1914,11 @@ def gram_occupancy_probe(
 # wins 1.45× at occ 48, dead-heats at 67.7, loses 1.53× at 95 and
 # 2.8× at 142 — so the cutoff sits at the measured tie, not the
 # modeled constant (qgram's per-candidate cost is cheaper than the
-# model priced it).
+# model priced it). 72 rather than the 67.7 dead-heat itself: the
+# 67.7 point was a single-rep tie and qgram is the cheaper-to-probe
+# side, so the cutoff leans one step into the dead-heat band toward
+# qgram — within the band either choice measured < 5% apart
+# (ADVICE r11: record the reason, not just the number).
 DENSE_OCC_CUTOFF = 72.0
 
 

@@ -82,6 +82,20 @@ def epoch_shuffle(
     return assign_global_positions(keyed, ["_h", key], out_col).drop("_h")
 
 
+def _ntile_bucket(n: int, k: int) -> F.Column:
+    """The exact SQL-standard ntile bucket of a 0-based global rank
+    ``_ntpos`` in integer arithmetic — the first ``n mod k`` buckets
+    take ``ceil(n/k)`` rows, the rest ``floor(n/k)``."""
+    q, rem = divmod(n, k)
+    big, small, cut = q + 1, max(q, 1), rem * (q + 1)
+    r = F.col("_ntpos") + 1  # 1-based rank
+    return (
+        F.when(r <= cut, F.expr(f"(_ntpos + {big}) div {big}"))
+        .otherwise(rem + F.expr(f"(_ntpos - {cut} + {small}) div {small}"))
+        .cast("int")
+    )
+
+
 def ntile_scalable(
     df: DataFrame,
     k: int,
@@ -91,19 +105,43 @@ def ntile_scalable(
     """``ntile(k) OVER (ORDER BY order_cols)`` without the
     single-partition global window: two-phase global numbering
     (:func:`assign_global_positions`), then the exact ntile bucket
-    formula in integer arithmetic — the first ``n mod k`` buckets
-    take ``ceil(n/k)`` rows, the rest ``floor(n/k)``, identical to
-    the SQL-standard definition on every engine. ``order_cols`` must
-    be a total order (include a unique tie-break) or bucket
-    boundaries are nondeterministic."""
+    formula (:func:`_ntile_bucket`), identical to the SQL-standard
+    definition on every engine. ``order_cols`` must be a total order
+    (include a unique tie-break) or bucket boundaries are
+    nondeterministic."""
     pos = assign_global_positions(df, order_cols, "_ntpos")
     n = pos.count()  # bounded-collect: one scalar
-    q, rem = divmod(n, k)
-    big, small, cut = q + 1, max(q, 1), rem * (q + 1)
-    r = F.col("_ntpos") + 1  # 1-based rank
-    bucket = (
-        F.when(r <= cut, F.expr(f"(_ntpos + {big}) div {big}"))
-        .otherwise(rem + F.expr(f"(_ntpos - {cut} + {small}) div {small}"))
-        .cast("int")
-    )
-    return pos.withColumn(out_col, bucket).drop("_ntpos")
+    return pos.withColumn(out_col, _ntile_bucket(n, k)).drop("_ntpos")
+
+
+def ntile_scalable_multi(
+    df: DataFrame,
+    k: int,
+    specs: list[tuple[list[str], str]],
+    id_col: str,
+) -> DataFrame:
+    """Several ``ntile(k)`` assignments over DIFFERENT orderings of
+    the SAME relation, fused (VERDICT r11 #7): chaining
+    :func:`ntile_scalable` per dimension recomputes the row count
+    per pass and drags the progressively wider row through every
+    range shuffle. Here the input is persisted and counted ONCE,
+    each dimension numbers a SLIM (id + order-key) projection, and
+    the quartile columns join back on ``id_col`` — the joins hash on
+    one shared key, so AQE reuses the base exchange across them.
+    ``id_col`` must be unique per row and each spec's order_cols a
+    total order, or assignments are nondeterministic."""
+    from vspace_spark.operators.scale import persist_shared
+
+    base = persist_shared(df)
+    n = base.count()  # bounded-collect: one scalar, shared by all dims
+    out = base
+    for order_cols, out_col in specs:
+        slim = base.select(
+            *dict.fromkeys([id_col, *order_cols])  # dedup, keep order
+        )
+        pos = assign_global_positions(slim, order_cols, "_ntpos")
+        res = pos.select(
+            id_col, _ntile_bucket(n, k).alias(out_col)
+        )
+        out = out.join(res, id_col)
+    return out

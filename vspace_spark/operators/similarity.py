@@ -751,6 +751,7 @@ def ivf_pq_probe(
     n_probe: int = 4,
     m: int = 16,
     dim: int = 64,
+    keep_dist: bool = False,
 ) -> DataFrame:
     """Probe a prebuilt IVF-PQ index with asymmetric distance
     computation: per (query, probed cell) an m × ksub lookup table
@@ -759,7 +760,12 @@ def ivf_pq_probe(
     order (single-element conditional sums — no unordered float
     aggregation, so ranks value-hash-match across engines). The raw
     embedding column is never read or shuffled — only codes move; ADC
-    tables are query-batch-sized broadcasts."""
+    tables are query-batch-sized broadcasts.
+
+    ``keep_dist=True`` appends the raw ``_dist`` column — the
+    canonical ADC score the margin-aware agreement gates compare
+    lane outputs against (queries/agreement.py); default output is
+    unchanged."""
     sub = dim // m
     centers = portable_hyperplanes(dim, n_cells, salt="c")
     melted = index.select(
@@ -810,10 +816,13 @@ def ivf_pq_probe(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("_dist"), F.asc("neighbor_id")
     )
+    out_cols = ["query_id", "neighbor_id", "rank"] + (
+        ["_dist"] if keep_dist else []
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select(*out_cols)
     )
 
 

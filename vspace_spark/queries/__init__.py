@@ -45,99 +45,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-11 window composition (re-prove-what-changed + oldest
-# evidence, VERDICT r10 #1/#3):
-#   - the 2 queries through round 11's incremental.py changes
-#     (raw-cosine threshold filter, ADVICE r10 medium; attempted-
-#     before-append replay ledger, ADVICE r10 low);
-#   - the 4 NEW oracled agreement gates for the never-driver-checked
-#     fast twins (queries/agreement.py, VERDICT r10 #3);
-#   - ALL 17 deferred r7-latest rows (the stalest oracled evidence,
-#     named in the r10 window comment);
-#   - 27 of the 41 r8-latest rows, alphabetical-first (deferred to
-#     r12, staying r8-latest: stream_hourly_counts,
-#     stream_purchase_view_full_join, stream_purchase_view_join,
-#     stream_purchase_view_left_join, stream_sliding_counts,
-#     stream_stateful_user_totals, stream_term_stats_ngram,
-#     stream_transition_matrix, stream_user_sessions,
-#     temperature_resample, term_stats_by_source,
-#     term_stats_incremental_merge, term_stats_unigram,
-#     user_value_ewma — 14 rows, all r8-green, operators unchanged
-#     since; tests/test_registry.py's staleness guard tracks them).
-# (r10's window: 14 r10-changed/new + all 12 r6-latest + 24 of 41
-# r7-latest, alphabetical — 50/50 green, CORRECTNESS_r10.json; its
-# comment's "26 of 41"/"15 rows" were miscounts for 24/17, ADVICE
-# r10 low.)
+# Round-12 window composition (re-prove-what-changed + oldest
+# evidence, the standing rotation policy):
+#   - the 7 queries through round 12's changes: the 2 NEW oracled
+#     agreement gates for the r11 ingest fast lanes
+#     (agree_incr_minhash_xxhash64 / agree_incr_embedding_arrow,
+#     VERDICT r11 #2), the 3 agreement gates reworked margin-aware
+#     (VERDICT r11 #6 / ADVICE r11), stream_dedup_embeddings_
+#     incremental (through incremental.py's _auto_lsh_layout change,
+#     VERDICT r11 #5), and user_rfm_segments (fused
+#     ntile_scalable_multi plan, VERDICT r11 #7);
+#   - ALL 14 deferred r8-latest rows — at their 4-round bound, they
+#     MUST enter per their own guard (VERDICT r11 #1);
+#   - 29 of the 40 r9-latest rows, alphabetical-first (the remaining
+#     11 defer to r13 in _DEFERRED below).
+# (r11's window: 2 r11-changed + 4 new agree gates + all 17
+# r7-latest + 27 of 41 r8-latest — 50/50 green, CORRECTNESS_r11.)
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
 # ann_ivf_pq_top5_fast, dedup_semantic_fast, dedup_semantic_trained)
-# — their float outputs stay rows-only, but as of round 11 each is
-# pinned by an oracled agree_* gate in the window below.
+# — their float outputs stay rows-only, but each is pinned by an
+# oracled agree_* gate; since round 12 the two streaming ingest fast
+# lanes (hash_engine="xxhash64", sig_engine="arrow") are too.
 _WINDOW = [
-    # --- r11 changes + the four new agreement gates
-    "stream_dedup_embeddings_incremental",
-    "stream_dedup_docs_incremental",
+    # --- r12 changes + the two new ingest-lane agreement gates
+    "agree_incr_minhash_xxhash64",
+    "agree_incr_embedding_arrow",
     "agree_ann_bruteforce_fast",
     "agree_ann_ivf_pq_fast",
     "agree_dedup_semantic_fast",
-    "agree_dedup_semantic_trained",
-    # --- all 17 deferred r7-latest rows (stalest evidence)
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
-    "q4_priority_late_orders",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "source_language_map",
-    "source_wc_profile",
-    "stratified_sample_uniform",
-    "stream_dedup_docs",
-    "stream_dedup_embeddings",
-    "tfidf_search",
-    "token_cms_estimates",
-    "user_hll_distinct",
+    "stream_dedup_embeddings_incremental",
     "user_rfm_segments",
-    "user_sessions",
-    "vocab_bloom_membership",
-    # --- 27 of 41 r8-latest rows (oldest-first fill, alphabetical)
-    "ann_bruteforce_top5",
-    "ann_ivf_pq_top5",
-    "ann_lsh_top5",
-    "corpus_report",
-    "curated_corpus",
-    "daily_revenue_interpolated",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_fuzzy_pairs_global",
-    "doc_decontamination",
-    "doc_fingerprints",
-    "doc_language_id",
-    "doc_length_outliers",
-    "doc_pack_sequences",
-    "doc_quality",
-    "doc_repetition",
-    "event_transition_matrix",
-    "events_zorder_keys",
-    "multimodal_image_meta",
-    "q11_important_stock",
-    "q12_late_priority_counts",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q22_lapsed_customer_balance",
-    "q9_product_profit",
-    "stream_category_counts",
-    "stream_dedup_events",
-]
-
-# Named deferrals: oracled queries deliberately left OUT of this
-# round's window whose driver evidence is older than the staleness
-# bound tests/test_registry.py enforces (every oracled query must be
-# in _WINDOW, have evidence within the last 3 completed rounds, or be
-# named here with evidence within the last 4). Keeping this list
-# machine-readable is what keeps the rotation honest as the registry
-# grows (VERDICT r10 #8) — a row going stale silently now fails CI.
-_DEFERRED = [
+    # --- all 14 deferred r8-latest rows (at their bound)
     "stream_hourly_counts",
     "stream_purchase_view_full_join",
     "stream_purchase_view_join",
@@ -152,6 +92,59 @@ _DEFERRED = [
     "term_stats_incremental_merge",
     "term_stats_unigram",
     "user_value_ewma",
+    # --- 29 of 40 r9-latest rows (oldest-first fill, alphabetical)
+    "corpus_job_ini",
+    "corpus_jsonl_roundtrip",
+    "corpus_pmi_bigrams",
+    "cube_lineitem_counts",
+    "customer_order_full_outer",
+    "daily_revenue_gapfilled",
+    "dedup_embedding_cosine",
+    "doc_token_arrays",
+    "doc_token_counts",
+    "doc_train_test_split",
+    "domain_mixture_weights",
+    "embedding_norms",
+    "events_variant_stats",
+    "grouped_map_source_ranks",
+    "grouping_sets_revenue",
+    "map_functions_suite",
+    "merge_upsert_orders",
+    "min_cost_supplier_per_part",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "normalize_corpus",
+    "orders_above_segment_avg",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "q3_top_unshipped_orders",
+    "q5_nation_revenue",
+    "q7_nation_volume",
+]
+
+# Named deferrals: oracled queries deliberately left OUT of this
+# round's window whose driver evidence is older than the staleness
+# bound tests/test_registry.py enforces (every oracled query must be
+# in _WINDOW, have GREEN evidence within the last 3 completed rounds,
+# or be named here with green evidence within the last 4). Keeping
+# this list machine-readable is what keeps the rotation honest as the
+# registry grows (VERDICT r10 #8) — a row going stale silently now
+# fails CI. These 11 are the r9-latest remainder after the r12
+# alphabetical fill; they MUST enter the r13 window.
+_DEFERRED = [
+    "repeat_customers_both_years",
+    "rollup_order_totals",
+    "shard_manifest",
+    "stream_dedup_docs_minhash",
+    "stream_term_stats",
+    "term_stats_ngram",
+    "tfidf_top3_per_doc",
+    "token_positions",
+    "top3_orders_per_customer",
+    "udtf_token_chunks",
+    "vocabulary",
 ]
 
 

@@ -1230,12 +1230,14 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one per-user aggregation (exact, combinable) with the
     one-row horizon broadcast. The three quartile assignments use
-    ``operators/ordering.py:ntile_scalable`` — two-phase
-    range-partitioned numbering plus the exact ntile bucket formula —
-    NOT a global ntile window, so no single-partition WindowExec
-    exists even though the ordering is corpus-global (descending
-    orders become ascending negated keys; NULL monetary maps to +inf
-    for NULLS LAST)."""
+    ``operators/ordering.py:ntile_scalable_multi`` — two-phase
+    range-partitioned numbering plus the exact ntile bucket formula,
+    fused across the three orderings (one shared persist + count,
+    slim per-dimension numbering projections, quartiles joined back
+    on user_id; VERDICT r11 #7) — NOT a global ntile window, so no
+    single-partition WindowExec exists even though the ordering is
+    corpus-global (descending orders become ascending negated keys;
+    NULL monetary maps to +inf for NULLS LAST)."""
     e = load_table(spark, sf_dir, "events")
     g = e.agg(F.max("ts").alias("horizon"))
     u = (
@@ -1259,17 +1261,22 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    from vspace_spark.operators.ordering import ntile_scalable
+    from vspace_spark.operators.ordering import ntile_scalable_multi
 
     keyed = u.withColumn("_negf", -F.col("frequency")).withColumn(
         "_negm",
         F.coalesce(-F.col("monetary"), F.lit(float("inf"))),
     )
-    out = ntile_scalable(
-        keyed, 4, ["recency_days", "user_id"], "r_quartile"
+    out = ntile_scalable_multi(
+        keyed,
+        4,
+        [
+            (["recency_days", "user_id"], "r_quartile"),
+            (["_negf", "user_id"], "f_quartile"),
+            (["_negm", "user_id"], "m_quartile"),
+        ],
+        "user_id",
     )
-    out = ntile_scalable(out, 4, ["_negf", "user_id"], "f_quartile")
-    out = ntile_scalable(out, 4, ["_negm", "user_id"], "m_quartile")
     return out.select(
         "user_id",
         "recency_days",

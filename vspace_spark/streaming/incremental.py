@@ -48,15 +48,31 @@ from vspace_spark.io.connectors import (
 )
 
 
-def _auto_bits_per_table(n: int, bits: int) -> int:
-    """Bucket-width sizing rule for the embedding leg's LSH tables:
-    target ~8 vectors per bucket per table (``ceil(log2(n/8))``),
-    clamped to [4, min(16, bits)]. See
-    :func:`incremental_embedding_dedup`'s docstring for the measured
-    failure this prevents and the bits-vs-recall tradeoff."""
+def _auto_lsh_layout(n: int, bits: int) -> tuple[int, int]:
+    """Resolve ``(bits, bits_per_table)`` for the embedding leg when
+    the caller leaves the bucket width to the corpus. Two rules:
+
+    - WIDTH targets ~8 vectors per bucket per table
+      (``ceil(log2(n/8))``, clamped to [4, 16]) — the knob that
+      silently broke at 100× when fixture-sized (round 11: 4-bit
+      tables put ~N/16 vectors in EVERY bucket);
+    - ``bits`` is RAISED so the OR-amplification TABLE COUNT the
+      configured ``bits`` bought at the 4-bit floor (``bits // 4``)
+      is held as the width grows. Without this, a default-knob
+      caller at N≈200k got 15-bit tables inside a fixed 32 bits —
+      table count silently fell 8 → 2 and recall eroded with it
+      (VERDICT r11 #5). Recall is a contract, not a docstring note.
+
+    Raises on ``bits < 4`` — the old clamp returned a width wider
+    than ``bits`` there, making ``n_tables == 0`` and the operator
+    silently emit an empty pair set (ADVICE r11)."""
     import math
 
-    return max(4, min(16, bits, math.ceil(math.log2(max(n, 2) / 8))))
+    if bits < 4:
+        raise ValueError(f"bits must be >= 4, got {bits}")
+    n_tables = bits // 4
+    bpt = max(4, min(16, math.ceil(math.log2(max(n, 2) / 8))))
+    return bpt * n_tables, bpt
 
 
 def _portable_minhash_sigs(
@@ -714,13 +730,16 @@ def incremental_embedding_dedup(
     buckets (measured round 11: one 6.2k-vector micro-batch against a
     200k-vector corpus ran >12 minutes, the few hot join partitions
     idling the rest of the box). The rule targets ~8 vectors per
-    bucket per table: ``bpt = ceil(log2(N/8))`` clamped to
-    ``[4, min(16, bits)]``. At fixed ``bits``, wider buckets mean
-    fewer OR-amplification tables (the recall knob) — callers at
-    scale raise ``bits`` proportionally to hold the table count
-    (the 100× harness runs bits=64, bpt=16 → 4 tables of 65536
-    buckets). Pass an explicit width to pin the bucket layout — the
-    registered oracle query does (its SQL mirrors the 4-bit bands).
+    bucket per table (``bpt = ceil(log2(N/8))``, clamped [4, 16])
+    AND auto-raises ``bits`` so the table count the configured
+    ``bits`` bought at the 4-bit floor is HELD as buckets widen
+    (``_auto_lsh_layout``; VERDICT r11 #5 — previously a default-knob
+    caller at N≈200k silently dropped from 8 tables to 2, eroding
+    OR-amplification recall; now bits=32 at 200k resolves to 8
+    15-bit tables = 120 planes, still one matmul per Arrow batch on
+    the ``"arrow"`` lane). Pass an explicit width to pin the bucket
+    layout — the registered oracle query does (its SQL mirrors the
+    4-bit bands); an explicit width wider than ``bits`` raises.
 
     ``sig_engine``: ``"fold"`` (default) computes every sign bit with
     the interpreted JVM dot fold — exact-in-double on any engine, the
@@ -735,6 +754,11 @@ def incremental_embedding_dedup(
     """
     if sig_engine not in ("fold", "arrow"):
         raise ValueError(f"unknown sig_engine: {sig_engine}")
+    if bits_per_table is not None and bits_per_table > bits:
+        raise ValueError(
+            f"bits_per_table ({bits_per_table}) exceeds bits ({bits}): "
+            "n_tables would be 0 and every pair would be silently missed"
+        )
     from vspace_spark.functions.vectors import cosine_similarity, dot
     from vspace_spark.operators.scale import footer_row_count
     from vspace_spark.operators.similarity import portable_hyperplanes
@@ -761,15 +785,20 @@ def incremental_embedding_dedup(
     # dim from the materialized replay's first row — bounded-collect:
     # one scalar (the hyperplanes are a driver-side literal table)
     dim = spark.read.parquet(in_dir).select(F.size("_v")).first()[0]
-    planes = portable_hyperplanes(dim, bits)
     if bits_per_table is None:
         # auto-size from the replay's parquet footers (a metadata
         # read; count() only as fallback) — see docstring for the rule
         n_est = footer_row_count(spark.read.parquet(in_dir))
         if n_est is None:
             n_est = spark.read.parquet(in_dir).count()
-        bits_per_table = _auto_bits_per_table(n_est, bits)
+        bits, bits_per_table = _auto_lsh_layout(n_est, bits)
     n_tables = bits // bits_per_table
+    if n_tables < 1:
+        raise ValueError(
+            f"bits_per_table ({bits_per_table}) exceeds bits ({bits}): "
+            "n_tables would be 0 and every pair would be silently missed"
+        )
+    planes = portable_hyperplanes(dim, bits)
 
     def bucketed_fold(df: DataFrame) -> DataFrame:
         tables = []
