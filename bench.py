@@ -121,6 +121,7 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
     )
 
     work = "/tmp/bench_baseline_corpus"
+    corpus_was_cached = _os.path.isdir(work)
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
@@ -209,10 +210,27 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
         rep_times.append(run_once())
         rep_loads.append(_load_1m())
     elapsed = min(rep_times)
+    rep_selected = rep_times.index(elapsed)
     return {
         "gb_per_hour": round(text_gb / (elapsed / 3600), 2),
         "corpus_gb": round(text_gb, 3),
         "elapsed_sec": round(elapsed, 1),
+        # which rep state produced gb_per_hour (VERDICT r11 #8): the
+        # headline number swung 3.6× round-to-round because min()
+        # sometimes selects a warm-JVM/warm-cache later rep (r11:
+        # reps [50.6, 9.2, 5.0] → rep 3 won). "fresh_jvm" means the
+        # number is the like-for-like BASELINE.md comparison (the
+        # reference runs fresh spark-submit processes); "warm_jvm"
+        # means the reported peak rode accumulated JIT + page-cache
+        # state — the fresh-rep throughput is reported alongside so
+        # both states are always on record.
+        "state": "fresh_jvm" if rep_selected == 0
+        else f"warm_jvm_rep{rep_selected + 1}",
+        "gb_per_hour_fresh": round(text_gb / (rep_times[0] / 3600), 2),
+        # whether the replicated corpus parquet pre-existed in /tmp —
+        # a cold materialization also leaves the page cache hot for
+        # rep 1, so this disambiguates fresh-rep numbers across runs
+        "corpus_cache": "hot" if corpus_was_cached else "cold",
         # all reps on record: the host is SHARED and contention windows
         # outlast the whole phase (r5 bisect of the r4 "regression":
         # identical 8g runs measured 6.9 s and 19.4 s minutes apart
@@ -472,11 +490,22 @@ def main() -> None:
     detail_100x: dict[str, dict] = {}
     skipped_100x: list[str] = []
     retried_100x: list[str] = []
+    # Any 100× row whose first rep exceeds this gets a MANDATORY second
+    # rep (VERDICT r11 #3b): a single multi-minute sample cannot be
+    # audited — the r11 block's 466 s total decomposed into unrepeated
+    # one-rep outliers (pagerank 207.7 s vs its 44–61 s steady,
+    # dedup_keep_best 82.1 s at 1.67× steady, UNDER the old 2× trigger
+    # so never retried). Short rows keep the 2×-steady trigger only;
+    # long rows always produce two samples.
+    mandatory_rep_sec = 30.0
     if os.environ.get("SPARK_GRAFT_BENCH_100X", "1") != "0":
-        # 900 s (the r4 value): expected steady-state block total is
-        # ~435 s, and the slack is what funds adaptive re-reps — at
-        # 600 s one r7-sized outlier left no room to even retry.
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_100X_BUDGET", "900"))
+        # 1500 s (raised from the r4-era 900 in r12): the mandatory
+        # second rep doubles every >30 s row, so the expected schedule
+        # is ~2× the one-rep steady total — at 900 s the budget check
+        # would have skipped the tail queries' guaranteed slots.
+        budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_100X_BUDGET", "1500")
+        )
         dir_100x = materialize_scaled_sf(spark, sf_dir, 100)
         # warm the page cache ONCE (untimed, like the materialization):
         # the block is single-rep, so without this each query's number
@@ -494,7 +523,13 @@ def main() -> None:
         # scale them down so reservation degrades into ordering rather
         # than starving the EARLY queries (a 300 s budget against a
         # ~430 s schedule must not skip query 1 because of query 10).
-        total_expected = sum(steady_100x.get(q, 60.0) for q in present)
+        def expected_cost(q: str) -> float:
+            # a row whose steady state exceeds the mandatory-rep bar
+            # is EXPECTED to run twice, so its reserved slot is 2×
+            s = steady_100x.get(q, 60.0)
+            return 2 * s if s > mandatory_rep_sec else s
+
+        total_expected = sum(expected_cost(q) for q in present)
         reserve_scale = (
             min(1.0, budget / (total_expected * 1.15))
             if total_expected
@@ -507,7 +542,7 @@ def main() -> None:
             # is still under the full budget — the guaranteed-slot
             # property the r7 artifact lacked
             reserve_after = reserve_scale * sum(
-                steady_100x.get(q, 60.0) for q in present[i + 1:]
+                expected_cost(q) for q in present[i + 1:]
             )
             elapsed = time.perf_counter() - block_start
             if elapsed > budget - reserve_after:
@@ -522,12 +557,12 @@ def main() -> None:
             steady = steady_100x.get(name)
             elapsed = time.perf_counter() - block_start
             if (
-                steady is not None
-                and reps_t[0] > 2 * steady
-                and elapsed <= budget - reserve_after
-            ):
-                # outlier vs the warm steady state: one retry — a
-                # quiet-window min is the defensible number, a
+                reps_t[0] > mandatory_rep_sec
+                or (steady is not None and reps_t[0] > 2 * steady)
+            ) and elapsed <= budget - reserve_after:
+                # mandatory second rep for every long row, plus the
+                # 2×-steady outlier trigger for short ones — a
+                # quiet-window repeat is the defensible number, a
                 # confirming second rep is the defensible evidence
                 start = time.perf_counter()
                 fn(spark, dir_100x).count()

@@ -54,6 +54,9 @@ EXPECTED_QUERIES = {
     # matmul/trained twins to their portable counterparts
     "agree_ann_bruteforce_fast", "agree_ann_ivf_pq_fast",
     "agree_dedup_semantic_fast", "agree_dedup_semantic_trained",
+    # new in r12: the two streaming ingest fast lanes get the same
+    # oracled agreement-gate treatment (VERDICT r11 #2)
+    "agree_incr_minhash_xxhash64", "agree_incr_embedding_arrow",
     # similarity
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "embedding_norms", "ml_tfidf_features",
