@@ -154,3 +154,44 @@ def test_footer_row_count_exact_and_safe(spark, sf_dir):
     # filtered scan: inputFiles() still lists files, but the footer
     # count would overcount -> must refuse
     assert footer_row_count(emb.filter(F.col("vec_id") > 10)) is None
+
+
+def test_input_bytes_sees_through_dictionary_encoding(spark, tmp_path):
+    """_uncompressed_input_bytes must estimate DECODED size: a
+    replicated text corpus dictionary-encodes so its row-group
+    total_byte_size stays near one copy's bytes no matter how many
+    clones the scan carries (the round-12 keep_best probe: the 100x
+    bench corpus read 51.7 MB 'uncompressed' vs ~160 MB decoded,
+    parking the x8-expanded shingle persist at 413 MB — just under
+    the 512 MB DISK_ONLY floor). The estimate must scale with the
+    replica count; a
+    high-entropy corpus of the same decoded size must estimate the
+    same ballpark (the non-dictionary path is unchanged)."""
+    import random
+
+    from vspace_spark.operators.scale import _uncompressed_input_bytes
+
+    text = "the quick brown fox jumps over the lazy dog " * 20  # 900 B
+    n = 20_000
+    dict_path = str(tmp_path / "dict.parquet")
+    spark.createDataFrame(
+        [(i, text) for i in range(n)], "id long, text string"
+    ).coalesce(1).write.parquet(dict_path)
+    rng = random.Random(7)
+    plain_path = str(tmp_path / "plain.parquet")
+    spark.createDataFrame(
+        [
+            (i, "".join(rng.choice("abcdefgh ") for _ in range(len(text))))
+            for i in range(n)
+        ],
+        "id long, text string",
+    ).coalesce(1).write.parquet(plain_path)
+
+    decoded = n * len(text)
+    est_dict = _uncompressed_input_bytes(spark.read.parquet(dict_path))
+    est_plain = _uncompressed_input_bytes(spark.read.parquet(plain_path))
+    assert est_dict is not None and est_plain is not None
+    # within 2x of the true decoded text bytes, both layouts — the
+    # old encoded-bytes estimate sat ~100x under for the dict layout
+    assert decoded / 2 <= est_dict <= decoded * 2
+    assert decoded / 2 <= est_plain <= decoded * 2

@@ -17,13 +17,96 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Parquet encodings whose pages hold dictionary INDICES, not values —
+# their total_uncompressed_size says nothing about decoded width.
+_DICT_ENCODINGS = frozenset({"PLAIN_DICTIONARY", "RLE_DICTIONARY"})
+# Decoded bytes per value for fixed-width physical types (the
+# dictionary-encoded case needs no sampling for these).
+_FIXED_WIDTH = {
+    "BOOLEAN": 1,
+    "INT32": 4,
+    "INT64": 8,
+    "INT96": 12,
+    "FLOAT": 4,
+    "DOUBLE": 8,
+}
+
+
+def _leaf_avg_decoded_bytes(pf, leaf_path: str) -> float | None:
+    """Average DECODED byte width of a string/binary parquet leaf,
+    measured on the file's first ~1024 rows (one page read — the
+    representativeness assumption is documented at the caller; an
+    order-of-magnitude persist decision tolerates it). None when the
+    leaf can't be resolved or isn't byte-array-like."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = leaf_path.split(".")
+    try:
+        batch = next(
+            pf.iter_batches(batch_size=1024, columns=[parts[0]]), None
+        )
+    except Exception:
+        return None
+    if batch is None or batch.num_rows == 0:
+        return None
+    arr = batch.column(0)
+    # walk to the leaf: flatten list wrappers (their path components —
+    # 'list'/'element'/'item'/'key_value' — name no struct field),
+    # select struct fields by name
+    for name in parts[1:]:
+        while pa.types.is_list(arr.type) or pa.types.is_large_list(
+            arr.type
+        ):
+            arr = pc.list_flatten(arr)
+        if pa.types.is_struct(arr.type):
+            try:
+                arr = pc.struct_field(arr, name)
+            except Exception:
+                return None
+    while pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        arr = pc.list_flatten(arr)
+    if not (
+        pa.types.is_string(arr.type)
+        or pa.types.is_large_string(arr.type)
+        or pa.types.is_binary(arr.type)
+        or pa.types.is_large_binary(arr.type)
+        or pa.types.is_fixed_size_binary(arr.type)
+    ):
+        return None
+    n = len(arr) - arr.null_count
+    if n <= 0:
+        return None
+    total = pc.sum(pc.binary_length(arr)).as_py() or 0
+    return total / n
+
+
 def _uncompressed_input_bytes(df: DataFrame) -> int | None:
-    """Driver-side estimate of a scan's DECOMPRESSED size from parquet
-    footers (row-group ``total_byte_size``). Compressed file size is
-    the wrong signal for compute-bound work: a replicated text corpus
-    dictionary-encodes to ~1 MB on disk while carrying 10× the tokens.
+    """Driver-side estimate of a scan's DECODED size from parquet
+    footers. Compressed file size is the wrong signal for
+    compute-bound work, but so is the naive row-group
+    ``total_byte_size``: that counts ENCODED page bytes, and a
+    dictionary-encoded column's pages hold small indices regardless of
+    value width — the round-12 keep_best probe measured the 100×-
+    replicated bench corpus at 51.7 MB "uncompressed" vs ~160 MB
+    decoded (the gap grows with replication: one clone family's text
+    is one dictionary entry), which put the ×8-expanded shingle
+    persist at 413 MB — just under the 512 MB DISK_ONLY floor, so it
+    sat heap-resident and coupled every solo rep to old-gen aging
+    (74 → 200 s ascending; flat 52–64 s once on disk — PERF.md round
+    12; the corrected estimate, 1.33 GB, crosses the floor). So: per
+    column chunk,
+    non-dictionary chunks contribute their page bytes (plain encoding
+    ≈ decoded); dictionary chunks contribute ``num_values × width``,
+    where width is the physical type's fixed size or, for byte arrays,
+    the average decoded width sampled from the first file's first
+    ~1024 rows (cached per leaf — one extra page read per distinct
+    dictionary-encoded string leaf, and a first-page sample can
+    misjudge a corpus whose value widths drift file-to-file; a persist
+    LEVEL decision tolerates that).
+
     Returns None (= unknown) for non-local / non-parquet / in-memory
-    inputs — footers only, so the cost is one metadata read per file.
+    inputs.
     """
     try:
         files = df.inputFiles()
@@ -35,6 +118,7 @@ def _uncompressed_input_bytes(df: DataFrame) -> int | None:
         import pyarrow.parquet as pq
 
         total = 0
+        leaf_avg: dict[str, float | None] = {}
         for uri in files:
             path = uri
             if path.startswith("file:"):
@@ -45,9 +129,28 @@ def _uncompressed_input_bytes(df: DataFrame) -> int | None:
                 return None
             if not path.endswith(".parquet") or not os.path.isfile(path):
                 return None
-            md = pq.ParquetFile(path).metadata
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
             for rg in range(md.num_row_groups):
-                total += md.row_group(rg).total_byte_size
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    col = rgm.column(ci)
+                    if not _DICT_ENCODINGS.intersection(col.encodings):
+                        total += col.total_uncompressed_size
+                        continue
+                    width = _FIXED_WIDTH.get(col.physical_type)
+                    if width is not None:
+                        total += col.num_values * width
+                        continue
+                    lp = col.path_in_schema
+                    if lp not in leaf_avg:
+                        leaf_avg[lp] = _leaf_avg_decoded_bytes(pf, lp)
+                    avg = leaf_avg[lp]
+                    total += (
+                        int(col.num_values * avg)
+                        if avg is not None
+                        else col.total_uncompressed_size
+                    )
         return total
     except Exception:
         return None
