@@ -195,3 +195,30 @@ def test_input_bytes_sees_through_dictionary_encoding(spark, tmp_path):
     # old encoded-bytes estimate sat ~100x under for the dict layout
     assert decoded / 2 <= est_dict <= decoded * 2
     assert decoded / 2 <= est_plain <= decoded * 2
+
+
+def test_input_bytes_footer_sampling_bounded(spark, tmp_path):
+    """Above _EST_MAX_FOOTERS input files the estimator reads an
+    evenly-spaced footer sample and scales by the file count — a
+    100 TB table has tens of thousands of files and a persist
+    decision must not pay a per-file driver-side metadata read. The
+    scaled estimate must land within 2x of the exact per-file sweep
+    on a uniform many-file layout."""
+    from vspace_spark.operators import scale as sc
+
+    many = str(tmp_path / "many.parquet")
+    spark.range(20_000).selectExpr(
+        "id", "repeat('x', 100) as text"
+    ).repartition(200).write.parquet(many)
+    df = spark.read.parquet(many)
+    assert len(df.inputFiles()) > sc._EST_MAX_FOOTERS
+
+    sampled = sc._uncompressed_input_bytes(df)
+    orig_max = sc._EST_MAX_FOOTERS
+    try:
+        sc._EST_MAX_FOOTERS = 10_000  # force the exact sweep
+        exact = sc._uncompressed_input_bytes(df)
+    finally:
+        sc._EST_MAX_FOOTERS = orig_max
+    assert sampled is not None and exact is not None
+    assert exact / 2 <= sampled <= exact * 2

@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 # Parquet encodings whose pages hold dictionary INDICES, not values —
 # their total_uncompressed_size says nothing about decoded width.
 _DICT_ENCODINGS = frozenset({"PLAIN_DICTIONARY", "RLE_DICTIONARY"})
+# Above this many input files the size estimate reads an evenly-spaced
+# footer sample and scales, instead of one metadata read per file.
+_EST_MAX_FOOTERS = 64
 # Decoded bytes per value for fixed-width physical types (the
 # dictionary-encoded case needs no sampling for these).
 _FIXED_WIDTH = {
@@ -107,6 +110,14 @@ def _uncompressed_input_bytes(df: DataFrame) -> int | None:
 
     Returns None (= unknown) for non-local / non-parquet / in-memory
     inputs.
+
+    Footer-sweep cost is bounded for wide tables: above
+    ``_EST_MAX_FOOTERS`` input files, an evenly-spaced deterministic
+    sample of footers is read and the total scaled by the file count —
+    at 100 TB a table has tens of thousands of files and a persist
+    decision must not pay a driver-side metadata read per file (the
+    per-file sweep is exact below the bound, where exactness is
+    cheap).
     """
     try:
         files = df.inputFiles()
@@ -114,6 +125,12 @@ def _uncompressed_input_bytes(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
+    scale_up = 1.0
+    if len(files) > _EST_MAX_FOOTERS:
+        step = len(files) / _EST_MAX_FOOTERS
+        sampled = [files[int(i * step)] for i in range(_EST_MAX_FOOTERS)]
+        scale_up = len(files) / len(sampled)
+        files = sampled
     try:
         import pyarrow.parquet as pq
 
@@ -151,7 +168,7 @@ def _uncompressed_input_bytes(df: DataFrame) -> int | None:
                         if avg is not None
                         else col.total_uncompressed_size
                     )
-        return total
+        return int(total * scale_up)
     except Exception:
         return None
 
