@@ -80,6 +80,94 @@ def _load_1m() -> float:
         return 0.0
 
 
+def _host_busy_jiffies() -> int | None:
+    """Host-wide busy CPU jiffies (everything except idle+iowait) from
+    /proc/stat's aggregate line. None where /proc is unavailable."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_cpu_jiffies() -> int | None:
+    """Cumulative CPU jiffies (utime+stime) of THIS process and every
+    live descendant — the bench's python driver, the Spark JVM it
+    launched, and the JVM's Python UDF workers. One /proc scan; None
+    where /proc is unavailable. (getrusage(RUSAGE_CHILDREN) only
+    counts reaped children, so it misses the still-running JVM
+    entirely.)"""
+    try:
+        entries = os.listdir("/proc")
+    except OSError:
+        return None
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, int] = {}
+    for e in entries:
+        if not e.isdigit():
+            continue
+        try:
+            with open(f"/proc/{e}/stat") as fh:
+                data = fh.read()
+        except OSError:
+            continue
+        # comm can contain spaces/parens: split after the LAST ')'
+        rest = data.rpartition(") ")[2].split()
+        try:
+            ppid_of[int(e)] = int(rest[1])
+            cpu_of[int(e)] = int(rest[11]) + int(rest[12])
+        except (ValueError, IndexError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, ppid in ppid_of.items():
+        kids.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [os.getpid()]
+    while stack:
+        pid = stack.pop()
+        total += cpu_of.get(pid, 0)
+        stack.extend(kids.get(pid, []))
+    return total
+
+
+def _clk_tck() -> float:
+    try:
+        return float(os.sysconf("SC_CLK_TCK"))
+    except (AttributeError, ValueError, OSError):
+        return 100.0
+
+
+class _ExternalCpuMeter:
+    """Per-rep EXTERNAL contention in average cores: host busy cores
+    during the rep window minus the cores our own process tree used.
+
+    The 1-min load average is backward-looking — a 0.3 s headline rep
+    that runs a minute after the bench's own heavy baseline phase
+    still reads that phase's load and gets flagged "contended" on a
+    machine nobody else touched (the r12 dry run flagged 26/26
+    headline rows this way on an otherwise-idle host). /proc/stat
+    deltas over the rep's exact window have no such memory, and
+    subtracting the bench's own tree CPU separates self-load from
+    neighbors. None (telemetry absent) where /proc is unavailable."""
+
+    def __init__(self) -> None:
+        self.t0 = time.perf_counter()
+        self.host0 = _host_busy_jiffies()
+        self.tree0 = _tree_cpu_jiffies()
+
+    def stop(self) -> float | None:
+        wall = time.perf_counter() - self.t0
+        host1, tree1 = _host_busy_jiffies(), _tree_cpu_jiffies()
+        if None in (self.host0, self.tree0, host1, tree1) or wall <= 0:
+            return None
+        clk = _clk_tck()
+        host_cores = (host1 - self.host0) / clk / wall
+        self_cores = (tree1 - self.tree0) / clk / wall
+        return max(0.0, host_cores - self_cores)
+
+
 def _warm_page_cache(path: str) -> int:
     """Sequentially read every byte under ``path`` so the OS page
     cache holds the dataset before a single-rep timing block. Returns
@@ -191,10 +279,16 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
     # exact floats throughout; rounding happens only in the REPORTED
     # fields (rounding before min() both inflated gb_per_hour ~0.6%
     # and could divide by a rep rounded to 0.0 on a tiny fixture)
-    rep_times, rep_loads = [], []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+    rep_times, rep_loads, rep_exts = [], [], []
+
+    def one_rep() -> None:
+        meter = _ExternalCpuMeter()
         rep_times.append(run_once())
         rep_loads.append(_load_1m())
+        rep_exts.append(meter.stop())
+
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))):
+        one_rep()
     # adaptive extra rep on >2× spread — same shared-host rationale as
     # timed_min in main(): one neighbor burst can swallow both reps —
     # OR on high host load (r5: both reps ran under 1-min load ≈ 29 on
@@ -207,8 +301,7 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
         else 1.0
     )
     if spread > 2 or min(rep_loads) > (os.cpu_count() or 1) / 2:
-        rep_times.append(run_once())
-        rep_loads.append(_load_1m())
+        one_rep()
     elapsed = min(rep_times)
     rep_selected = rep_times.index(elapsed)
     return {
@@ -240,6 +333,12 @@ def baseline_gb_per_hour(spark, sf_dir: str, target_gb: float) -> dict:
         # 1-min load sampled at each rep's END: reps that ran under
         # heavy neighbor load are visibly suspect in the artifact
         "load_1m_reps": [round(l, 1) for l in rep_loads],
+        # average EXTERNAL cores during each rep (host busy minus our
+        # own process tree, /proc-exact over the rep window) — unlike
+        # load_1m this can't blame the bench's own prior phases
+        "ext_cores_reps": [
+            None if e is None else round(e, 1) for e in rep_exts
+        ],
         "reference_1gb_6gram": 6.7,
     }
 
@@ -356,22 +455,33 @@ def main() -> None:
     # phase and 100× block already record).
     load_flag = float(os.environ.get("SPARK_GRAFT_LOAD_FLAG", "8.0"))
 
+    # a rep whose EXTERNAL CPU (host busy minus our own tree) averaged
+    # more than this many cores ran contended by neighbors; 1/4 of the
+    # box keeps parity with the old load_1m>8-of-32 rule but without
+    # the 1-min EWMA's memory of the bench's own phases
+    ext_flag = float(
+        os.environ.get("SPARK_GRAFT_EXT_CORES_FLAG",
+                       str((os.cpu_count() or 32) / 4))
+    )
+
     def timed_min(fn, sf, detail_sink=None, name=None):
         """min over reps, plus ONE adaptive extra rep when the spread
         exceeds 2× — on this shared host a neighbor's burst can
         swallow both standard reps (measured: identical baseline reps
         of 169.9 s and 19.0 s in one run), and a third sample cheaply
         raises the odds that at least one rep lands in a quiet
-        window. Per-rep (time, end-of-rep load_1m) goes to
-        ``detail_sink[name]`` so a cross-round outlier is
+        window. Per-rep (time, end-of-rep load_1m, external cores)
+        goes to ``detail_sink[name]`` so a cross-round outlier is
         self-diagnosing without a rerun."""
-        times, loads = [], []
+        times, loads, exts = [], [], []
 
         def one_rep():
+            meter = _ExternalCpuMeter()
             start = time.perf_counter()
             fn(spark, sf).count()
             times.append(time.perf_counter() - start)
             loads.append(_load_1m())
+            exts.append(meter.stop())
 
         for _ in range(reps):
             one_rep()
@@ -382,11 +492,20 @@ def main() -> None:
             entry = {
                 "reps": [round(t, 3) for t in times],
                 "load_1m": [round(l, 1) for l in loads],
+                "ext_cores": [
+                    None if e is None else round(e, 1) for e in exts
+                ],
             }
-            # the load at the END of the rep min() selected — if even
-            # the best rep ran under heavy external load, the recorded
-            # number is a contention ceiling, not the plan's cost
-            if loads[times.index(best)] > load_flag:
+            # contention at the rep min() selected — if even the best
+            # rep ran against heavy EXTERNAL cpu, the recorded number
+            # is a contention ceiling, not the plan's cost. Exact
+            # window measurement when /proc exists; the backward-
+            # looking load rule only as a fallback.
+            best_ext = exts[times.index(best)]
+            if best_ext is not None:
+                if best_ext > ext_flag:
+                    entry["contended"] = True
+            elif loads[times.index(best)] > load_flag:
                 entry["contended"] = True
             detail_sink[name] = entry
         return best
@@ -555,11 +674,13 @@ def main() -> None:
             if elapsed > budget - reserve_after:
                 skipped_100x.append(name)
                 continue
-            reps_t, reps_load = [], []
+            reps_t, reps_load, reps_ext = [], [], []
+            meter = _ExternalCpuMeter()
             start = time.perf_counter()
             fn(spark, dir_100x).count()
             reps_t.append(time.perf_counter() - start)
             reps_load.append(_load_1m())
+            reps_ext.append(meter.stop())
             spark.catalog.clearCache()
             steady = steady_100x.get(name)
             elapsed = time.perf_counter() - block_start
@@ -571,10 +692,12 @@ def main() -> None:
                 # 2×-steady outlier trigger for short ones — a
                 # quiet-window repeat is the defensible number, a
                 # confirming second rep is the defensible evidence
+                meter = _ExternalCpuMeter()
                 start = time.perf_counter()
                 fn(spark, dir_100x).count()
                 reps_t.append(time.perf_counter() - start)
                 reps_load.append(_load_1m())
+                reps_ext.append(meter.stop())
                 spark.catalog.clearCache()
             # headline takes the LAST rep: with a retry that is the
             # confirming quiet-window sample — a genuine regression
@@ -587,6 +710,9 @@ def main() -> None:
             detail_100x[name] = {
                 "reps": [round(t, 3) for t in reps_t],
                 "load_1m": [round(l, 1) for l in reps_load],
+                "ext_cores": [
+                    None if e is None else round(e, 1) for e in reps_ext
+                ],
                 **({"steady_ref": steady} if steady is not None else {}),
             }
 
