@@ -133,7 +133,17 @@ def dedup_clusters(
     pair generation dominates; A/B min: 3.6 s vs 5.5 s at sf0.1,
     9.9 s vs 9.7 s at 10×) — the win is the removed
     rounds × corpus multiplier, which local benches cannot exhibit."""
-    comps_incident = connected_components(None, pairs, node_col=id_col)
+    # thread a size estimate for the edge-sized persists: the pair
+    # subplan (joins + unions) has no inputFiles lineage, so the CC's
+    # own footer probe returns None and every per-round label persist
+    # fell to the heap-resident MEMORY_AND_DISK fallback — at real
+    # scale that parks edge-sized buffers on an aged old-gen (the
+    # round-12 keep_best probe's mechanism). The DOCS footer probe is
+    # the documented upper-bound proxy: candidate generators emit
+    # sub-corpus-sized pair sets by construction.
+    comps_incident = connected_components(
+        None, pairs, node_col=id_col, est_bytes=est_relation_bytes(docs)
+    )
     comps = docs.select(id_col).join(
         comps_incident, id_col, "left"
     ).select(
