@@ -34,9 +34,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
-                    choices=["diskonly", "registered"])
+                    choices=["diskonly", "registered", "floor128"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dir", default="/tmp/bench_scaled_sf0.1_x100")
+    ap.add_argument("--query", default="dedup_keep_best")
     args = ap.parse_args()
 
     from bench import _warm_page_cache
@@ -48,18 +49,24 @@ def main() -> None:
     spark.range(1000).count()
     _warm_page_cache(args.dir)
 
-    if args.variant == "diskonly":
+    if args.variant != "registered":
         import vspace_spark.operators.scale as scale
 
         real = scale.persist_shared
+        if args.variant == "diskonly":
 
-        def force_disk(df, est_bytes=None, floor_bytes=0, eager=False):
-            return real(df, est_bytes=1 << 60, floor_bytes=1,
-                        eager=eager)
+            def patched(df, est_bytes=None, floor_bytes=0, eager=False):
+                return real(df, est_bytes=1 << 60, floor_bytes=1,
+                            eager=eager)
+        else:  # floor128: the candidate lower DISK_ONLY floor
 
-        scale.persist_shared = force_disk
+            def patched(df, est_bytes=None, floor_bytes=0, eager=False):
+                return real(df, est_bytes=est_bytes,
+                            floor_bytes=128 << 20, eager=eager)
 
-    fn = QUERIES["dedup_keep_best"]
+        scale.persist_shared = patched
+
+    fn = QUERIES[args.query]
     reps, loads = [], []
     for _ in range(args.reps):
         t0 = time.perf_counter()

@@ -125,11 +125,20 @@ def _collapse_by_key(
         )
         members = members.join(F.broadcast(bad), "_canon", "left_anti")
     from vspace_spark.operators.scale import (
+        _SLIM_DISK_FLOOR,
         est_relation_bytes,
         persist_shared,
     )
 
-    members = persist_shared(members, est_relation_bytes(docs))
+    # slim (member-id, canon-id) pair table, consumed by every later
+    # stage — the round-12 floor A/B's shape: disk at the lower slim
+    # floor, never heap-parked in the 128–512 MB band (see
+    # _SLIM_DISK_FLOOR's rationale in operators/scale.py)
+    members = persist_shared(
+        members,
+        est_relation_bytes(docs),
+        floor_bytes=_SLIM_DISK_FLOOR,
+    )
     members.count()  # bounded-collect: one scalar, forces the cache
     canon_docs = with_canon.filter(F.col("_cid") == F.col("_canon"))
     if max_group is not None:

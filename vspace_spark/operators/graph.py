@@ -16,7 +16,11 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vspace_spark.operators.scale import est_relation_bytes, persist_shared
+from vspace_spark.operators.scale import (
+    _SLIM_DISK_FLOOR,
+    est_relation_bytes,
+    persist_shared,
+)
 
 
 def connected_components(
@@ -45,9 +49,13 @@ def connected_components(
     Persist policy (VERDICT r9 #1): the symmetrized edge list and the
     per-round label tables are both EDGE-sized (labels iterate over
     edge-incident nodes, ≤ 2·|edges| rows), so every persist here goes
-    through the shared :func:`persist_shared` policy — DISK_ONLY once
-    the estimate crosses the floor, keeping multi-GB cache buffers off
-    an aged old-gen. ``est_bytes`` defaults to a footer probe of the
+    through the shared :func:`persist_shared` policy — at the SLIM
+    floor (``_SLIM_DISK_FLOOR``): these are two-long-column tables
+    cycled every round, the exact shape the round-12 floor A/B caught
+    producing sporadic 2–4× GC-coupled reps on-heap while disk cost
+    nothing (slim rows serialize cheaply — wide relations keep the
+    512 MB floor; see the constant's rationale). ``est_bytes``
+    defaults to a footer probe of the
     edge subplan's INPUT files — an upper-bound proxy for the derived
     edge list (candidate-pair generators emit sub-corpus-sized output
     by construction).
@@ -65,11 +73,14 @@ def connected_components(
         )
         .distinct(),
         est_bytes,
+        floor_bytes=_SLIM_DISK_FLOOR,
     )
     if nodes is None:
         base = sym.select("u").distinct()
         labels = persist_shared(
-            base.select("u", F.col("u").alias("component")), est_bytes
+            base.select("u", F.col("u").alias("component")),
+            est_bytes,
+            floor_bytes=_SLIM_DISK_FLOOR,
         )
     else:
         labels = persist_shared(
@@ -78,6 +89,7 @@ def connected_components(
                 F.col(node_col).alias("component"),
             ),
             est_bytes,
+            floor_bytes=_SLIM_DISK_FLOOR,
         )
 
     for _ in range(max_iterations):
@@ -95,6 +107,7 @@ def connected_components(
                 ).alias("component"),
             ),
             est_bytes,
+            floor_bytes=_SLIM_DISK_FLOOR,
         )
         changed = (
             new_labels.join(

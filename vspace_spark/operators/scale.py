@@ -218,6 +218,20 @@ def footer_row_count(df: DataFrame) -> int | None:
 
 _DISK_PERSIST_FLOOR = 512 << 20
 
+# Lower DISK_ONLY floor for SLIM, iteration-cycled relations (id/key
+# pair tables: CC's symmetric edges and per-round labels, collapse
+# member maps). The round-12 floor A/B at the 100× replica isolated
+# exactly these sites (the wide shingle relation is DISK in both
+# arms there): on-heap they produced sporadic 2–4× solo reps
+# (104/142/200 s against a 54 s steady — old-gen GC coupling, 3
+# blow-ups in 11 reps) while on disk 11 reps never exceeded 63.9 s
+# and means were equal-or-better; serializing slim rows is cheap.
+# WIDE relations keep the 512 MB floor: the same A/B at 10× flipped
+# only the exploded shingle persist and paid +38% for the disk
+# round-trip (registered [36.1, 27.6] vs floor128 [40.2, 38.0]) —
+# shape, not just size, decides (PERF.md round 12).
+_SLIM_DISK_FLOOR = 128 << 20
+
 # Expected blow-up of an exploded unigram+bigram/shingle token stream
 # relative to its source documents' decompressed bytes (ADVICE r9):
 # every token reappears in each n-gram that covers it plus the struct/
