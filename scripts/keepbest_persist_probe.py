@@ -34,7 +34,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
-                    choices=["diskonly", "registered", "floor128"])
+                    choices=["diskonly", "registered", "floor128",
+                             "floor512all"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dir", default="/tmp/bench_scaled_sf0.1_x100")
     ap.add_argument("--query", default="dedup_keep_best")
@@ -58,11 +59,16 @@ def main() -> None:
             def patched(df, est_bytes=None, floor_bytes=0, eager=False):
                 return real(df, est_bytes=1 << 60, floor_bytes=1,
                             eager=eager)
-        else:  # floor128: the candidate lower DISK_ONLY floor
+        elif args.variant == "floor128":  # the slim-floor candidate
 
             def patched(df, est_bytes=None, floor_bytes=0, eager=False):
                 return real(df, est_bytes=est_bytes,
                             floor_bytes=128 << 20, eager=eager)
+        else:  # floor512all: pre-r12 behavior — IGNORE caller floors
+
+            def patched(df, est_bytes=None, floor_bytes=0, eager=False):
+                return real(df, est_bytes=est_bytes,
+                            floor_bytes=512 << 20, eager=eager)
 
         scale.persist_shared = patched
 
