@@ -222,3 +222,39 @@ def test_input_bytes_footer_sampling_bounded(spark, tmp_path):
         sc._EST_MAX_FOOTERS = orig_max
     assert sampled is not None and exact is not None
     assert exact / 2 <= sampled <= exact * 2
+
+
+def test_input_bytes_survives_exotic_nested_leaf(spark, tmp_path, monkeypatch):
+    """One unresolvable nested leaf must degrade to ITS chunk's
+    encoded-bytes fallback, not kill the whole-file estimate
+    (ADVICE r12): _leaf_avg_decoded_bytes guards the entire Arrow
+    walk, so an exception on one exotic column leaves the other
+    columns' decoded-size arithmetic intact."""
+    import pyarrow.compute as pc
+
+    from vspace_spark.operators import scale as sc
+
+    # map-typed leaf (path m.key_value.key) + a plain text column;
+    # repeated values force dictionary encoding on every string leaf
+    path = str(tmp_path / "nested.parquet")
+    spark.createDataFrame(
+        [(i, {"k": "v"}, "the same sentence again " * 10)
+         for i in range(5_000)],
+        "id long, m map<string,string>, text string",
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    base = sc._uncompressed_input_bytes(df)
+    assert base is not None and base > 0
+
+    # force an Arrow failure inside the leaf walk: every sampled leaf
+    # now raises, so ALL dictionary string leaves fall back to encoded
+    # bytes — the estimate must survive (not None), just smaller
+    def boom(*a, **k):
+        raise RuntimeError("exotic leaf")
+
+    monkeypatch.setattr(pc, "list_flatten", boom)
+    monkeypatch.setattr(pc, "struct_field", boom)
+    monkeypatch.setattr(pc, "binary_length", boom)
+    degraded = sc._uncompressed_input_bytes(df)
+    assert degraded is not None and 0 < degraded <= base

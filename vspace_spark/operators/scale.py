@@ -45,43 +45,50 @@ def _leaf_avg_decoded_bytes(pf, leaf_path: str) -> float | None:
     import pyarrow.compute as pc
 
     parts = leaf_path.split(".")
+    # The WHOLE walk is guarded, not just iter_batches/struct_field:
+    # an Arrow error on one exotic nested leaf (e.g. list_flatten on a
+    # map-typed wrapper) would otherwise propagate into
+    # _uncompressed_input_bytes's blanket `except: return None`,
+    # silently disabling the entire estimate and dropping the persist
+    # back to the heap-resident fallback this estimator exists to
+    # avoid — returning None here degrades only THIS leaf to its
+    # chunk's total_uncompressed_size fallback (ADVICE r12).
     try:
         batch = next(
             pf.iter_batches(batch_size=1024, columns=[parts[0]]), None
         )
-    except Exception:
-        return None
-    if batch is None or batch.num_rows == 0:
-        return None
-    arr = batch.column(0)
-    # walk to the leaf: flatten list wrappers (their path components —
-    # 'list'/'element'/'item'/'key_value' — name no struct field),
-    # select struct fields by name
-    for name in parts[1:]:
+        if batch is None or batch.num_rows == 0:
+            return None
+        arr = batch.column(0)
+        # walk to the leaf: flatten list wrappers (their path
+        # components — 'list'/'element'/'item'/'key_value' — name no
+        # struct field), select struct fields by name
+        for name in parts[1:]:
+            while pa.types.is_list(arr.type) or pa.types.is_large_list(
+                arr.type
+            ):
+                arr = pc.list_flatten(arr)
+            if pa.types.is_struct(arr.type):
+                arr = pc.struct_field(arr, name)
         while pa.types.is_list(arr.type) or pa.types.is_large_list(
             arr.type
         ):
             arr = pc.list_flatten(arr)
-        if pa.types.is_struct(arr.type):
-            try:
-                arr = pc.struct_field(arr, name)
-            except Exception:
-                return None
-    while pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-        arr = pc.list_flatten(arr)
-    if not (
-        pa.types.is_string(arr.type)
-        or pa.types.is_large_string(arr.type)
-        or pa.types.is_binary(arr.type)
-        or pa.types.is_large_binary(arr.type)
-        or pa.types.is_fixed_size_binary(arr.type)
-    ):
+        if not (
+            pa.types.is_string(arr.type)
+            or pa.types.is_large_string(arr.type)
+            or pa.types.is_binary(arr.type)
+            or pa.types.is_large_binary(arr.type)
+            or pa.types.is_fixed_size_binary(arr.type)
+        ):
+            return None
+        n = len(arr) - arr.null_count
+        if n <= 0:
+            return None
+        total = pc.sum(pc.binary_length(arr)).as_py() or 0
+        return total / n
+    except Exception:
         return None
-    n = len(arr) - arr.null_count
-    if n <= 0:
-        return None
-    total = pc.sum(pc.binary_length(arr)).as_py() or 0
-    return total / n
 
 
 def _uncompressed_input_bytes(df: DataFrame) -> int | None:

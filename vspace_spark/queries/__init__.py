@@ -45,22 +45,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-12 window composition (re-prove-what-changed + oldest
+# Round-13 window composition (re-prove-what-changed + oldest
 # evidence, the standing rotation policy):
-#   - the 7 queries through round 12's changes: the 2 NEW oracled
-#     agreement gates for the r11 ingest fast lanes
-#     (agree_incr_minhash_xxhash64 / agree_incr_embedding_arrow,
-#     VERDICT r11 #2), the 3 agreement gates reworked margin-aware
-#     (VERDICT r11 #6 / ADVICE r11), stream_dedup_embeddings_
-#     incremental (through incremental.py's _auto_lsh_layout change,
-#     VERDICT r11 #5), and user_rfm_segments (fused
-#     ntile_scalable_multi plan, VERDICT r11 #7);
-#   - ALL 14 deferred r8-latest rows — at their 4-round bound, they
-#     MUST enter per their own guard (VERDICT r11 #1);
-#   - 29 of the 40 r9-latest rows, alphabetical-first (the remaining
-#     11 defer to r13 in _DEFERRED below).
-# (r11's window: 2 r11-changed + 4 new agree gates + all 17
-# r7-latest + 27 of 41 r8-latest — 50/50 green, CORRECTNESS_r11.)
+#   - ALL 11 deferred r9-latest rows — at their 4-round bound, they
+#     MUST enter per their own guard (VERDICT r12 #1);
+#   - 39 of the 49 r10-latest rows, alphabetical-first (the remaining
+#     10 defer to r14 in _DEFERRED below). The alphabetical fill
+#     happens to cover every query whose plan round 13 touches
+#     (dedup_keep_best / dedup_clusters / dedup_semantic /
+#     pagerank_purchase_graph via the persist-floor census), so no
+#     swap-ins were needed.
+# (r12's window: 7 r12-changed/new gates + all 14 r8-latest + 29 of
+# 40 r9-latest — 50/50 green, CORRECTNESS_r12.)
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
@@ -69,71 +65,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # oracled agree_* gate; since round 12 the two streaming ingest fast
 # lanes (hash_engine="xxhash64", sig_engine="arrow") are too.
 _WINDOW = [
-    # --- r12 changes + the two new ingest-lane agreement gates
-    "agree_incr_minhash_xxhash64",
-    "agree_incr_embedding_arrow",
-    "agree_ann_bruteforce_fast",
-    "agree_ann_ivf_pq_fast",
-    "agree_dedup_semantic_fast",
-    "stream_dedup_embeddings_incremental",
-    "user_rfm_segments",
-    # --- all 14 deferred r8-latest rows (at their bound)
-    "stream_hourly_counts",
-    "stream_purchase_view_full_join",
-    "stream_purchase_view_join",
-    "stream_purchase_view_left_join",
-    "stream_sliding_counts",
-    "stream_stateful_user_totals",
-    "stream_term_stats_ngram",
-    "stream_transition_matrix",
-    "stream_user_sessions",
-    "temperature_resample",
-    "term_stats_by_source",
-    "term_stats_incremental_merge",
-    "term_stats_unigram",
-    "user_value_ewma",
-    # --- 29 of 40 r9-latest rows (oldest-first fill, alphabetical)
-    "corpus_job_ini",
-    "corpus_jsonl_roundtrip",
-    "corpus_pmi_bigrams",
-    "cube_lineitem_counts",
-    "customer_order_full_outer",
-    "daily_revenue_gapfilled",
-    "dedup_embedding_cosine",
-    "doc_token_arrays",
-    "doc_token_counts",
-    "doc_train_test_split",
-    "domain_mixture_weights",
-    "embedding_norms",
-    "events_variant_stats",
-    "grouped_map_source_ranks",
-    "grouping_sets_revenue",
-    "map_functions_suite",
-    "merge_upsert_orders",
-    "min_cost_supplier_per_part",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "normalize_corpus",
-    "orders_above_segment_avg",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "q3_top_unshipped_orders",
-    "q5_nation_revenue",
-    "q7_nation_volume",
-]
-
-# Named deferrals: oracled queries deliberately left OUT of this
-# round's window whose driver evidence is older than the staleness
-# bound tests/test_registry.py enforces (every oracled query must be
-# in _WINDOW, have GREEN evidence within the last 3 completed rounds,
-# or be named here with green evidence within the last 4). Keeping
-# this list machine-readable is what keeps the rotation honest as the
-# registry grows (VERDICT r10 #8) — a row going stale silently now
-# fails CI. These 11 are the r9-latest remainder after the r12
-# alphabetical fill; they MUST enter the r13 window.
-_DEFERRED = [
+    # --- all 11 deferred r9-latest rows (at their bound)
     "repeat_customers_both_years",
     "rollup_order_totals",
     "shard_manifest",
@@ -145,6 +77,68 @@ _DEFERRED = [
     "top3_orders_per_customer",
     "udtf_token_chunks",
     "vocabulary",
+    # --- 39 of 49 r10-latest rows (oldest-first fill, alphabetical)
+    "ann_ivf_fixed_top5",
+    "asof_purchase_prior_view",
+    "churned_customers_1995",
+    "cohort_daily_retention",
+    "customer_running_spend",
+    "customers_with_high_value_order",
+    "customers_without_orders",
+    "daily_event_pivot",
+    "dedup_clusters",
+    "dedup_fuzzy_pairs",
+    "dedup_fuzzy_pairs_auto",
+    "dedup_fuzzy_pairs_passjoin",
+    "dedup_fuzzy_pairs_qgram",
+    "dedup_jaccard_pairs",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_simhash",
+    "distinct_users_per_type",
+    "doc_boilerplate_share",
+    "doc_oov_rate",
+    "doc_pii_scrub",
+    "doc_span_novelty",
+    "doc_span_scrub",
+    "doc_term_frequencies",
+    "doc_training_order",
+    "doc_wordcount",
+    "events_anomaly_zscore",
+    "events_json_stats",
+    "events_rollup_cascade",
+    "funnel_conversion_window",
+    "funnel_view_click_purchase",
+    "math_functions_suite",
+    "monthly_revenue",
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    "multimodal_phash_dedup",
+    "order_rank_suite",
+    "pagerank_purchase_graph",
+]
+
+# Named deferrals: oracled queries deliberately left OUT of this
+# round's window whose driver evidence is older than the staleness
+# bound tests/test_registry.py enforces (every oracled query must be
+# in _WINDOW, have GREEN evidence within the last 3 completed rounds,
+# or be named here with green evidence within the last 4). Keeping
+# this list machine-readable is what keeps the rotation honest as the
+# registry grows (VERDICT r10 #8) — a row going stale silently now
+# fails CI. These 10 are the r10-latest remainder after the r13
+# alphabetical fill; they MUST enter the r14 window.
+_DEFERRED = [
+    "part_brand_except_all",
+    "part_brand_intersect_all",
+    "part_price_bands",
+    "price_percentiles",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "stream_dedup_docs_passjoin",
+    "string_functions_suite",
+    "trailing_30d_spend",
+    "vocab_gated_stats",
 ]
 
 
