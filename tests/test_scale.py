@@ -258,3 +258,52 @@ def test_input_bytes_survives_exotic_nested_leaf(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(pc, "binary_length", boom)
     degraded = sc._uncompressed_input_bytes(df)
     assert degraded is not None and 0 < degraded <= base
+
+
+def test_no_unresolved_est_in_scale_paths(spark):
+    """VERDICT r12 #5: every persist_shared site reached by the bench's
+    heavy queries (the 100x block + the corpus-sized curation writes)
+    must resolve a size estimate — est=None silently falls back to the
+    heap-resident MEMORY_AND_DISK level, the exact class of bug the
+    r12 keep_best probe chased for two rounds. KNOWN_SMALL (an
+    explicit reviewed claim) passes; None fails. The audit hook
+    records at query-construction time, so this runs the cheap
+    sf0.001 fixtures."""
+    import bench
+    from vspace_spark.operators import scale as sc
+    from vspace_spark.queries import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    names = sorted(
+        set(bench.HEADLINE)
+        | {
+            "shard_manifest",
+            "doc_pack_sequences",
+            "curated_corpus",
+            "doc_training_order",
+            "vocabulary",
+        }
+    )
+    gaps = []
+    sc._PERSIST_AUDIT = audit = []
+    try:
+        for name in names:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            before = len(audit)
+            df = fn(spark, sf)
+            df.count()
+            for rec in audit[before:]:
+                if rec["est_bytes"] is None:
+                    gaps.append({"query": name, **rec})
+            spark.catalog.clearCache()
+    finally:
+        sc._PERSIST_AUDIT = None
+        spark.catalog.clearCache()
+    assert audit, "audit hook recorded nothing — wiring broken?"
+    assert not gaps, (
+        "persist_shared sites with unresolved (None) size estimates "
+        f"in scale paths: {gaps}"
+    )

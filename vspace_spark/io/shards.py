@@ -25,15 +25,22 @@ def plan_token_shards(
     wc: Column,
     tokens_per_shard: int = 1_000_000,
     order_col: str = "doc_id",
+    est_bytes: int | None = None,
+    floor_bytes: int | None = None,
 ) -> DataFrame:
     """Input rows + ``shard`` (BIGINT) — exact integer arithmetic on
     the two-phase prefix sum; rows with ``wc`` <= 0 are dropped (an
-    empty document occupies no shard)."""
+    empty document occupies no shard). ``est_bytes``/``floor_bytes``
+    forward to the prefix-sum persist — ``docs`` here usually carries
+    the FULL row (it gets written partitioned by shard), so the wide
+    512 MB floor is the right one."""
     planned = pack_plan(
         docs.withColumn("_wc", wc).filter(F.col("_wc") > 0),
         wc_col="_wc",
         order_col=order_col,
         budget=tokens_per_shard,
+        est_bytes=est_bytes,
+        floor_bytes=floor_bytes,
     )
     return planned.withColumnRenamed("first_seq", "shard").drop(
         "start_offset", "n_seqs"
@@ -46,6 +53,7 @@ def write_token_shards(
     wc: Column,
     tokens_per_shard: int = 1_000_000,
     order_col: str = "doc_id",
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Write ``docs`` under ``path`` partitioned by shard and return
     the manifest (one row per shard: doc/token counts and the doc-id
@@ -53,8 +61,13 @@ def write_token_shards(
     shard-count-sized; the corpus is written once, shuffled only by
     the ``partitionBy`` file commit (the prefix sum's range partition
     already clusters consecutive doc ids, so each task writes few
-    shard directories)."""
-    planned = plan_token_shards(docs, wc, tokens_per_shard, order_col)
+    shard directories). ``est_bytes`` sizes the prefix-sum persist
+    (the planned relation carries the full document row, so it is
+    corpus-sized — a None estimate heap-parks it at scale; wide
+    512 MB floor)."""
+    planned = plan_token_shards(
+        docs, wc, tokens_per_shard, order_col, est_bytes=est_bytes
+    )
     planned.write.mode("overwrite").partitionBy("shard").parquet(path)
     return (
         planned.groupBy("shard")

@@ -28,6 +28,7 @@ def assign_global_positions(
     df: DataFrame,
     order_cols: list[str],
     out_col: str = "position",
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = 0-based global rank under ``ORDER BY
     order_cols``, identical to a global ``row_number() - 1`` but with
@@ -35,15 +36,24 @@ def assign_global_positions(
     number locally per partition, then shift by broadcast cumulative
     offsets (one count row per partition). The numbering pass is
     persisted so partition ids stay stable between the count and the
-    final join."""
-    from pyspark import StorageLevel
+    final join — level by the shared policy at the SLIM floor (the
+    numbered relation is usually an (id, order-key) projection;
+    ``est_bytes`` is the caller's size estimate of ``df`` — callers
+    on corpus-sized inputs must pass one or the persist silently
+    falls back heap-resident, the r12 keep_best hazard)."""
+    from vspace_spark.operators.scale import (
+        _SLIM_DISK_FLOOR,
+        persist_shared,
+    )
 
     part = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = part.withColumn("_rn", F.row_number().over(w)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    local = persist_shared(
+        part.withColumn("_rn", F.row_number().over(w)),
+        est_bytes,
+        floor_bytes=_SLIM_DISK_FLOOR,
     )
     # bounded-collect: one row per partition (two-phase numbering)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
@@ -64,13 +74,19 @@ def assign_global_positions(
 
 
 def epoch_shuffle(
-    df: DataFrame, key: str, epoch: int = 0, out_col: str = "position"
+    df: DataFrame,
+    key: str,
+    epoch: int = 0,
+    out_col: str = "position",
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Deterministic training-epoch shuffle: global position under
     ``ORDER BY md5('order:<epoch>:' || key), key``. Content-addressed
     (same corpus → same order anywhere), epoch-salted (each epoch is
     an independent permutation), and scale-safe via
-    :func:`assign_global_positions`."""
+    :func:`assign_global_positions` (``est_bytes`` forwarded to its
+    numbering persist — the md5 key adds ~32 B/row to ``df``'s
+    width)."""
     keyed = df.withColumn(
         "_h",
         F.md5(
@@ -79,7 +95,9 @@ def epoch_shuffle(
             )
         ),
     )
-    return assign_global_positions(keyed, ["_h", key], out_col).drop("_h")
+    return assign_global_positions(
+        keyed, ["_h", key], out_col, est_bytes=est_bytes
+    ).drop("_h")
 
 
 def _ntile_bucket(n: int, k: int) -> F.Column:
@@ -101,6 +119,7 @@ def ntile_scalable(
     k: int,
     order_cols: list[str],
     out_col: str,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """``ntile(k) OVER (ORDER BY order_cols)`` without the
     single-partition global window: two-phase global numbering
@@ -108,8 +127,11 @@ def ntile_scalable(
     formula (:func:`_ntile_bucket`), identical to the SQL-standard
     definition on every engine. ``order_cols`` must be a total order
     (include a unique tie-break) or bucket boundaries are
-    nondeterministic."""
-    pos = assign_global_positions(df, order_cols, "_ntpos")
+    nondeterministic. ``est_bytes`` = caller's size estimate of
+    ``df``, forwarded to the numbering persist."""
+    pos = assign_global_positions(
+        df, order_cols, "_ntpos", est_bytes=est_bytes
+    )
     n = pos.count()  # bounded-collect: one scalar
     return pos.withColumn(out_col, _ntile_bucket(n, k)).drop("_ntpos")
 
@@ -119,6 +141,7 @@ def ntile_scalable_multi(
     k: int,
     specs: list[tuple[list[str], str]],
     id_col: str,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Several ``ntile(k)`` assignments over DIFFERENT orderings of
     the SAME relation, fused (VERDICT r11 #7): chaining
@@ -129,17 +152,22 @@ def ntile_scalable_multi(
     the quartile columns join back on ``id_col`` — the joins hash on
     one shared key, so AQE reuses the base exchange across them.
     ``id_col`` must be unique per row and each spec's order_cols a
-    total order, or assignments are nondeterministic."""
+    total order, or assignments are nondeterministic. ``est_bytes``
+    = caller's size estimate of ``df``, applied to the shared base
+    persist AND each dimension's slim numbering persist (an upper
+    bound there — the slim projection is narrower than the base)."""
     from vspace_spark.operators.scale import persist_shared
 
-    base = persist_shared(df)
+    base = persist_shared(df, est_bytes)
     n = base.count()  # bounded-collect: one scalar, shared by all dims
     out = base
     for order_cols, out_col in specs:
         slim = base.select(
             *dict.fromkeys([id_col, *order_cols])  # dedup, keep order
         )
-        pos = assign_global_positions(slim, order_cols, "_ntpos")
+        pos = assign_global_positions(
+            slim, order_cols, "_ntpos", est_bytes=est_bytes
+        )
         res = pos.select(
             id_col, _ntile_bucket(n, k).alias(out_col)
         )

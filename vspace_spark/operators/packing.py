@@ -19,7 +19,6 @@ partition of the corpus.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +28,8 @@ def pack_plan(
     wc_col: str = "wc",
     order_col: str = "doc_id",
     budget: int = 512,
+    est_bytes: int | None = None,
+    floor_bytes: int | None = None,
 ) -> DataFrame:
     """Packing plan: one row per input row with its global token
     ``start_offset`` (exclusive prefix sum of ``wc_col`` in
@@ -40,7 +41,20 @@ def pack_plan(
     document occupies no sequence). ``budget`` is the trainer's
     sequence length (512 here for test visibility; 2k-8k in practice).
     Integral ``div`` keeps every output column exact BIGINT arithmetic.
+
+    ``est_bytes`` = caller's size estimate of ``df`` for the prefix-sum
+    persist's level (None falls back heap-resident). ``floor_bytes``
+    defaults to the SLIM floor — right when ``df`` is the usual
+    (id, wc) projection; callers passing a WIDE row (e.g. the full
+    text for a partitioned shard write) should pass the default
+    512 MB floor instead, the shape-split the r12 A/B measured
+    (+38% for a wide relation pushed to disk early).
     """
+    from vspace_spark.operators.scale import (
+        _SLIM_DISK_FLOOR,
+        persist_shared,
+    )
+
     part = df.repartitionByRange(order_col).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -49,9 +63,13 @@ def pack_plan(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn(
-        "_cum", F.sum(wc_col).over(w).cast("long")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if floor_bytes is None:
+        floor_bytes = _SLIM_DISK_FLOOR
+    local = persist_shared(
+        part.withColumn("_cum", F.sum(wc_col).over(w).cast("long")),
+        est_bytes,
+        floor_bytes=floor_bytes,
+    )
     counts = (
         local.groupBy("_pid")
         .agg(F.sum(wc_col).alias("_tot"))

@@ -282,6 +282,22 @@ def est_relation_bytes(
     return int(est * expansion)
 
 
+# Explicit claim that a persisted relation is vocabulary/dimension-
+# sized (a per-token aggregate, a per-partition count, a query-terms
+# posting list) — semantically distinct from ``None`` (= UNKNOWN): the
+# persist level is the same MEMORY_AND_DISK either way, but the
+# est=None audit (tests/test_scale.py, VERDICT r12 #5) treats None at
+# a 100×-path call site as a policy gap while KNOWN_SMALL records a
+# reviewed decision. Sites claiming it must say WHY in a comment.
+KNOWN_SMALL = 0
+
+# When set to a list by a test/probe, every persist_shared call
+# appends {"caller", "est_bytes", "floor_bytes", "level"} — the
+# audit trail for asserting that no scale-coupled path persists with
+# an unresolved (None) size estimate.
+_PERSIST_AUDIT: list[dict] | None = None
+
+
 def persist_shared(
     df: DataFrame,
     est_bytes: int | None = None,
@@ -317,6 +333,22 @@ def persist_shared(
         if est_bytes is not None and est_bytes >= floor_bytes
         else StorageLevel.MEMORY_AND_DISK
     )
+    if _PERSIST_AUDIT is not None:
+        import traceback
+
+        caller = "?"
+        for fr in reversed(traceback.extract_stack()[:-1]):
+            if not fr.filename.endswith("scale.py"):
+                caller = f"{os.path.basename(fr.filename)}:{fr.lineno}"
+                break
+        _PERSIST_AUDIT.append(
+            {
+                "caller": caller,
+                "est_bytes": est_bytes,
+                "floor_bytes": floor_bytes,
+                "level": str(level),
+            }
+        )
     out = df.persist(level)
     if eager:
         out.count()  # bounded-collect: one scalar, materializes the cache

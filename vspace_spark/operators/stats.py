@@ -699,7 +699,7 @@ def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from vspace_spark.operators.scale import persist_shared
+    from vspace_spark.operators.scale import KNOWN_SMALL, persist_shared
 
     df = token_dfs[0].select("token")
     for other in token_dfs[1:]:
@@ -714,9 +714,13 @@ def build_vocabulary(*token_dfs: DataFrame) -> DataFrame:
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy("token")
-    # vocabulary-sized (distinct tokens) — persist_shared's unknown-
-    # size default, MEMORY_AND_DISK, is the right level
-    local = persist_shared(part.withColumn("_rn", F.row_number().over(w)))
+    # vocabulary-sized (distinct trimmed tokens, not corpus rows) —
+    # MEMORY_AND_DISK by the explicit KNOWN_SMALL claim: language
+    # vocabularies saturate in the millions of types while the corpus
+    # grows unbounded, so this relation does not scale with input
+    local = persist_shared(
+        part.withColumn("_rn", F.row_number().over(w)), KNOWN_SMALL
+    )
     # bounded-collect: one row per partition (two-phase id numbering)
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
     offsets, acc = [], 0

@@ -112,12 +112,21 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary ids. All-BIGINT arithmetic (``div`` here, ``//`` in the
     oracle — CAST would round vs truncate differently, NOTES.md)."""
     from vspace_spark.operators.packing import pack_plan
+    from vspace_spark.operators.scale import est_relation_bytes
 
     docs = load_table(spark, sf_dir, "documents")
     wc = docs.select(
         "doc_id", F.size(tokenize_col("text")).alias("wc")
     ).filter(F.col("wc") > 0)
-    return pack_plan(wc, wc_col="wc", order_col="doc_id", budget=512)
+    # slim (doc_id, wc) rows sized by exact footer count (docs is a
+    # bare scan) — slim floor inside pack_plan
+    return pack_plan(
+        wc,
+        wc_col="wc",
+        order_col="doc_id",
+        budget=512,
+        est_bytes=est_relation_bytes(docs, row_bytes=32),
+    )
 
 
 @query(
@@ -189,6 +198,7 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from vspace_spark.operators.packing import pack_plan
     from vspace_spark.operators.sampling import hash_bucket
+    from vspace_spark.operators.scale import est_relation_bytes
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -223,9 +233,14 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "wc")
     )
-    return pack_plan(surv, wc_col="wc", order_col="doc_id").select(
-        "doc_id", "wc", "start_offset", "first_seq"
-    )
+    # survivors ⊆ corpus rows and the packed row is slim (doc_id, wc)
+    # — upper bound by exact footer rows of the bare docs scan
+    return pack_plan(
+        surv,
+        wc_col="wc",
+        order_col="doc_id",
+        est_bytes=est_relation_bytes(docs, row_bytes=32),
+    ).select("doc_id", "wc", "start_offset", "first_seq")
 
 
 @query(
@@ -566,11 +581,17 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write_token_shards uses static overwrite, so the whole root is
     # replaced each run — no stale shard dirs survive
     out = keyed_tmp_dir("vspace_shards", sf_dir)
+    from vspace_spark.operators.scale import est_relation_bytes
+
     return write_token_shards(
         docs,
         out,
         wc=F.size(tokenize_col("text")),
         tokens_per_shard=_SHARD_TOKENS,
+        # the planned relation carries the full document text (it is
+        # written partitioned by shard) → decoded corpus bytes is the
+        # honest estimate; wide shape keeps the 512 MB floor
+        est_bytes=est_relation_bytes(docs),
     )
 
 
@@ -601,10 +622,18 @@ def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary id assignment uses, with NO data-sized single-task
     stage. Plan-asserted in tests/test_plans.py."""
     from vspace_spark.operators.ordering import epoch_shuffle
+    from vspace_spark.operators.scale import est_relation_bytes
 
     docs = load_table(spark, sf_dir, "documents")
+    # the numbered relation is (doc_id + 32-B md5 key + ints) — sized
+    # by exact footer rows so the corpus-row-scaled persist inside the
+    # two-phase numbering crosses the disk floor at scale instead of
+    # heap-parking (VERDICT r12 #5)
     return epoch_shuffle(
-        docs.select("doc_id"), key="doc_id", epoch=0
+        docs.select("doc_id"),
+        key="doc_id",
+        epoch=0,
+        est_bytes=est_relation_bytes(docs, row_bytes=64),
     ).select("doc_id", "position")
 
 

@@ -455,14 +455,31 @@ def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index and hit the 300 s broadcast TIMEOUT computing it inside
     # the broadcast job — honest InMemoryRelation stats let it pick a
     # shuffle join when the index is genuinely big.
-    from pyspark import StorageLevel
-
-    static = banded(static_sigs, "b", "_sigb").persist(
-        StorageLevel.MEMORY_AND_DISK
+    from vspace_spark.operators.scale import (
+        _SLIM_DISK_FLOOR,
+        est_relation_bytes,
+        persist_shared,
     )
-    static.count()
-    members = members.persist(StorageLevel.MEMORY_AND_DISK)
-    members.count()
+
+    # sized rows × banded-signature width (docs is a bare scan, so
+    # the footer row count is exact): bands rows per canonical doc,
+    # each carrying the full sig array + the concat bucket key —
+    # corpus-row-scaled, so the shared policy (not a bare heap
+    # persist) decides the level at 100× (VERDICT r12 #4/#5)
+    static = persist_shared(
+        banded(static_sigs, "b", "_sigb"),
+        est_relation_bytes(
+            docs, row_bytes=bands * (8 * num_hashes + 32 + 12 * rows)
+        ),
+        eager=True,
+    )
+    # slim two-long-column member map, the r12 floor A/B's shape
+    members = persist_shared(
+        members,
+        est_relation_bytes(docs, row_bytes=24),
+        floor_bytes=_SLIM_DISK_FLOOR,
+        eager=True,
+    )
 
     schema = T.StructType(
         [

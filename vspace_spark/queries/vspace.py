@@ -381,7 +381,7 @@ def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring on the engine's own term statistics (§2.11 — the
     reference stores the sufficient statistics but never scores; this
     closes the loop) + top-k-per-group window."""
-    from vspace_spark.operators.scale import persist_shared
+    from vspace_spark.operators.scale import KNOWN_SMALL, persist_shared
 
     docs = load_table(spark, sf_dir, "documents")
     perdoc = tokenized_documents(docs)
@@ -396,9 +396,13 @@ def tfidf_top3_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was built and MEASURED WORSE at sf0.1 — steady reps: df-persist
     # 1.6 s, perdoc-persist 2.1-2.4 s, no persist at all 2.7-3.6 s
     # (PERF.md round 9; the r8 1.04→1.61 "regression" was host noise)
-    # — so ONE plan serves every scale.
+    # — so ONE plan serves every scale. KNOWN_SMALL: the unigram
+    # token→df aggregate is vocabulary-sized (distinct types saturate
+    # while the corpus grows), the reviewed claim behind MEMORY_AND_
+    # DISK here (est=None would read as an unaudited policy gap).
     df = persist_shared(
-        perdoc.groupBy("token").agg(F.count("*").alias("df"))
+        perdoc.groupBy("token").agg(F.count("*").alias("df")),
+        KNOWN_SMALL,
     )
     n_docs = docs.count()
     scored = perdoc.join(df, "token").select(
