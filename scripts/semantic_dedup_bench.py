@@ -61,6 +61,11 @@ def main() -> None:
     )
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
+        "--nprobe", type=int, default=2,
+        help="coarse_nprobe for the trained two-level lane (the "
+        "router recall knob, PERF.md round 13)",
+    )
+    ap.add_argument(
         "--phase-split",
         type=str,
         default=None,
@@ -228,6 +233,7 @@ def main() -> None:
                         threshold=0.95,
                         engine="arrow",
                         coarse=(coarse, owner),
+                        coarse_nprobe=args.nprobe,
                     )
                 ),
             )
@@ -280,6 +286,7 @@ def main() -> None:
                         threshold=0.95,
                         engine="arrow",
                         coarse=(coarse, owner),
+                        coarse_nprobe=args.nprobe,
                     )
                 )
                 times.append(time.perf_counter() - t0)

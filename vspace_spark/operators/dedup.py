@@ -1048,6 +1048,7 @@ def semantic_dedup(
     collapse_exact: bool = True,
     engine: str = "fold",
     coarse: "tuple[list[list[float]], list[int]] | None" = None,
+    coarse_nprobe: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -1219,6 +1220,7 @@ def semantic_dedup(
             semantic_dedup(
                 core_in, centers, id_col, vec_col, threshold,
                 collapse_exact=False, engine=engine, coarse=coarse,
+                coarse_nprobe=coarse_nprobe,
             ),
             est_relation_bytes(embeddings, row_bytes=64),
         )
@@ -1244,7 +1246,8 @@ def semantic_dedup(
 
     if engine == "arrow":
         return _semantic_dedup_arrow_raw(
-            embeddings, centers, id_col, vec_col, threshold, coarse
+            embeddings, centers, id_col, vec_col, threshold, coarse,
+            coarse_nprobe=coarse_nprobe,
         )
 
     from vspace_spark.operators.scale import (
@@ -1998,6 +2001,7 @@ def _semantic_dedup_arrow_raw(
     vec_col: str,
     threshold: float,
     coarse: "tuple[list[list[float]], list[int]] | None" = None,
+    coarse_nprobe: int = 2,
 ) -> DataFrame:
     """Arrow/numpy engine for :func:`semantic_dedup`'s raw core (see
     its docstring): matmul cell assignment per Arrow batch, one Gram
@@ -2011,10 +2015,17 @@ def _semantic_dedup_arrow_raw(
     cell each fine center belongs to): two-level assignment for
     TRAINED codebooks (:func:`hierarchical_codebook`). A vector
     argmins over the Kc coarse centers, then over only the fine
-    centers its coarse cell owns — N·(Kc + K/Kc)·D flops instead of
-    N·K·D. Exact for hierarchically-trained codebooks in the sense
-    that every fine center is probed through its own coarse owner;
-    r7 measured that this routing is near-chance over a RANDOM fine
+    centers owned by its ``coarse_nprobe`` NEAREST coarse cells —
+    N·(Kc + nprobe·K/Kc)·D flops instead of N·K·D. Single-probe
+    routing flips a vector's fine cell whenever its true nearest fine
+    center is owned by the SECOND-nearest coarse cluster (a boundary
+    vector), and a flip can split a near-duplicate pair across cells
+    — measured on the sf0.1 embeddings at nprobe=1: 12.3% cell flips
+    costing 17% of the flat lane's duplicate edges; nprobe=2 recovers
+    it (scripts/trained_router_recall_probe.py, PERF.md round 13).
+    Exact for hierarchically-trained codebooks in the sense that
+    every fine center is probed through its own coarse owner; r7
+    measured that this routing is near-chance over a RANDOM fine
     codebook (no shared cluster structure), which is why the portable
     md5-codebook path stays flat and only the trained twin uses it."""
     from collections.abc import Iterator
@@ -2027,6 +2038,9 @@ def _semantic_dedup_arrow_raw(
         None if coarse is None else [list(map(float, c)) for c in coarse[0]]
     )
     owner_rows = None if coarse is None else [int(o) for o in coarse[1]]
+    nprobe = int(coarse_nprobe)
+    if nprobe < 1:
+        raise ValueError(f"coarse_nprobe must be >= 1, got {nprobe}")
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -2055,18 +2069,33 @@ def _semantic_dedup_arrow_raw(
                 cells = d.argmin(1).astype("int32")
             else:
                 dc = cc2 - 2.0 * (V @ CC.T)
-                cgrp = dc.argmin(1)
+                np_eff = min(nprobe, len(CC))
+                # per-row nearest np_eff coarse cells, nearest first
+                # (argsort, not argpartition: probe order decides
+                # equal-distance ties — nearest-coarse wins, matching
+                # the single-probe convention)
+                order = _np.argsort(dc, axis=1)[:, :np_eff]
+                best_d = _np.full(len(V), _np.inf)
                 cells = _np.empty(len(V), dtype="int32")
-                for c in range(len(CC)):
-                    rows = _np.nonzero(cgrp == c)[0]
-                    if not len(rows):
-                        continue
-                    m = members[c]
-                    sub = (
-                        c2[0, m][None, :]
-                        - 2.0 * (V[rows] @ C[m].T)
-                    )
-                    cells[rows] = m[sub.argmin(1)]
+                for p in range(np_eff):
+                    cgrp = order[:, p]
+                    for c in range(len(CC)):
+                        rows = _np.nonzero(cgrp == c)[0]
+                        if not len(rows):
+                            continue
+                        m = members[c]
+                        if not len(m):
+                            continue
+                        sub = (
+                            c2[0, m][None, :]
+                            - 2.0 * (V[rows] @ C[m].T)
+                        )
+                        j = sub.argmin(1)
+                        d = sub[_np.arange(len(rows)), j]
+                        upd = d < best_d[rows]
+                        rr = rows[upd]
+                        best_d[rr] = d[upd]
+                        cells[rr] = m[j[upd]].astype("int32")
             yield _pd.DataFrame(
                 {
                     "_id": pdf["_idin"].astype("int64"),
@@ -2248,6 +2277,7 @@ def semantic_dedup_two_level(
     threshold: float = 0.95,
     collapse_exact: bool = True,
     sample_rows: int | None = None,
+    coarse_nprobe: int = 2,
 ) -> DataFrame:
     """:func:`semantic_dedup` with a TRAINED hierarchical codebook
     and two-level arrow assignment — the quality/scale lane for
@@ -2278,4 +2308,5 @@ def semantic_dedup_two_level(
         collapse_exact=collapse_exact,
         engine="arrow",
         coarse=(coarse_centers, owner),
+        coarse_nprobe=coarse_nprobe,
     )
