@@ -1522,3 +1522,59 @@ def test_fuzzy_pairs_auto_routes_by_occupancy(spark, monkeypatch):
         }
         assert auto == pj == qg, (len(auto), len(pj), len(qg))
         assert len(auto) > 0
+
+def test_two_level_router_nprobe_all_equals_flat(spark):
+    """coarse_nprobe identity (round 13): probing EVERY coarse
+    cluster makes the two-level router argmin over the union of all
+    fine members = the flat argmin over all fine centers — cell
+    assignments must match EXACTLY (same distances, same
+    lowest-index tie convention via nearest-probe-first ordering).
+    Also pins the monotone recall direction that motivated the knob:
+    nprobe=2's assignments agree with flat at least as often as
+    nprobe=1's (scripts/trained_router_recall_probe.py measured
+    0.829 -> 0.937 -> 1.000 duplicate-edge recall at sf0.1)."""
+    import numpy as np
+
+    from vspace_spark.operators.dedup import (
+        _semantic_dedup_arrow_raw,
+        hierarchical_codebook,
+    )
+
+    rng = np.random.default_rng(11)
+    # overlapping clusters: boundary vectors exist, so nprobe matters
+    cents = rng.normal(0, 2.0, (6, 12))
+    rows = [
+        (
+            i,
+            [
+                float(x)
+                for x in cents[i % 6] + rng.normal(0, 1.2, 12)
+            ],
+        )
+        for i in range(360)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    fine, coarse, owner = hierarchical_codebook(df, 12)
+
+    def cells(coarse_arg, nprobe):
+        return {
+            r.vec_id: r.cell
+            for r in _semantic_dedup_arrow_raw(
+                df, fine, "vec_id", "embedding", 0.9999,
+                coarse_arg, coarse_nprobe=nprobe,
+            ).collect()
+        }
+
+    flat = cells(None, 1)
+    all_probe = cells((coarse, owner), len(coarse))
+    assert all_probe == flat
+
+    a1 = sum(
+        cells((coarse, owner), 1)[i] == flat[i] for i in flat
+    )
+    a2 = sum(
+        cells((coarse, owner), 2)[i] == flat[i] for i in flat
+    )
+    assert a2 >= a1
