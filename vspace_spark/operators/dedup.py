@@ -520,9 +520,19 @@ def minhash_lsh_pairs(
         minhash_signatures(docs, id_col, tokens, num_hashes),
         est_relation_bytes(docs, row_bytes=8 * num_hashes + 32),
     )
+    # SLIM banding (guide §2.3 / §8 — r13): the bucket self-join and
+    # the (a, b) dedup used to carry the full num_hashes-long signature
+    # on BOTH sides — ~8.5 kB of payload per doc through the
+    # (band, bucket) exchange and ~1 kB per candidate pair through the
+    # dropDuplicates exchange, where only ids decide who pairs.
+    # Pair on (band, bucket, id) rows (~24 B each), THEN rejoin the
+    # persisted signature table once per endpoint — at 100 TB that is
+    # ~9× fewer shuffled bytes for the same pair set (plan diff in
+    # plans/r13/dedup_minhash_lsh_fast_{before,after}.txt); output is
+    # bit-identical (same pairs, same sig values, same est_jaccard —
+    # oracle-pinned on the portable twin).
     banded = sigs.select(
         "_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -542,18 +552,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "sig", "bb.band", "bb.bucket")
+    ).select("_id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
         banded = drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
-    left = banded.select("band", "bucket", F.col("_id").alias("a"), F.col("sig").alias("_siga"))
-    right = banded.select(
-        "band", "bucket", F.col("_id").alias("b"), F.col("sig").alias("_sigb")
-    )
+    left = banded.select("band", "bucket", F.col("_id").alias("a"))
+    right = banded.select("band", "bucket", F.col("_id").alias("b"))
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "_siga", "_sigb")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .join(
+            sigs.select(F.col("_id").alias("a"), F.col("sig").alias("_siga")),
+            "a",
+        )
+        .join(
+            sigs.select(F.col("_id").alias("b"), F.col("sig").alias("_sigb")),
+            "b",
+        )
     )
     agree = F.size(
         F.filter(
@@ -644,9 +660,16 @@ def minhash_lsh_pairs_portable(
         ),
         est_relation_bytes(docs, row_bytes=8 * num_hashes + 32),
     )
+    # SLIM banding — same restructure as the xxhash64 twin (guide §2.3
+    # / §8 — r13): pair on (band, bucket, id) rows only, rejoin the
+    # persisted signatures once per endpoint after the (a, b) dedup.
+    # The bucket key here is the band's min-values STRING (oracle-
+    # mirrored), so the slim rows are a few tens of bytes vs the
+    # ~300 B signature payload they used to carry on both join sides.
+    # Output bit-identical — the whole operator stays under the DuckDB
+    # value-hash gate (dedup_minhash_lsh).
     banded = sigs.select(
         "_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -664,20 +687,24 @@ def minhash_lsh_pairs_portable(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "sig", "bb.band", "bb.bucket")
+    ).select("_id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
         banded = drop_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
-    left = banded.select(
-        "band", "bucket", F.col("_id").alias("a"), F.col("sig").alias("_siga")
-    )
-    right = banded.select(
-        "band", "bucket", F.col("_id").alias("b"), F.col("sig").alias("_sigb")
-    )
+    left = banded.select("band", "bucket", F.col("_id").alias("a"))
+    right = banded.select("band", "bucket", F.col("_id").alias("b"))
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "_siga", "_sigb")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .join(
+            sigs.select(F.col("_id").alias("a"), F.col("sig").alias("_siga")),
+            "a",
+        )
+        .join(
+            sigs.select(F.col("_id").alias("b"), F.col("sig").alias("_sigb")),
+            "b",
+        )
     )
     agree = F.size(
         F.filter(

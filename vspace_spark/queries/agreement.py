@@ -175,15 +175,28 @@ def agree_ann_ivf_pq_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded-collect: m*ksub codebook rows
     ]
     # the canonical lane, scored end-to-end: every probed candidate
-    # with its ADC distance; rank ≤ 5 of this IS ivf_pq_topk's output
-    scored = ivf_pq_probe(
-        q, ivf_pq_encode(emb, pc), pc, k=1 << 30, keep_dist=True
-    ).localCheckpoint(eager=False)
+    # with its ADC distance; rank ≤ 5 of this IS ivf_pq_topk's output.
+    # Persisted (guide §5 — r13): scored feeds rel (both exceptAll
+    # directions) AND the broadcast canon; the lazy localCheckpoint
+    # left the relational encode+probe — the gate's whole cost — open
+    # to re-evaluation, and the fast lane was rebuilt once per
+    # exceptAll side. Measured 49.8 s → the lane solo costs ~18 s
+    # (full-registry sweep); identical rows, fewer evaluations.
+    from vspace_spark.operators.scale import KNOWN_SMALL, persist_shared
+
+    scored = persist_shared(
+        ivf_pq_probe(
+            q, ivf_pq_encode(emb, pc), pc, k=1 << 30, keep_dist=True
+        ),
+        KNOWN_SMALL,
+    )
     rel = scored.filter(F.col("rank") <= 5).select(
         "query_id", "neighbor_id", "rank"
     )
     arrow_index = ivf_pq_encode_arrow(emb, pc_rows=pc_rows)
-    fast = ivf_pq_probe_arrow(q, arrow_index, pc_rows, k=5)
+    fast = persist_shared(
+        ivf_pq_probe_arrow(q, arrow_index, pc_rows, k=5), KNOWN_SMALL
+    )
 
     canon = scored.select(
         "query_id", "neighbor_id", F.col("_dist").alias("_score")
@@ -228,10 +241,25 @@ def agree_dedup_semantic_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = emb.count()  # bounded-collect: one scalar, sizes the codebook
     centers = portable_hyperplanes(64, max(16, n // 512), salt="s")
     threshold = 0.4
-    diff = _bag_diff(
+    # Persist both lane outputs and the diff (guide §5 — r13): each is
+    # one row per input vector (KNOWN_SMALL), but the unpersisted
+    # subtrees were re-evaluated at every reference — a.exceptAll(b) ∪
+    # b.exceptAll(a) computes BOTH full dedup pipelines twice, and the
+    # diff itself feeds dcells, the final anti-join, AND (via members)
+    # the ε-scan — measured 34.6 s for a gate whose two lanes cost
+    # 2.9 + 0.9 s solo (full-registry sweep, OPTIMIZATION_r13.md).
+    # Identical rows, only the evaluation count changes.
+    from vspace_spark.operators.scale import KNOWN_SMALL, persist_shared
+
+    fold_out = persist_shared(
         semantic_dedup(emb, centers, threshold=threshold, engine="fold"),
-        semantic_dedup(emb, centers, threshold=threshold, engine="arrow"),
+        KNOWN_SMALL,
     )
+    arrow_out = persist_shared(
+        semantic_dedup(emb, centers, threshold=threshold, engine="arrow"),
+        KNOWN_SMALL,
+    )
+    diff = persist_shared(_bag_diff(fold_out, arrow_out), KNOWN_SMALL)
 
     # (a) centroid ε-ties: both candidate cells of any vector whose
     # top-2 exact fold distances tie within ε
@@ -306,18 +334,33 @@ def agree_incr_minhash_xxhash64(
         incremental_minhash_dedup,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_tbl = load_table(spark, sf_dir, "documents")
+    docs = docs_tbl.select("doc_id", "text")
     work = keyed_tmp_dir("vspace_agree_incr_mh", sf_dir)
     inc = incremental_minhash_dedup(
         spark, docs, work_dir=work, n_input_files=5,
         hash_engine="xxhash64",
     )
-    bb = _banded(
-        _portable_minhash_sigs(
-            docs, "doc_id", "text", 3, 32, hash_engine="xxhash64"
+    # banded signatures feed both sides of the bucket self-join AND
+    # both exceptAll directions of the diff — persist once (guide §5 —
+    # r13; the batch side was otherwise rebuilt per reference while
+    # `inc` is already an eager localCheckpoint). Size: 8 band rows
+    # per doc × (32-long sig + band/bucket) ≈ 2.2 KB/doc, footer-exact
+    # off the bare table scan.
+    from vspace_spark.operators.scale import (
+        est_relation_bytes,
+        persist_shared,
+    )
+
+    bb = persist_shared(
+        _banded(
+            _portable_minhash_sigs(
+                docs, "doc_id", "text", 3, 32, hash_engine="xxhash64"
+            ),
+            8,
+            4,
         ),
-        8,
-        4,
+        est_relation_bytes(docs_tbl, row_bytes=8 * (8 * 32 + 24)),
     )
     left = bb.select(
         F.col("_id").alias("a"), F.col("sig").alias("_sa"),
@@ -332,12 +375,18 @@ def agree_incr_minhash_xxhash64(
             F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v
         )
     )
-    batch = (
+    from vspace_spark.operators.scale import KNOWN_SMALL
+
+    # flagged-pair set (sub-corpus-sized by construction), read by
+    # both exceptAll directions — persist so the bucket self-join
+    # runs once
+    batch = persist_shared(
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", agree.alias("agree"))
         .filter(F.col("agree") >= 16)
-        .distinct()
+        .distinct(),
+        KNOWN_SMALL,
     )
     return _diff_count(inc.select("a", "b", "agree"), batch)
 

@@ -59,6 +59,21 @@ def streaming_term_stats(
     reference's word count) regardless of the gram range, matching
     operators/stats.py:tokenized_documents.
     """
+    # The streaming analogue of rebalance_for_compute (guide §2 — r13):
+    # a file-source micro-batch arrives in IO-sized partitions (ONE
+    # partition for a single-file fixture table), but the per-row
+    # histogram below is compute-bound O(tokens · max_n) interpreted
+    # HOF work — measured 59.7 s single-task for the 1..2-gram variant
+    # at sf0.1 vs 0.8 s for the batch twin on 32 cores. Spreading each
+    # micro-batch to the cluster's parallelism moves only the raw
+    # document bytes (narrow, batch-sized) and leaves the stateful
+    # token aggregation untouched; at 100 TB a Kafka/file batch is
+    # still IO-partitioned, so the same imbalance exists at every
+    # scale. Output is batching- and partitioning-invariant (oracle
+    # re-proven at sf0.001/sf0.01 after the change).
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     tokens = tokenize_col("text")
     grams = everygrams_col(tokens, min_n, max_n)
     ex = docs.select(
@@ -127,6 +142,12 @@ def streaming_term_stats_pandas(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # same micro-batch rebalance as streaming_term_stats (guide §2):
+    # the vectorized histogram is still compute-bound per task, and a
+    # single-file batch otherwise runs it on one core
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     perdoc = docs.mapInPandas(
         histogram_batches, "token string, tf long, wc long"
     )
