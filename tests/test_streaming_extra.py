@@ -603,6 +603,70 @@ class TestIncrementalEmbedding:
         )
         assert {(r.a, r.b, r.cos) for r in again.collect()} == want
 
+    def test_incremental_fold_planes_as_data(self, spark, tmp_path):
+        """The fold lane ships its hyperplanes as DATA (one broadcast
+        row, planes picked with element_at) instead of 2048-node
+        literal trees (r13: Catalyst re-analysis of the literal tree
+        per micro-batch was the dominant per-batch driver cost). The
+        pin: every POSTING the replay persisted — the actual bucket
+        bits the data-path fold computed — must equal the literal-
+        planes ``lsh_signature`` value exactly; element_at yields the
+        same IEEE doubles the literals held and dot()'s sequential
+        fold is the same expression, so any drift is a bug."""
+        import numpy as np
+
+        from vspace_spark.operators.similarity import (
+            lsh_signature,
+            portable_hyperplanes,
+        )
+        from vspace_spark.streaming.incremental import (
+            incremental_embedding_dedup,
+        )
+
+        rng = np.random.default_rng(13)
+        rows = [
+            (i, [float(x) for x in rng.normal(0, 1, 16)])
+            for i in range(80)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        work = str(tmp_path / "planes")
+        incremental_embedding_dedup(
+            spark, emb, bits=32, bits_per_table=4, threshold=0.4,
+            work_dir=work, n_input_files=3,
+        ).collect()
+        got = {
+            (r._id, r.tbl, r.bucket)
+            for r in spark.read.parquet(work + "/idx")
+            .select("_id", "tbl", "bucket")
+            .collect()
+        }
+        planes = portable_hyperplanes(16, 32)
+        want = {
+            (r.vec_id, r.tbl, r.bucket)
+            for r in emb.select(
+                "vec_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("tbl"),
+                                lsh_signature(
+                                    F.col("embedding"),
+                                    planes[t * 4 : (t + 1) * 4],
+                                ).alias("bucket"),
+                            )
+                            for t in range(8)
+                        ]
+                    )
+                ).alias("_tb"),
+            )
+            .select("vec_id", "_tb.tbl", "_tb.bucket")
+            .collect()
+        }
+        assert got == want and len(got) == 80 * 8
+
 
 class TestAutoBucketWidth:
     def test_sizing_rule_values(self):
