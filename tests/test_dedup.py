@@ -1578,3 +1578,39 @@ def test_two_level_router_nprobe_all_equals_flat(spark):
         cells((coarse, owner), 2)[i] == flat[i] for i in flat
     )
     assert a2 >= a1
+
+
+def test_agree_semantic_gate_counts_planted_disagreement(
+    spark, sf_dir, monkeypatch
+):
+    """Round-13 short-circuit regression: `agree_dedup_semantic_fast`
+    skips its ε-ambiguity scans when the lane diff is EMPTY — this
+    pins that a REAL lane disagreement still reaches the non-empty
+    path and is counted (the short-circuit must never swallow one).
+    A clear-margin row's keep flag is flipped on the arrow lane only;
+    the fixture's ambiguity sets are empty, so both bag-diff rows for
+    that vector must survive the anti-join and be counted."""
+    import vspace_spark.operators.dedup as dd
+    from vspace_spark.queries.agreement import agree_dedup_semantic_fast
+
+    real = dd.semantic_dedup
+    flip_id = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+
+    def perturbed(embeddings, centers, *args, **kwargs):
+        out = real(embeddings, centers, *args, **kwargs)
+        if kwargs.get("engine") == "arrow":
+            out = out.withColumn(
+                "kept",
+                F.when(
+                    F.col("vec_id") == F.lit(flip_id), ~F.col("kept")
+                ).otherwise(F.col("kept")),
+            )
+        return out
+
+    monkeypatch.setattr(dd, "semantic_dedup", perturbed)
+    got = agree_dedup_semantic_fast(spark, sf_dir).first()[0]
+    assert got == 2, got  # one row in each exceptAll direction

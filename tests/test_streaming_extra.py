@@ -869,3 +869,32 @@ class TestIncrementalMinhashXxhash:
             hash_engine="xxhash64",
         )
         assert {(r.a, r.b, r.agree) for r in again.collect()} == want
+
+
+def test_agree_incr_embedding_gate_counts_planted_disagreement(
+    spark, sf_dir, monkeypatch
+):
+    """Round-13 short-circuit regression for
+    `agree_incr_embedding_arrow`: with an EMPTY lane diff the gate
+    returns without running the 32-plane ε-scan — pin that a REAL
+    pair-set difference still reaches the non-empty path and is
+    counted. One synthetic pair (ids outside the corpus, so no
+    ambiguity exclusion can ever claim it) is appended to the arrow
+    lane only; the gate must count exactly that row."""
+    import vspace_spark.streaming.incremental as inc
+    from vspace_spark.queries.agreement import agree_incr_embedding_arrow
+
+    real = inc.incremental_embedding_dedup
+
+    def perturbed(spark_, embeddings, **kwargs):
+        out = real(spark_, embeddings, **kwargs)
+        if kwargs.get("sig_engine") == "arrow":
+            fake = spark_.createDataFrame(
+                [(-2, -1, 0.99)], "a long, b long, cos double"
+            )
+            out = out.unionByName(fake)
+        return out
+
+    monkeypatch.setattr(inc, "incremental_embedding_dedup", perturbed)
+    got = agree_incr_embedding_arrow(spark, sf_dir).first()[0]
+    assert got == 1, got

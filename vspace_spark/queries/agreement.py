@@ -261,6 +261,19 @@ def agree_dedup_semantic_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = persist_shared(_bag_diff(fold_out, arrow_out), KNOWN_SMALL)
 
+    # Algebraic short-circuit (guide §1.2 — don't compute what gets
+    # thrown away): the gate's answer is count(diff ANTI-JOIN amb) —
+    # when diff is EMPTY (the lanes agree, the designed steady state)
+    # that count is 0 for ANY ambiguity set, so the ε-scans below —
+    # TWO further full-corpus K-center assignment passes whose
+    # K×dim-literal codebook trees also cost seconds of driver-side
+    # Catalyst analysis — are dead work. They run only when a real
+    # disagreement exists and the gate must decide whether it is an
+    # ε-tie. Result identical by construction: count(∅ ⟕̸ X) = 0 =
+    # count(∅). (Measured in OPTIMIZATION_r13.md.)
+    if diff.isEmpty():
+        return diff.agg(F.count(F.lit(1)).alias("disagreements"))
+
     # (a) centroid ε-ties: both candidate cells of any vector whose
     # top-2 exact fold distances tie within ε
     ranked = F.array_sort(_cell_dist_structs(F.col("embedding"), centers))
@@ -445,6 +458,18 @@ def agree_incr_embedding_arrow(
         )
         fold, arrow = f_fold.result(), f_arrow.result()
     diff = _bag_diff(fold, arrow)
+    # Algebraic short-circuit (guide §1.2, same rule as the semantic
+    # gate): the answer is count(diff after excluding ε-ambiguous
+    # endpoints) — with an EMPTY diff (the designed steady state; both
+    # lanes are eager localCheckpoints, so this probe is two cheap
+    # cached exceptAlls) the anti-joins are empty for ANY exclusion
+    # set, making the 32-plane min-|dot| full-corpus scan (a
+    # 32×dim-literal tree: seconds of Catalyst analysis + an
+    # interpreted 32-dot fold per row) dead work. It runs only when a
+    # real pair-set difference needs ε-adjudication. Identical result
+    # by construction: count(∅ ⟕̸ X) = 0 = count(∅).
+    if diff.isEmpty():
+        return diff.agg(F.count(F.lit(1)).alias("disagreements"))
     # dim from the embeddings schema is fixed (64) across the test
     # corpora; derive it from one row to stay corpus-agnostic
     dim = emb.select(F.size("embedding")).first()[0]

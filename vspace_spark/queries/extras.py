@@ -201,7 +201,17 @@ def stream_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         ).select(id_alias, vec_alias, "s.tbl", "s.bucket")
 
-    static = with_sigs(load_table(spark, sf_dir, "embeddings"), "b", "_vb")
+    # Static-side rebalance (guide §2 — r13): the single-file scan is
+    # ONE partition and with_sigs does 32 interpreted 64-dim dot folds
+    # per vector — the corpus-sized compute of this query — so the
+    # index build ran single-task. Vector rows move once, cheaply.
+    static = with_sigs(
+        load_table(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "b",
+        "_vb",
+    )
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -212,6 +222,12 @@ def stream_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vspace_spark.streaming.events import read_table_stream
 
     stream = read_table_stream(spark, sf_dir, "embeddings", schema)
+    # Streaming rebalance_for_compute (guide §2 — r13, same shape as
+    # streaming_term_stats): the single-file micro-batch arrives in
+    # ONE IO-sized partition and the 32-plane interpreted dot folds
+    # below otherwise run single-task. Downstream is an equi-join +
+    # deterministic-row dropDuplicates — partitioning-invariant.
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
     arriving = with_sigs(stream, "a", "_va")
     matched = (
         arriving.join(static, ["tbl", "bucket"])
@@ -384,15 +400,6 @@ def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long")
 
-    def sig_expr(text_col: str) -> F.Column:
-        distinct = F.array_distinct(ngrams_col(tokenize_col(text_col), 3))
-        return F.array(
-            *[
-                F.array_min(F.transform(distinct, md5_hash(i)))
-                for i in range(num_hashes)
-            ]
-        )
-
     def banded(df_with_sig, id_col, sig_col):
         return df_with_sig.select(
             id_col,
@@ -433,6 +440,18 @@ def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", "text"
     )
     members = with_c.select("_cb", F.col("b").alias("_mb"))
+    # The broadcast canon join leaves canon_docs with the SCAN's
+    # partitioning — ONE partition for a single-file table — and the
+    # projection below does num_hashes interpreted md5 folds per
+    # shingle, the heaviest per-byte work in this query: measured
+    # 10.5–15 s single-task vs 2.7–5 s spread at sf0.1 (guide §2;
+    # r13). Moving 5 000 canonical rows is the cheap side of that
+    # trade at every scale; at warehouse scale the scan arrives in
+    # thousands of partitions and the repartition is a cheap rebalance
+    # of doc rows before a 32× fan-out of compute.
+    canon_docs = canon_docs.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ex = canon_docs.select(
         "b",
         F.explode(
@@ -493,9 +512,36 @@ def stream_dedup_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vspace_spark.streaming.events import read_table_stream
 
     stream = read_table_stream(spark, sf_dir, "documents", schema)
+    # The streaming analogue of rebalance_for_compute (guide §2 —
+    # r13, same shape as streaming_term_stats): a single-file
+    # micro-batch arrives in ONE IO-sized partition, and the per-row
+    # signature below is num_hashes × |shingles| interpreted md5
+    # folds — measured 48.7 s nearly single-task at sf0.1. Spreading
+    # the batch moves only raw document rows; every downstream
+    # operator is set-semantics (equi-join + dropDuplicates on a
+    # deterministic row), so the output is partitioning-invariant.
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
+    # Shingle set hoisted into its own projection so the 32 per-seed
+    # array_min transforms share ONE tokenize→ngrams→distinct
+    # evaluation (guide §2.3 "project early"): CollapseProject leaves
+    # a non-cheap alias consumed 32× in its own Project, where the
+    # inline form re-derived the array per hash on the interpreted
+    # HOF path.
+    pre = stream.filter(F.size(tokenize_col("text")) >= 3).select(
+        F.col("doc_id").alias("a"),
+        F.array_distinct(ngrams_col(tokenize_col("text"), 3)).alias(
+            "_sh"
+        ),
+    )
     arriving = banded(
-        stream.filter(F.size(tokenize_col("text")) >= 3).select(
-            F.col("doc_id").alias("a"), sig_expr("text").alias("_siga")
+        pre.select(
+            "a",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_sh"), md5_hash(i)))
+                    for i in range(num_hashes)
+                ]
+            ).alias("_siga"),
         ),
         "a",
         "_siga",

@@ -202,6 +202,12 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vspace_spark.streaming.corpus import read_documents_stream
 
     docs = read_documents_stream(spark, sf_dir)
+    # Streaming rebalance_for_compute (guide §2 — r13, the
+    # streaming_term_stats shape): the single-file micro-batch arrives
+    # in ONE IO-sized partition, so the per-row regex normalize + md5
+    # ran nearly single-task (measured 12.5 s at sf0.1). The stateful
+    # fingerprint aggregation is partitioning-invariant.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     dedup = (
         docs.select(
             F.md5(normalize_col("text")).alias("fingerprint"), "doc_id"

@@ -101,10 +101,15 @@ def _portable_minhash_sigs(
     → one or two partitions), which would serialize the 32-hash
     projection on a couple of cores exactly like the under-
     parallelized batch scans ``rebalance_for_compute`` was measured
-    on (PERF.md, 8.8×)."""
+    on (PERF.md, 8.8×). The byte floor is lowered 32× from the
+    helper's default here (r13): the default 4 MB floor was
+    calibrated on ~1×-per-byte tokenize work, while this projection
+    does ``num_hashes`` interpreted md5 digests per shingle — a
+    micro-batch far below 4 MB decoded still carries seconds of
+    single-task hashing."""
     from vspace_spark.operators.scale import rebalance_for_compute
 
-    docs = rebalance_for_compute(docs)
+    docs = rebalance_for_compute(docs, min_bytes=128 << 10)
     ex = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -172,6 +177,7 @@ def incremental_minhash_dedup(
     index_layout: str = "partitioned",
     index_buckets: int | None = None,
     hash_engine: str = "portable",
+    _raw_progress_out: list | None = None,
 ) -> DataFrame:
     """Replay ``docs`` as a multi-batch file stream and dedup each
     micro-batch against the accreting signature index. Returns the
@@ -331,7 +337,14 @@ def incremental_minhash_dedup(
             bands,
             rows,
         ).persist()
-        new = bb.select(
+        # Join-probe spread (guide §2 — r13, same rationale as the
+        # embedding leg): the banded rows are cached in the batch's
+        # partitioning; spreading the probe side keeps the candidate
+        # agree-fold off a single task while the index APPEND below
+        # still writes from the unspread bb (one file per batch).
+        new = bb.repartition(
+            batch.sparkSession.sparkContext.defaultParallelism
+        ).select(
             F.col("_id").alias("nid"),
             F.col("sig").alias("nsig"),
             "band",
@@ -460,6 +473,14 @@ def incremental_minhash_dedup(
                 for p in q.recentProgress
                 if p["numInputRows"] > 0
             )
+        if _raw_progress_out is not None:
+            # full engine progress (durationMs breakdown) for the
+            # per-batch fixed-cost decomposition harness
+            import json as _json
+
+            _raw_progress_out.extend(
+                _json.loads(p.json) for p in q.recentProgress
+            )
     finally:
         q.stop()
     # zero-pairs corpus: partitioned writes of all-empty batches emit
@@ -493,6 +514,7 @@ def incremental_passjoin_dedup(
     work_dir: str | None = None,
     n_input_files: int = 8,
     progress_out: list | None = None,
+    _raw_progress_out: list | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_dedup`'s TEXT analog — the PassJoin
     SEGMENT index as a PERSISTED build-once/probe-many artifact
@@ -665,6 +687,12 @@ def incremental_passjoin_dedup(
                 for p in q.recentProgress
                 if p["numInputRows"] > 0
             )
+        if _raw_progress_out is not None:
+            import json as _json
+
+            _raw_progress_out.extend(
+                _json.loads(p.json) for p in q.recentProgress
+            )
     finally:
         q.stop()
     if not os.path.isdir(out_dir) or not any(
@@ -691,6 +719,7 @@ def incremental_embedding_dedup(
     progress_out: list | None = None,
     carry_vectors: bool = True,
     sig_engine: str = "fold",
+    _raw_progress_out: list | None = None,
 ) -> DataFrame:
     """The EMBEDDING leg of the incremental-dedup trilogy (MinHash
     text signatures, PassJoin edit-distance segments, and now
@@ -813,25 +842,37 @@ def incremental_embedding_dedup(
     # and the unchanged oracle parity).
     planes_rows = [[float(x) for x in p] for p in planes]
 
+    # The bucketing COLUMN EXPRESSION is built ONCE per operator call,
+    # not once per MICRO-BATCH (guide §7.3's loop-generated-trees rule
+    # applied to construction, not just analysis — r13): Column
+    # objects are immutable, session-independent parse trees, but each
+    # dot() converts two Python lambdas (zip_with + aggregate) through
+    # py4j, and rebuilding the 32-dot tree measured 1.6–2.7 s of pure
+    # DRIVER time per batch — the largest single share of the replay's
+    # per-batch fixed cost (probe in OPTIMIZATION_r13.md). Only the
+    # tiny one-row planes frame is (necessarily) created per batch —
+    # it must belong to the micro-batch's session.
+    _fold_tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("bigint")
+        for j in range(bits_per_table):
+            bit = t * bits_per_table + j
+            plane = F.element_at("_planes", bit + 1)
+            bucket = bucket + F.when(
+                dot(F.col("_v"), plane) > 0,
+                F.lit(2**j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        _fold_tables.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+        )
+    _fold_tb = F.explode(F.array(*_fold_tables)).alias("_tb")
+
     def bucketed_fold(df: DataFrame) -> DataFrame:
         pl = df.sparkSession.createDataFrame(
             [(planes_rows,)], "_planes array<array<double>>"
         )
-        tables = []
-        for t in range(n_tables):
-            bucket = F.lit(0).cast("bigint")
-            for j in range(bits_per_table):
-                bit = t * bits_per_table + j
-                plane = F.element_at("_planes", bit + 1)
-                bucket = bucket + F.when(
-                    dot(F.col("_v"), plane) > 0,
-                    F.lit(2**j).cast("bigint"),
-                ).otherwise(F.lit(0).cast("bigint"))
-            tables.append(
-                F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
-            )
         return df.crossJoin(F.broadcast(pl)).select(
-            "_id", "_v", F.explode(F.array(*tables)).alias("_tb")
+            "_id", "_v", _fold_tb
         ).select("_id", "_v", F.col("_tb.tbl"), F.col("_tb.bucket"))
 
     # plain literals so the closure is self-contained (executors
@@ -895,7 +936,20 @@ def incremental_embedding_dedup(
     def process(batch: DataFrame, batch_id: int) -> None:
         bb = bucketed(batch).persist()
         bb.count()  # bounded work: one micro-batch
-        left = bb.select(
+        # The JOIN PROBE side rides a round-robin spread of the tiny
+        # posting set (guide §2 — r13): bb is cached in the batch's
+        # IO partitioning (ONE partition for a one-file trigger), the
+        # planner broadcasts the other join side, and the interpreted
+        # cosine confirm then ran single-task over every candidate —
+        # measured 2–3.6 s/batch at 244k candidates (probe in
+        # OPTIMIZATION_r13.md). Spreading batch-sized posting rows is
+        # a KB-scale shuffle; the index APPEND below still writes from
+        # the unspread bb, so the accreting index keeps one file per
+        # batch.
+        spread = bb.repartition(
+            batch.sparkSession.sparkContext.defaultParallelism
+        )
+        left = spread.select(
             F.col("_id").alias("a"), F.col("_v").alias("_va"),
             "tbl", "bucket",
         )
@@ -918,7 +972,7 @@ def incremental_embedding_dedup(
                 .filter(F.col("batch") < batch_id)
                 .drop("batch")
             )
-            new_side = bb.select(
+            new_side = spread.select(
                 F.col("_id").alias("nid"),
                 F.col("_v").alias("nv"),
                 "tbl",
@@ -1002,6 +1056,12 @@ def incremental_embedding_dedup(
                 }
                 for p in q.recentProgress
                 if p["numInputRows"] > 0
+            )
+        if _raw_progress_out is not None:
+            import json as _json
+
+            _raw_progress_out.extend(
+                _json.loads(p.json) for p in q.recentProgress
             )
     finally:
         q.stop()
