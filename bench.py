@@ -507,8 +507,12 @@ def main() -> None:
         dedup_minhash_lsh_fast recorded 5.09 s — 4.4× its r11 value —
         with a 1.0× spread and quiet ext_cores, because the CPU meter
         is blind to IO/page-cache pressure). With a quiet-host steady
-        reference: min rep > 2× steady buys ONE retry in a hopefully
-        quieter window; a final min rep > 1.5× steady is flagged
+        reference: min rep > 1.4× steady buys ONE retry in a hopefully
+        quieter window (2× through r13 — VERDICT r13 #6: rfm at 1.36×
+        and qgram at 1.23× slipped under the old trigger and read as
+        regressions; the lower trigger is additions-only, it can only
+        LOWER recorded minima on contended rows); a final min rep >
+        1.5× steady is flagged
         ``elevated`` even when ext_cores is quiet, so the artifact
         separates plan changes from host state by itself."""
         times, loads, exts = [], [], []
@@ -527,7 +531,7 @@ def main() -> None:
             one_rep()
         if (
             steady is not None
-            and min(times) > 2 * steady
+            and min(times) > 1.4 * steady
             and len(times) <= reps  # spread retry already spent = skip
         ):
             one_rep()

@@ -98,8 +98,15 @@ def main() -> None:
             )
         else:
             raise SystemExit(f"unknown leg {leg}")
-        n = out.count()
+        # stop the wall clock BEFORE the post-replay count: out is an
+        # eager localCheckpoint read of the accreted pairs index, and
+        # charging its read to `wall` over-attributed it to inter-batch
+        # driver idle (gap_sec = wall - sum(triggerExecution)) — the
+        # exact bias this harness exists to avoid (ADVICE r13)
         wall = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        n = out.count()
+        count_sec = time.perf_counter() - t1
 
         keys = [
             "addBatch",
@@ -136,6 +143,7 @@ def main() -> None:
                     "gap_sec": round(
                         wall - sums["triggerExecution"] / 1000, 2
                     ),
+                    "count_sec": round(count_sec, 2),
                     "load_1m": round(os.getloadavg()[0], 1),
                 }
             ),

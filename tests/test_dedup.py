@@ -5,6 +5,7 @@ properties (identical text → identical signature)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from vspace_spark.io.tables import load_table
@@ -1611,6 +1612,149 @@ def test_agree_semantic_gate_counts_planted_disagreement(
             )
         return out
 
+    # Fixture preconditions, checked with the gate's own ε definitions
+    # (ADVICE r13): the expected count of 2 silently assumed the
+    # fixture has no centroid ε-ties and no within-cell pair of
+    # flip_id's cell within 1e-9 of the 0.4 threshold — a regenerated
+    # fixture violating either would make the gate FORGIVE the planted
+    # flip and fail the final assert confusingly. Fail HERE with a
+    # clear message instead.
+    from vspace_spark.operators.scale import footer_row_count
+    from vspace_spark.operators.similarity import (
+        _cell_dist_structs,
+        portable_hyperplanes,
+    )
+    from vspace_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = footer_row_count(emb) or emb.count()
+    centers = portable_hyperplanes(64, max(16, n // 512), salt="s")
+    ranked = F.array_sort(
+        _cell_dist_structs(F.col("embedding"), centers)
+    )
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        ranked[0]["cell"].alias("cell"),
+        (ranked[1]["dist"] - ranked[0]["dist"]).alias("_gap"),
+    )
+    n_center_ties = assigned.filter(F.col("_gap") <= 1e-9).count()
+    assert n_center_ties == 0, (
+        f"fixture drifted: {n_center_ties} vectors have ε-tied top-2 "
+        "centroids — the gate may forgive the planted flip; regenerate "
+        "or re-pick flip_id"
+    )
+    flip_cell = assigned.filter(
+        F.col("vec_id") == F.lit(flip_id)
+    ).first()["cell"]
+    mem = assigned.filter(F.col("cell") == F.lit(flip_cell))
+    la = mem.select(
+        F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va")
+    )
+    lb = mem.select(
+        F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb")
+    )
+    n_thresh_ties = (
+        la.crossJoin(lb)
+        .filter(F.col("_ia") < F.col("_ib"))
+        .withColumn(
+            "_cos", cosine_similarity(F.col("_va"), F.col("_vb"))
+        )
+        .filter(F.abs(F.col("_cos") - F.lit(0.4)) <= 1e-9)
+        .count()
+    )
+    assert n_thresh_ties == 0, (
+        f"fixture drifted: {n_thresh_ties} pairs in flip_id's cell sit "
+        "within ε of the 0.4 threshold — the gate may forgive the "
+        "planted flip; regenerate or re-pick flip_id"
+    )
+
     monkeypatch.setattr(dd, "semantic_dedup", perturbed)
     got = agree_dedup_semantic_fast(spark, sf_dir).first()[0]
     assert got == 2, got  # one row in each exceptAll direction
+
+
+def test_semantic_trained_pinned_pairs_sf0001(spark, sf_dir):
+    """VALUE-LEVEL pin for `dedup_semantic_trained` (VERDICT r13 #4):
+    the trained lane is rows-only (no SQL oracle — k-means centers are
+    float-accumulation-order dependent), so commit d25d81f's
+    coarse_nprobe 1→2 recall fix changed its output pair set with only
+    a structural gate watching. This fixture freezes the
+    (vec_id, kept, duplicate_of) output at sf0.001 so the next
+    "optimization" cannot move the pair set silently — a legitimate
+    semantic change must regenerate tests/data/semantic_trained_sf0001
+    .json and say why. (Environment caveat: the trained centers depend
+    on numpy/BLAS summation order; a BLAS swap that flips the output
+    should fail HERE, loudly, which is the point.)"""
+    import json
+    import os
+
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.001":
+        pytest.skip("fixture is pinned at sf0.001")
+    from vspace_spark.operators.dedup import semantic_dedup_two_level
+    from vspace_spark.operators.scale import footer_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = footer_row_count(emb) or emb.count()
+    out = semantic_dedup_two_level(emb, k=max(16, n // 512), threshold=0.4)
+    got = {
+        str(r["vec_id"]): [r["kept"], r["duplicate_of"]]
+        for r in out.select("vec_id", "kept", "duplicate_of").collect()
+    }
+    fixture = os.path.join(
+        os.path.dirname(__file__), "data", "semantic_trained_sf0001.json"
+    )
+    want = json.loads(open(fixture).read())
+    assert got == want, (
+        "dedup_semantic_trained output drifted from the pinned sf0.001 "
+        "fixture: "
+        f"{sum(1 for k in got if got[k] != want.get(k))} rows differ, "
+        f"{len(set(want) - set(got))} missing, "
+        f"{len(set(got) - set(want))} extra"
+    )
+
+
+@pytest.mark.slow
+def test_semantic_trained_recall_vs_flat_sf01(spark):
+    """The recall bound behind the coarse_nprobe=2 default (VERDICT
+    r13 #4, measured 0.937 vs 0.829 at nprobe=1 in
+    scripts/trained_router_recall_probe.py): the two-level router must
+    retain >= 0.93 of the flat argmin's duplicate edges over the SAME
+    trained codebook on the sf0.1 embeddings. Makes the router default
+    load-bearing instead of folklore — a routing change that quietly
+    drops recall fails here."""
+    from vspace_spark.operators.dedup import (
+        hierarchical_codebook,
+        semantic_dedup,
+    )
+    from vspace_spark.operators.scale import footer_row_count
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = footer_row_count(emb) or emb.count()
+    k = max(16, n // 512)
+    fine, coarse_centers, owner = hierarchical_codebook(emb, k)
+
+    def edges(coarse):
+        return {
+            (r["vec_id"], r["duplicate_of"])
+            for r in semantic_dedup(
+                emb,
+                fine,
+                threshold=0.4,
+                collapse_exact=False,
+                engine="arrow",
+                coarse=coarse,
+            )
+            .filter(F.col("duplicate_of").isNotNull())
+            .collect()
+        }
+
+    flat = edges(None)
+    router = edges((coarse_centers, owner))
+    assert flat, "fixture drifted: flat lane found no duplicate edges"
+    recall = len(router & flat) / len(flat)
+    assert recall >= 0.93, (
+        f"two-level router recall vs flat dropped to {recall:.3f} "
+        f"({len(router & flat)}/{len(flat)} edges) — below the 0.93 "
+        "bound the coarse_nprobe=2 default was adopted for"
+    )

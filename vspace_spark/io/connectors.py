@@ -173,11 +173,27 @@ def append_index_batch_bucketed(
     )
 
 
-def read_index(spark: SparkSession, path: str, fmt: str = "delta") -> DataFrame:
-    """Read the accreting index written by :func:`append_index_batch`."""
+def read_index(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "delta",
+    schema=None,
+) -> DataFrame:
+    """Read the accreting index written by :func:`append_index_batch`.
+
+    ``schema`` (parquet only): an explicit schema — including the
+    ``batch`` partition column — skips parquet footer schema inference
+    over the whole index history. The incremental operators probe the
+    index once per MICRO-BATCH, so the per-read inference was a
+    per-batch driver cost growing with history (r14); Delta reads get
+    the schema from the table log already.
+    """
     if fmt == "delta":
         return read_delta(spark, path)
-    return spark.read.option("basePath", path).parquet(path)
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def read_jdbc(

@@ -658,22 +658,55 @@ def pq_codebook(
     pure md5-random codebook carries no information about the data
     distribution and measured recall 0; k-means training would add
     ~0.12 recall but is engine-specific — that quality lane stays
-    ``ann_ivf_top5``'s trained hierarchical-Lloyd path)."""
+    ``ann_ivf_top5``'s trained hierarchical-Lloyd path).
+
+    Built RELATIONALLY (r14, VERDICT r13 #9): the old form collected
+    the ksub seed rows to the driver and re-uploaded them via
+    createDataFrame — one extra Spark job (+ a driver round-trip of
+    ksub full vectors) at the head of every lane. Now the seed pick
+    is a top-ksub sort + a row_number over the ksub survivors + an
+    explode into the m sub-slices, persisted (m·ksub rows,
+    KNOWN_SMALL) so the encode's and probe's broadcasts both read one
+    cached copy — the seed scan rides the lane's own first job.
+    Values are bit-identical: cid is the same (md5(id), id) rank, and
+    the array<double> slice cast is the same exact IEEE widening the
+    old ``float(x)`` performed."""
     sub = dim // m
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    from vspace_spark.operators.scale import KNOWN_SMALL, persist_shared
+
+    w = Window.orderBy("_h", "_id")
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
         .withColumn("_h", F.md5(F.col("_id").cast("string")))
         .orderBy("_h", "_id")
         .limit(ksub)
-        .collect()  # bounded-collect: ksub codebook seed vectors
+        # row_number over the ksub SURVIVORS only — a bounded
+        # single-partition window (like the tfidf query-terms one),
+        # never over the corpus
+        .withColumn("cid", (F.row_number().over(w) - 1).cast("int"))
     )
-    return corpus.sparkSession.createDataFrame(
-        [
-            (s, c, [float(x) for x in row["_v"][s * sub : (s + 1) * sub]])
-            for s in range(m)
-            for c, row in enumerate(seed_rows)
-        ],
-        "sub INT, cid INT, pv ARRAY<DOUBLE>",
+    return persist_shared(
+        seeds.select(
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("sub"),
+                            F.slice("_v", s * sub + 1, sub)
+                            .cast("array<double>")
+                            .alias("pv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_s"),
+        ).select(
+            F.col("_s.sub").alias("sub"), "cid", F.col("_s.pv").alias("pv")
+        ),
+        KNOWN_SMALL,  # m·ksub rows of dim/m doubles (~2 MB at defaults)
     )
 
 
@@ -718,15 +751,44 @@ def ivf_pq_encode(
             _cell_dist_structs(F.col(vec_col), centers)
         )[0]["cell"].alias("cell"),
     )
+    # Explode BY SUBSPACE before the ksub-wide codebook join (guide
+    # §2.3 — r14): the old shape cross-joined every vector row with
+    # all m·ksub codebook rows, so each of the N×(m·ksub) intermediate
+    # rows carried the FULL dim-float vector (and re-sliced it inside
+    # the fold, m·ksub slices per vector). Pre-slicing into m
+    # (sub, slice) rows carries dim/m floats through the join — ~m×
+    # narrower rows — and slices each vector exactly m times; the join
+    # is an equi-join on `sub`. The float path is IDENTICAL: the same
+    # slice elements feed the same zip_with/left-fold in the same
+    # order (oracle-pinned; the planted-equality test and
+    # `ann_ivf_pq_top5`'s SQL oracle both hold bit-for-bit).
+    by_sub = with_cell.select(
+        id_col,
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("_v", s * sub + 1, sub).alias("_vs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select(id_col, "cell", F.col("_s.sub"), F.col("_s._vs"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_vs"),
+            F.col("pv"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     enc_long = (
-        with_cell.join(F.broadcast(pc))
-        .select(
-            id_col,
-            "cell",
-            "sub",
-            "cid",
-            _pq_sub_d2(F.col("_v"), sub).alias("_d2"),
-        )
+        by_sub.join(F.broadcast(pc), "sub")
+        .select(id_col, "cell", "sub", "cid", d2.alias("_d2"))
         .groupBy(id_col, "cell", "sub")
         .agg(F.min(F.struct("_d2", "cid"))["cid"].alias("cid"))
     )

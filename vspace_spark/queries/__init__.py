@@ -45,18 +45,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # side effects) decides who gets this round's hard driver signal; the
 # rotation policy and the per-round coverage ledger live in NOTES.md.
 #
-# Round-13 window composition (re-prove-what-changed + oldest
+# Round-14 window composition (re-prove-what-changed + oldest
 # evidence, the standing rotation policy):
-#   - ALL 11 deferred r9-latest rows — at their 4-round bound, they
-#     MUST enter per their own guard (VERDICT r12 #1);
-#   - 39 of the 49 r10-latest rows, alphabetical-first (the remaining
-#     10 defer to r14 in _DEFERRED below). The alphabetical fill
-#     happens to cover every query whose plan round 13 touches
-#     (dedup_keep_best / dedup_clusters / dedup_semantic /
-#     pagerank_purchase_graph via the persist-floor census), so no
-#     swap-ins were needed.
-# (r12's window: 7 r12-changed/new gates + all 14 r8-latest + 29 of
-# 40 r9-latest — 50/50 green, CORRECTNESS_r12.)
+#   - ALL 10 deferred r10-latest rows — at their bound, they MUST
+#     enter per their own guard (VERDICT r13 #10);
+#   - 4 r12-latest rows whose code round 14 TOUCHES (the incremental
+#     replay engine and its agreement gates):
+#     stream_dedup_embeddings_incremental, agree_incr_embedding_arrow,
+#     agree_incr_minhash_xxhash64, agree_dedup_semantic_fast;
+#   - 36 of the 45 r11-latest rows: the r14-touched
+#     stream_dedup_docs_incremental (incremental engine) +
+#     ann_ivf_pq_top5 (encode rewrite) — the latter already in the
+#     alphabetical prefix — plus the alphabetical-first fill; the
+#     9 remaining r11 rows defer to r15 in _DEFERRED below.
+# (r13's window: 11 at-bound r9 rows + 39 r10 rows — 50/50 green,
+# CORRECTNESS_r13.)
 # Permanently OUT of future windows per VERDICT r3 #8: the rows-only
 # xxhash64/matmul *_fast twins (dedup_minhash_lsh_fast,
 # ann_lsh_top5_fast, dedup_simhash_fast, ann_bruteforce_top5_fast,
@@ -65,70 +68,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # oracled agree_* gate; since round 12 the two streaming ingest fast
 # lanes (hash_engine="xxhash64", sig_engine="arrow") are too.
 _WINDOW = [
-    # --- all 11 deferred r9-latest rows (at their bound)
-    "repeat_customers_both_years",
-    "rollup_order_totals",
-    "shard_manifest",
-    "stream_dedup_docs_minhash",
-    "stream_term_stats",
-    "term_stats_ngram",
-    "tfidf_top3_per_doc",
-    "token_positions",
-    "top3_orders_per_customer",
-    "udtf_token_chunks",
-    "vocabulary",
-    # --- 39 of 49 r10-latest rows (oldest-first fill, alphabetical)
-    "ann_ivf_fixed_top5",
-    "asof_purchase_prior_view",
-    "churned_customers_1995",
-    "cohort_daily_retention",
-    "customer_running_spend",
-    "customers_with_high_value_order",
-    "customers_without_orders",
-    "daily_event_pivot",
-    "dedup_clusters",
-    "dedup_fuzzy_pairs",
-    "dedup_fuzzy_pairs_auto",
-    "dedup_fuzzy_pairs_passjoin",
-    "dedup_fuzzy_pairs_qgram",
-    "dedup_jaccard_pairs",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "dedup_simhash",
-    "distinct_users_per_type",
-    "doc_boilerplate_share",
-    "doc_oov_rate",
-    "doc_pii_scrub",
-    "doc_span_novelty",
-    "doc_span_scrub",
-    "doc_term_frequencies",
-    "doc_training_order",
-    "doc_wordcount",
-    "events_anomaly_zscore",
-    "events_json_stats",
-    "events_rollup_cascade",
-    "funnel_conversion_window",
-    "funnel_view_click_purchase",
-    "math_functions_suite",
-    "monthly_revenue",
-    "multimodal_audio_chunks",
-    "multimodal_features",
-    "multimodal_phash_dedup",
-    "order_rank_suite",
-    "pagerank_purchase_graph",
-]
-
-# Named deferrals: oracled queries deliberately left OUT of this
-# round's window whose driver evidence is older than the staleness
-# bound tests/test_registry.py enforces (every oracled query must be
-# in _WINDOW, have GREEN evidence within the last 3 completed rounds,
-# or be named here with green evidence within the last 4). Keeping
-# this list machine-readable is what keeps the rotation honest as the
-# registry grows (VERDICT r10 #8) — a row going stale silently now
-# fails CI. These 10 are the r10-latest remainder after the r13
-# alphabetical fill; they MUST enter the r14 window.
-_DEFERRED = [
+    # --- all 10 deferred r10-latest rows (at their bound)
     "part_brand_except_all",
     "part_brand_intersect_all",
     "part_price_bands",
@@ -139,6 +79,72 @@ _DEFERRED = [
     "string_functions_suite",
     "trailing_30d_spend",
     "vocab_gated_stats",
+    # --- 4 r12-latest rows re-proved because round 14 touches their
+    #     code (incremental replay engine + agreement gates)
+    "stream_dedup_embeddings_incremental",
+    "agree_incr_embedding_arrow",
+    "agree_incr_minhash_xxhash64",
+    "agree_dedup_semantic_fast",
+    # --- 36 of 45 r11-latest rows (oldest-first fill, alphabetical,
+    #     plus the r14-touched stream_dedup_docs_incremental swapped
+    #     in for the alphabetically-last stream_category_counts)
+    "agree_dedup_semantic_trained",
+    "ann_bruteforce_top5",
+    "ann_ivf_pq_top5",
+    "ann_lsh_top5",
+    "corpus_report",
+    "curated_corpus",
+    "daily_revenue_interpolated",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_fuzzy_pairs_global",
+    "doc_decontamination",
+    "doc_fingerprints",
+    "doc_language_id",
+    "doc_length_outliers",
+    "doc_pack_sequences",
+    "doc_quality",
+    "doc_repetition",
+    "event_transition_matrix",
+    "events_zorder_keys",
+    "multimodal_image_meta",
+    "q11_important_stock",
+    "q12_late_priority_counts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q20_dominant_suppliers",
+    "q22_lapsed_customer_balance",
+    "q4_priority_late_orders",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "source_language_map",
+    "source_wc_profile",
+    "stratified_sample_uniform",
+    "stream_dedup_docs_incremental",
+]
+
+# Named deferrals: oracled queries deliberately left OUT of this
+# round's window whose driver evidence is older than the staleness
+# bound tests/test_registry.py enforces (every oracled query must be
+# in _WINDOW, have GREEN evidence within the last 3 completed rounds,
+# or be named here with green evidence within the last 4). Keeping
+# this list machine-readable is what keeps the rotation honest as the
+# registry grows (VERDICT r10 #8) — a row going stale silently now
+# fails CI. These 9 are the r11-latest remainder after the r14 fill;
+# they MUST enter the r15 window.
+_DEFERRED = [
+    "stream_category_counts",
+    "stream_dedup_docs",
+    "stream_dedup_embeddings",
+    "stream_dedup_events",
+    "tfidf_search",
+    "token_cms_estimates",
+    "user_hll_distinct",
+    "user_sessions",
+    "vocab_bloom_membership",
 ]
 
 

@@ -457,7 +457,12 @@ def agree_incr_embedding_arrow(
             inheritable_thread_target(lambda: _lane("a", "arrow"))
         )
         fold, arrow = f_fold.result(), f_arrow.result()
-    diff = _bag_diff(fold, arrow)
+    # persisted like the semantic gate's diff (ADVICE r13): without it
+    # the non-empty (real disagreement) path re-ran both exceptAll
+    # shuffles for the final material count after the isEmpty probe
+    from vspace_spark.operators.scale import KNOWN_SMALL, persist_shared
+
+    diff = persist_shared(_bag_diff(fold, arrow), KNOWN_SMALL)
     # Algebraic short-circuit (guide §1.2, same rule as the semantic
     # gate): the answer is count(diff after excluding ε-ambiguous
     # endpoints) — with an EMPTY diff (the designed steady state; both

@@ -75,6 +75,45 @@ def _auto_lsh_layout(n: int, bits: int) -> tuple[int, int]:
     return bpt * n_tables, bpt
 
 
+def _minhash_sig_plan(
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    hash_engine: str,
+) -> tuple:
+    """The Column trees :func:`_portable_minhash_sigs` applies, built
+    ONCE so a foreachBatch caller can reuse them across micro-batches
+    (guide §7.3's loop-generated-trees rule, extended from the
+    embedding leg's r13 hoist to the minhash leg): each of the
+    ``num_hashes`` md5/conv/substring trees converts through py4j at
+    construction, and rebuilding all of them per batch was pure
+    per-batch driver cost. Columns are immutable session-independent
+    parse trees, so reuse across batches is free and exact."""
+
+    def h(i: int) -> F.Column:
+        if hash_engine == "xxhash64":
+            return F.xxhash64("_sh", F.lit(i))
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_sh"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ex_cols = (
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(ngrams_col(tokenize_col(text_col), shingle_n))
+        ).alias("_sh"),
+    )
+    hash_cols = [h(i).alias(f"_h{i}") for i in range(num_hashes)]
+    min_aggs = [F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    sig_col = F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    return (ex_cols, hash_cols, min_aggs, sig_col)
+
+
 def _portable_minhash_sigs(
     docs: DataFrame,
     id_col: str,
@@ -82,6 +121,8 @@ def _portable_minhash_sigs(
     shingle_n: int,
     num_hashes: int,
     hash_engine: str = "portable",
+    _plan: tuple | None = None,
+    _rebalance: bool | None = None,
 ) -> DataFrame:
     """(id, sig) minhash signatures via the scale path: distinct
     shingles exploded once, hashed ``num_hashes``× in one projection,
@@ -106,61 +147,68 @@ def _portable_minhash_sigs(
     calibrated on ~1×-per-byte tokenize work, while this projection
     does ``num_hashes`` interpreted md5 digests per shingle — a
     micro-batch far below 4 MB decoded still carries seconds of
-    single-task hashing."""
-    from vspace_spark.operators.scale import rebalance_for_compute
+    single-task hashing.
 
-    docs = rebalance_for_compute(docs, min_bytes=128 << 10)
-    ex = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(ngrams_col(tokenize_col(text_col), shingle_n))
-        ).alias("_sh"),
+    ``_plan`` (r14): prebuilt Column trees from
+    :func:`_minhash_sig_plan` — foreachBatch callers build them once
+    per operator call instead of once per micro-batch.
+    ``_rebalance`` (r14): ``None`` probes the input's partitioning and
+    footer size per call (the batch-caller default); ``True``/``False``
+    is a caller-made decision — the incremental replay decides ONCE
+    from the materialized replay's total bytes instead of re-probing
+    footers every micro-batch."""
+    if _rebalance is None:
+        from vspace_spark.operators.scale import rebalance_for_compute
+
+        docs = rebalance_for_compute(docs, min_bytes=128 << 10)
+    elif _rebalance:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
+    ex_cols, hash_cols, min_aggs, sig_col = _plan or _minhash_sig_plan(
+        id_col, text_col, shingle_n, num_hashes, hash_engine
     )
-
-    def h(i: int) -> F.Column:
-        if hash_engine == "xxhash64":
-            return F.xxhash64("_sh", F.lit(i))
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_sh"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    mins = ex.select(
-        "_id", *[h(i).alias(f"_h{i}") for i in range(num_hashes)]
-    ).groupBy("_id").agg(
-        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
-    )
-    return mins.select(
-        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    ex = docs.select(*ex_cols)
+    mins = ex.select("_id", *hash_cols).groupBy("_id").agg(*min_aggs)
+    return mins.select("_id", sig_col)
 
 
-def _banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+def _banded_col(bands: int, rows: int) -> F.Column:
+    """The exploded (band, bucket) struct column :func:`_banded`
+    applies — exposed so foreachBatch callers can build it once per
+    operator call (guide §7.3, same rationale as
+    :func:`_minhash_sig_plan`)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows + r + 1)
+                            for r in range(rows)
+                        ],
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+
+
+def _banded(
+    sigs: DataFrame,
+    bands: int,
+    rows: int,
+    _bb: F.Column | None = None,
+) -> DataFrame:
     """(id, sig, band, bucket) — bucket is the band's min-values
     joined as a string (no second-level hash; portable)."""
     return sigs.select(
         "_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows + r + 1)
-                                for r in range(rows)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        _bb if _bb is not None else _banded_col(bands, rows),
     ).select("_id", "sig", "bb.band", "bb.bucket")
 
 
@@ -312,6 +360,40 @@ def incremental_minhash_dedup(
         )
     )
 
+    # Per-batch fixed cost, attacked once per RUN instead of once per
+    # micro-batch (VERDICT r13 #2, guide §7.3/§5):
+    # - the signature/banding Column trees are built here and reused by
+    #   every batch (32 md5 trees + the band structs were re-converted
+    #   through py4j per batch);
+    # - the rebalance decision is made from the materialized replay's
+    #   total decoded bytes (identical rule to rebalance_for_compute's
+    #   128 KB floor at one-file batches) instead of re-probing parquet
+    #   footers per batch;
+    # - the index-probe read gets an EXPLICIT schema, so the per-batch
+    #   read_index skips parquet footer schema inference over the
+    #   growing index history (the listing itself is one local dir).
+    sig_plan = _minhash_sig_plan(
+        "doc_id", "text", shingle_n, num_hashes, hash_engine
+    )
+    bb_col = _banded_col(bands, rows)
+    from vspace_spark.operators.scale import _uncompressed_input_bytes
+
+    _total = _uncompressed_input_bytes(spark.read.parquet(in_dir))
+    do_rebalance = (
+        _total is None or _total / max(n_input_files, 1) >= 128 << 10
+    )
+    from pyspark.sql import types as T
+
+    idx_schema = T.StructType(
+        [
+            T.StructField("_id", schema["doc_id"].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.StringType()),
+            T.StructField("batch", T.IntegerType()),
+        ]
+    )
+
     # per-run ledger of ATTEMPTED batch ids: a NEW run always starts
     # from an empty index (DROP TABLE / rmtree above), so within-run
     # closure state answers "are there earlier partitions?" and "was
@@ -328,14 +410,30 @@ def incremental_minhash_dedup(
     # stream never advances past it within a run).
     attempted: set[int] = set()
 
+    # the two contract writes per batch (pairs + signatures) are
+    # independent given the persisted bb — overlap them from two
+    # driver threads (guide §2.6; VERDICT r13 #2: they were the two
+    # largest serial terms of the per-batch fixed cost). The pool
+    # outlives the stream so cross-batch ordering is still strict:
+    # process() joins both futures before returning, and the engine
+    # starts batch N+1 only after process(N) returns.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    pool = ThreadPoolExecutor(max_workers=1)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         bb = _banded(
             _portable_minhash_sigs(
                 batch, "doc_id", "text", shingle_n, num_hashes,
                 hash_engine=hash_engine,
+                _plan=sig_plan,
+                _rebalance=do_rebalance,
             ),
             bands,
             rows,
+            _bb=bb_col,
         ).persist()
         # Join-probe spread (guide §2 — r13, same rationale as the
         # embedding leg): the banded rows are cached in the batch's
@@ -377,18 +475,15 @@ def incremental_minhash_dedup(
         # partition column, so the < filter statically prunes to the
         # earlier partitions — same file set the old hand-built path
         # list produced.
-        if index_layout == "bucketed":
-            # the per-run ledger answers this without a catalog
-            # round-trip (the run started from an empty table); the
-            # batch < current partition filter still does the actual
-            # pruning in the probe scan below
-            has_earlier = any(i < batch_id for i in attempted)
-        else:
-            has_earlier = os.path.isdir(index_dir) and any(
-                e.startswith("batch=")
-                and int(e.split("=", 1)[1]) < batch_id
-                for e in os.listdir(index_dir)
-            )
+        # the per-run ledger answers "are there earlier partitions?"
+        # for BOTH layouts (r14 — the run starts from an empty
+        # index/table, so within-run state is authoritative); the
+        # isdir guard covers the all-earlier-batches-empty edge where
+        # no partition was ever written (an empty batch's dynamic
+        # overwrite emits no files, so the directory may not exist)
+        has_earlier = any(i < batch_id for i in attempted) and (
+            index_layout == "bucketed" or os.path.isdir(index_dir)
+        )
         if has_earlier:
             if index_layout == "bucketed":
                 idx = (
@@ -398,7 +493,10 @@ def incremental_minhash_dedup(
                 )
             else:
                 idx = (
-                    read_index(spark, index_dir, fmt="parquet")
+                    read_index(
+                        spark, index_dir, fmt="parquet",
+                        schema=idx_schema,
+                    )
                     .filter(F.col("batch") < batch_id)
                     .drop("batch")
                 )
@@ -427,34 +525,55 @@ def incremental_minhash_dedup(
         )
         # both sinks go through the shared contract: per-batch
         # partition, dynamic-overwrite ⇒ a replayed batch replaces its
-        # own partition only, never doubles (idempotent)
-        append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
-        # this batch's signatures append AFTER probing
-        if index_layout == "bucketed":
-            # only an engine-level replay of an id this run already
-            # ATTEMPTED needs the idempotency DROP — and only when the
-            # prior attempt got far enough to create the table (the
-            # catalog round-trip is paid on retry paths only)
-            replayed = batch_id in attempted
-            attempted.add(batch_id)
-            append_index_batch_bucketed(
-                spark,
-                bb.select("_id", "sig", "band", "bucket"),
-                index_table,
-                batch_id,
-                bucket_cols=["band", "bucket"],
-                n_buckets=index_buckets,
-                drop_existing=replayed
-                and spark.catalog.tableExists(index_table),
+        # own partition only, never doubles (idempotent). The ledger
+        # records the id BEFORE either write runs (see the ledger
+        # comment above) — with the writes now concurrent, a failure
+        # of either must leave the id marked attempted so the engine
+        # retry drops the half-written bucketed partition.
+        replayed = batch_id in attempted
+        attempted.add(batch_id)
+        # pairs write (triggers the candidate join + agree filter) on
+        # a pool thread; signature append on this thread. They touch
+        # different directories, and the pairs job's probe reads only
+        # batch < current partitions (committed before this batch
+        # started), so the concurrent batch=current append is never in
+        # its file set — hidden staging dirs are filtered by the
+        # listing. bb is persisted: whichever job touches a partition
+        # first computes it, the other blocks on the cache lock and
+        # reads it.
+        f_pairs = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: append_index_batch(
+                    spark, flagged, out_dir, batch_id, fmt="parquet"
+                )
             )
-        else:
-            append_index_batch(
-                spark,
-                bb.select("_id", "sig", "band", "bucket"),
-                index_dir,
-                batch_id,
-                fmt="parquet",
-            )
+        )
+        try:
+            if index_layout == "bucketed":
+                # only an engine-level replay of an id this run already
+                # ATTEMPTED needs the idempotency DROP — and only when
+                # the prior attempt got far enough to create the table
+                # (the catalog round-trip is paid on retry paths only)
+                append_index_batch_bucketed(
+                    spark,
+                    bb.select("_id", "sig", "band", "bucket"),
+                    index_table,
+                    batch_id,
+                    bucket_cols=["band", "bucket"],
+                    n_buckets=index_buckets,
+                    drop_existing=replayed
+                    and spark.catalog.tableExists(index_table),
+                )
+            else:
+                append_index_batch(
+                    spark,
+                    bb.select("_id", "sig", "band", "bucket"),
+                    index_dir,
+                    batch_id,
+                    fmt="parquet",
+                )
+        finally:
+            f_pairs.result()
         bb.unpersist()
 
     q = stream.writeStream.foreachBatch(process).start()
@@ -483,6 +602,7 @@ def incremental_minhash_dedup(
             )
     finally:
         q.stop()
+        pool.shutdown(wait=True)
     # zero-pairs corpus: partitioned writes of all-empty batches emit
     # NO files (unlike the old per-batch explicit-dir layout, which
     # left empty schema'd part files), so the read would fail on
@@ -582,23 +702,53 @@ def incremental_passjoin_dedup(
         .parquet(in_dir)
     )
 
+    # per-run probe-read schemas + attempted-id ledger + write-overlap
+    # pool (r14, same rationale as the minhash leg)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import types as T
+
+    _idt = schema["doc_id"].dataType
+    seg_schema = T.StructType(
+        [
+            T.StructField("_rid", _idt),
+            T.StructField("_rlen", T.IntegerType()),
+            T.StructField("_i", T.IntegerType()),
+            T.StructField("_seg", T.StringType()),
+            T.StructField("batch", T.IntegerType()),
+        ]
+    )
+    keys_schema = T.StructType(
+        [
+            T.StructField("_id", _idt),
+            T.StructField("_k", T.StringType()),
+            T.StructField("batch", T.IntegerType()),
+        ]
+    )
+    attempted: set[int] = set()
+    pool = ThreadPoolExecutor(max_workers=2)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         keyed = batch.select(F.col("doc_id").alias("_id"), "_k").persist()
         keyed.count()  # bounded work: one micro-batch
         intra = _hot_pairs_segment(keyed, [], k)
-        has_earlier = os.path.isdir(seg_dir) and any(
-            e.startswith("batch=") and int(e.split("=", 1)[1]) < batch_id
-            for e in os.listdir(seg_dir)
-        )
+        has_earlier = any(
+            i < batch_id for i in attempted
+        ) and os.path.isdir(seg_dir)
         pairs = intra
         if has_earlier:
             seg_old = (
-                read_index(spark, seg_dir, fmt="parquet")
+                read_index(
+                    spark, seg_dir, fmt="parquet", schema=seg_schema
+                )
                 .filter(F.col("batch") < batch_id)
                 .drop("batch")
             )
             keys_old = (
-                read_index(spark, keys_dir, fmt="parquet")
+                read_index(
+                    spark, keys_dir, fmt="parquet", schema=keys_schema
+                )
                 .filter(F.col("batch") < batch_id)
                 .drop("batch")
             )
@@ -656,22 +806,41 @@ def incremental_passjoin_dedup(
             )
             pairs = intra.unionByName(cross_long).unionByName(cross_short)
         flagged = pairs.groupBy("a", "b").agg(F.min("dist").alias("dist"))
-        append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
-        # this batch's segments + keys append AFTER probing
-        append_index_batch(
-            spark,
-            _segment_index_rows(keyed, [], k),
-            seg_dir,
-            batch_id,
-            fmt="parquet",
+        # the three contract writes are independent given the
+        # MATERIALIZED keyed (counted above) and touch different
+        # directories; the pairs job probes only batch < current
+        # partitions of seg/keys — overlap them from driver threads
+        # (guide §2.6 — r14, see the minhash leg)
+        attempted.add(batch_id)
+        f_pairs = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: append_index_batch(
+                    spark, flagged, out_dir, batch_id, fmt="parquet"
+                )
+            )
         )
-        append_index_batch(
-            spark,
-            keyed.select("_id", "_k"),
-            keys_dir,
-            batch_id,
-            fmt="parquet",
+        f_keys = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: append_index_batch(
+                    spark,
+                    keyed.select("_id", "_k"),
+                    keys_dir,
+                    batch_id,
+                    fmt="parquet",
+                )
+            )
         )
+        try:
+            append_index_batch(
+                spark,
+                _segment_index_rows(keyed, [], k),
+                seg_dir,
+                batch_id,
+                fmt="parquet",
+            )
+        finally:
+            f_keys.result()
+            f_pairs.result()
         keyed.unpersist()
 
     q = stream.writeStream.foreachBatch(process).start()
@@ -695,6 +864,7 @@ def incremental_passjoin_dedup(
             )
     finally:
         q.stop()
+        pool.shutdown(wait=True)
     if not os.path.isdir(out_dir) or not any(
         e.startswith("batch=") for e in os.listdir(out_dir)
     ):
@@ -852,20 +1022,25 @@ def incremental_embedding_dedup(
     # per-batch fixed cost (probe in OPTIMIZATION_r13.md). Only the
     # tiny one-row planes frame is (necessarily) created per batch —
     # it must belong to the micro-batch's session.
-    _fold_tables = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("bigint")
-        for j in range(bits_per_table):
-            bit = t * bits_per_table + j
-            plane = F.element_at("_planes", bit + 1)
-            bucket = bucket + F.when(
-                dot(F.col("_v"), plane) > 0,
-                F.lit(2**j).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        _fold_tables.append(
-            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
-        )
-    _fold_tb = F.explode(F.array(*_fold_tables)).alias("_tb")
+    # Built only on the fold lane (ADVICE r13): the arrow lane never
+    # calls bucketed_fold, and constructing the 32-dot tree here made
+    # it pay the very 1.6–2.7 s of py4j/driver construction cost the
+    # hoist was meant to eliminate, once per operator call.
+    if sig_engine == "fold":
+        _fold_tables = []
+        for t in range(n_tables):
+            bucket = F.lit(0).cast("bigint")
+            for j in range(bits_per_table):
+                bit = t * bits_per_table + j
+                plane = F.element_at("_planes", bit + 1)
+                bucket = bucket + F.when(
+                    dot(F.col("_v"), plane) > 0,
+                    F.lit(2**j).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            _fold_tables.append(
+                F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+            )
+        _fold_tb = F.explode(F.array(*_fold_tables)).alias("_tb")
 
     def bucketed_fold(df: DataFrame) -> DataFrame:
         pl = df.sparkSession.createDataFrame(
@@ -933,6 +1108,37 @@ def incremental_embedding_dedup(
     # [threshold - 5e-7, threshold)); round only for the output column.
     cos_raw = cosine_similarity(F.col("_va"), F.col("_vb"))
 
+    # per-run probe-read schemas + attempted-id ledger + write-overlap
+    # pool (r14, same rationale as the minhash leg: skip per-batch
+    # footer schema inference over the growing index, answer
+    # "earlier partitions?" from within-run state, and overlap the
+    # independent contract writes from two driver threads)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+    from pyspark.sql import types as T
+
+    _idt = schema["_id"].dataType
+    _vt = schema["_v"].dataType
+    _posting = [
+        T.StructField("_id", _idt),
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+    if carry_vectors:
+        _posting.insert(1, T.StructField("_v", _vt))
+    idx_schema = T.StructType(_posting)
+    vecs_schema = T.StructType(
+        [
+            T.StructField("_id", _idt),
+            T.StructField("_v", _vt),
+            T.StructField("batch", T.IntegerType()),
+        ]
+    )
+    attempted: set[int] = set()
+    pool = ThreadPoolExecutor(max_workers=2)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         bb = bucketed(batch).persist()
         bb.count()  # bounded work: one micro-batch
@@ -962,13 +1168,14 @@ def incremental_embedding_dedup(
             .filter(F.col("a") < F.col("b"))
             .select("a", "b", "_va", "_vb")
         )
-        has_earlier = os.path.isdir(idx_dir) and any(
-            e.startswith("batch=") and int(e.split("=", 1)[1]) < batch_id
-            for e in os.listdir(idx_dir)
-        )
+        has_earlier = any(
+            i < batch_id for i in attempted
+        ) and os.path.isdir(idx_dir)
         if has_earlier:
             idx = (
-                read_index(spark, idx_dir, fmt="parquet")
+                read_index(
+                    spark, idx_dir, fmt="parquet", schema=idx_schema
+                )
                 .filter(F.col("batch") < batch_id)
                 .drop("batch")
             )
@@ -989,7 +1196,10 @@ def incremental_embedding_dedup(
                 ).filter(F.col("nid") != F.col("_oid"))
             else:
                 vecs_old = (
-                    read_index(spark, vecs_dir, fmt="parquet")
+                    read_index(
+                        spark, vecs_dir, fmt="parquet",
+                        schema=vecs_schema,
+                    )
                     .filter(F.col("batch") < batch_id)
                     .drop("batch")
                 )
@@ -1018,30 +1228,52 @@ def incremental_embedding_dedup(
             .select("a", "b", F.round("_cos_raw", 6).alias("cos"))
             .distinct()  # one row per pair, however many tables matched
         )
-        append_index_batch(spark, flagged, out_dir, batch_id, fmt="parquet")
-        if carry_vectors:
-            append_index_batch(
-                spark,
-                bb.select("_id", "_v", "tbl", "bucket"),
-                idx_dir,
-                batch_id,
-                fmt="parquet",
+        # contract writes overlap (guide §2.6 — r14, see the minhash
+        # leg): the pairs write (probe join + cosine confirm) and the
+        # posting/vector appends are independent given the
+        # MATERIALIZED bb (counted above) and touch different
+        # directories; the probe reads only batch < current partitions
+        attempted.add(batch_id)
+        f_pairs = pool.submit(
+            inheritable_thread_target(spark)(
+                lambda: append_index_batch(
+                    spark, flagged, out_dir, batch_id, fmt="parquet"
+                )
             )
-        else:
-            append_index_batch(
-                spark,
-                bb.select("_id", "tbl", "bucket"),
-                idx_dir,
-                batch_id,
-                fmt="parquet",
-            )
-            append_index_batch(
-                spark,
-                bb.select("_id", "_v").distinct(),
-                vecs_dir,
-                batch_id,
-                fmt="parquet",
-            )
+        )
+        try:
+            if carry_vectors:
+                append_index_batch(
+                    spark,
+                    bb.select("_id", "_v", "tbl", "bucket"),
+                    idx_dir,
+                    batch_id,
+                    fmt="parquet",
+                )
+            else:
+                f_vecs = pool.submit(
+                    inheritable_thread_target(spark)(
+                        lambda: append_index_batch(
+                            spark,
+                            bb.select("_id", "_v").distinct(),
+                            vecs_dir,
+                            batch_id,
+                            fmt="parquet",
+                        )
+                    )
+                )
+                try:
+                    append_index_batch(
+                        spark,
+                        bb.select("_id", "tbl", "bucket"),
+                        idx_dir,
+                        batch_id,
+                        fmt="parquet",
+                    )
+                finally:
+                    f_vecs.result()
+        finally:
+            f_pairs.result()
         bb.unpersist()
 
     q = stream.writeStream.foreachBatch(process).start()
@@ -1065,6 +1297,7 @@ def incremental_embedding_dedup(
             )
     finally:
         q.stop()
+        pool.shutdown(wait=True)
     if not os.path.isdir(out_dir) or not any(
         e.startswith("batch=") for e in os.listdir(out_dir)
     ):
