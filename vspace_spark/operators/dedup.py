@@ -1043,13 +1043,26 @@ def embedding_near_pairs(
             collapse_exact=False,
         )
         return _expand_pairs(raw, members, {})
+    # Per-vector L2 norm hoisted out of the pair loop (r14, guide
+    # §1.2 — same move as semantic_dedup's fold path):
+    # cosine_similarity folded THREE aggregates per joined pair (dot +
+    # both norms); computing the norm once per SIDE ROW and dividing
+    # by nullif(na*nb, 0) is the identical expression tree in the
+    # identical order, so every threshold decision is bit-identical
+    # (oracle-pinned via dedup_embedding_cosine).
+    from vspace_spark.functions.vectors import dot, l2_norm
+
     left = embeddings.select(
-        *block, F.col(id_col).alias("a"), F.col(vec_col).alias("_va")
+        *block,
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
     )
     right = embeddings.select(
         *[F.col(c).alias(f"_r_{c}") for c in block],
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
     )
     cond = F.col("a") < F.col("b")
     for c in block:
@@ -1059,7 +1072,10 @@ def embedding_near_pairs(
         .select(
             "a",
             "b",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b")
@@ -1282,8 +1298,20 @@ def semantic_dedup(
         persist_shared,
     )
 
+    from vspace_spark.functions.vectors import dot, l2_norm
+
     # carries the full vector column → the persisted relation is
-    # embedding-corpus-sized; est = the source's decompressed bytes
+    # embedding-corpus-sized; est = the source's decompressed bytes.
+    # The vector's L2 NORM is computed HERE, once per vector (r14,
+    # guide §1.2): the in-cell pair filter below used
+    # cosine_similarity(_va, _vb), which folds THREE aggregates per
+    # pair (dot + both norms) — Σ|cell|² pairs × 2 redundant
+    # 64-element norm folds was the dominant term of
+    # agree_dedup_semantic_fast's 17 s fold-lane materialization
+    # (scripts/semantic_gate_decompose.py). dot/(nullif(na*nb, 0)) on
+    # the hoisted norms is the SAME expression tree cosine_similarity
+    # builds — identical operations in identical order, so every
+    # boundary decision is bit-identical (oracle-pinned).
     assigned = persist_shared(
         embeddings.select(
             F.col(id_col).alias("_id"),
@@ -1291,6 +1319,7 @@ def semantic_dedup(
             F.array_sort(_cell_dist_structs(F.col(vec_col), centers))[0][
                 "cell"
             ].alias("cell"),
+            l2_norm(F.col(vec_col)).alias("_n"),
         ),
         est_relation_bytes(embeddings),
     )
@@ -1303,10 +1332,16 @@ def semantic_dedup(
     # rationale as the shingle index above)
     assigned.count()  # bounded-collect: one scalar, forces the cache
     left = assigned.select(
-        F.col("_id").alias("a"), F.col("_v").alias("_va"), "cell"
+        F.col("_id").alias("a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        "cell",
     )
     right = assigned.select(
-        F.col("_id").alias("b"), F.col("_v").alias("_vb"), "cell"
+        F.col("_id").alias("b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "cell",
     )
     dup_of = (
         left.join(right, "cell")
@@ -1314,7 +1349,10 @@ def semantic_dedup(
         .select(
             "a",
             "b",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_cos"),
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0))
+            ).alias("_cos"),
         )
         .filter(F.col("_cos") >= threshold)
         .groupBy("b")

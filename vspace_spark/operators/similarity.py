@@ -36,18 +36,33 @@ def brute_force_topk(
 
     Returns ``[query_id, neighbor_id, rank]``.
     """
+    # Per-vector norms hoisted out of the Q×N pair loop (r14, guide
+    # §1.2): cosine_similarity folds THREE aggregates per pair (dot +
+    # both norms); computing each side's norm once per ROW and
+    # dividing by nullif(nq*nc, 0) builds the identical expression
+    # tree in the identical order — every score and rank is
+    # bit-identical (oracle-pinned via ann_bruteforce_top5).
+    from vspace_spark.functions.vectors import l2_norm
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_cos"),
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / F.nullif(F.col("_qn") * F.col("_cn"), F.lit(0.0))
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -543,13 +558,25 @@ def ivf_topk(
             ).alias("probe"),
         ).select("query_id", "_qv", F.col("probe.cell").alias("cell"))
 
+    # norms hoisted out of the (query × probed-cell-member) pair loop
+    # (r14, same bit-identical move as brute_force_topk) — applied
+    # AFTER the engine-specific assignment so both the fold and arrow
+    # assignment schemas stay untouched; evaluated once per corpus row
+    # / once per probe row, not per candidate
+    from vspace_spark.functions.vectors import l2_norm
+
+    assigned = assigned.withColumn("_cn", l2_norm(F.col("_cv")))
+    q = q.withColumn("_qn", l2_norm(F.col("_qv")))
     scored = (
         assigned.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_cos"),
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / F.nullif(F.col("_qn") * F.col("_cn"), F.lit(0.0))
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -621,16 +648,27 @@ def lsh_topk(
         F.col(vec_col).alias("_qv"),
         F.explode(signatures(F.col(vec_col))).alias("sig"),
     ).select("query_id", "_qv", "sig.table", "sig.bucket")
+    # norms hoisted out of the candidate loop (r14, same bit-identical
+    # move as brute_force_topk): once per side row, not per candidate
+    from vspace_spark.functions.vectors import l2_norm
+
     candidates = (
-        c.join(F.broadcast(q), ["table", "bucket"])
+        c.withColumn("_cn", l2_norm(F.col("_cv")))
+        .join(
+            F.broadcast(q.withColumn("_qn", l2_norm(F.col("_qv")))),
+            ["table", "bucket"],
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        (
+            dot(F.col("_qv"), F.col("_cv"))
+            / F.nullif(F.col("_qn") * F.col("_cn"), F.lit(0.0))
+        ).alias("_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")

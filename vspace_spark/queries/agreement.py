@@ -251,14 +251,34 @@ def agree_dedup_semantic_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Identical rows, only the evaluation count changes.
     from vspace_spark.operators.scale import KNOWN_SMALL, persist_shared
 
-    fold_out = persist_shared(
-        semantic_dedup(emb, centers, threshold=threshold, engine="fold"),
-        KNOWN_SMALL,
-    )
-    arrow_out = persist_shared(
-        semantic_dedup(emb, centers, threshold=threshold, engine="arrow"),
-        KNOWN_SMALL,
-    )
+    # The two lanes are independent (separate persists; the shared
+    # clone-density probe is memoized) and each runs eager jobs at
+    # build time plus a full materialization — run build +
+    # materialize from two driver threads so the cheap arrow lane
+    # back-fills the fold lane's scheduling gaps (guide §2.6 — r14,
+    # same shape as agree_incr_embedding_arrow's replay overlap).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _lane(engine: str) -> DataFrame:
+        out = persist_shared(
+            semantic_dedup(
+                emb, centers, threshold=threshold, engine=engine
+            ),
+            KNOWN_SMALL,
+        )
+        out.count()  # materialize in this thread so the lanes overlap
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fold = pool.submit(
+            inheritable_thread_target(spark)(lambda: _lane("fold"))
+        )
+        f_arrow = pool.submit(
+            inheritable_thread_target(spark)(lambda: _lane("arrow"))
+        )
+        fold_out, arrow_out = f_fold.result(), f_arrow.result()
     diff = persist_shared(_bag_diff(fold_out, arrow_out), KNOWN_SMALL)
 
     # Algebraic short-circuit (guide §1.2 — don't compute what gets
@@ -451,10 +471,10 @@ def agree_incr_embedding_arrow(
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_fold = pool.submit(
-            inheritable_thread_target(lambda: _lane("f", "fold"))
+            inheritable_thread_target(spark)(lambda: _lane("f", "fold"))
         )
         f_arrow = pool.submit(
-            inheritable_thread_target(lambda: _lane("a", "arrow"))
+            inheritable_thread_target(spark)(lambda: _lane("a", "arrow"))
         )
         fold, arrow = f_fold.result(), f_arrow.result()
     # persisted like the semantic gate's diff (ADVICE r13): without it

@@ -229,13 +229,24 @@ def stream_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic-row dropDuplicates — partitioning-invariant.
     stream = stream.repartition(spark.sparkContext.defaultParallelism)
     arriving = with_sigs(stream, "a", "_va")
+    # norms hoisted out of the candidate loop (r14, guide §1.2 — the
+    # same bit-identical rewrite as operators/dedup.py's pair paths):
+    # once per posting row on each side instead of three aggregate
+    # folds per matched candidate
+    from vspace_spark.functions.vectors import dot, l2_norm
+
     matched = (
-        arriving.join(static, ["tbl", "bucket"])
+        arriving.withColumn("_na", l2_norm(F.col("_va")))
+        .join(static.withColumn("_nb", l2_norm(F.col("_vb"))),
+              ["tbl", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select(
             "a",
             "b",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("_c"),
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0))
+            ).alias("_c"),
         )
         .filter(F.col("_c") >= 0.4)  # RAW threshold, mirroring the
         # oracle's WHERE cos >= 0.4 — filtering the rounded value
