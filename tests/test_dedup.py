@@ -314,6 +314,7 @@ def _corpus_with_planted_dups(draw):
 
 @settings(max_examples=5, deadline=None)
 @given(_corpus_with_planted_dups())
+@pytest.mark.slow  # >20 s (measured r14): driver verify-window budget
 def test_minhash_twins_equal_recall_on_planted_dups(spark, case):
     """Identical documents have identical signatures under ANY hash
     family, so every planted verbatim-dup pair must surface in BOTH the
@@ -339,6 +340,7 @@ def test_minhash_twins_equal_recall_on_planted_dups(spark, case):
 
 @settings(max_examples=5, deadline=None)
 @given(_corpus_with_planted_dups())
+@pytest.mark.slow  # >20 s (measured r14): driver verify-window budget
 def test_simhash_twins_equal_recall_on_planted_dups(spark, case):
     from vspace_spark.operators.dedup import (
         simhash_near_pairs,
@@ -1524,6 +1526,7 @@ def test_fuzzy_pairs_auto_routes_by_occupancy(spark, monkeypatch):
         assert auto == pj == qg, (len(auto), len(pj), len(qg))
         assert len(auto) > 0
 
+@pytest.mark.slow  # >20 s (measured r14): driver verify-window budget
 def test_two_level_router_nprobe_all_equals_flat(spark):
     """coarse_nprobe identity (round 13): probing EVERY coarse
     cluster makes the two-level router argmin over the union of all

@@ -5,6 +5,8 @@ small-SF answer stays correct."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vspace_spark.plans.explain import (
@@ -144,6 +146,7 @@ def test_training_order_has_no_single_partition_window(spark, sf_dir):
     assert not offenders, offenders
 
 
+@pytest.mark.slow  # >20 s (measured r14): driver verify-window budget
 def test_repo_wide_plan_invariants(spark, sf_dir):
     """Engine-wide physical-plan audit over EVERY registered batch
     query: (1) no CartesianProduct anywhere — every non-equi join must

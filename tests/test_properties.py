@@ -3,6 +3,8 @@ statistics pipeline over hypothesis-generated corpora."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -236,6 +238,7 @@ _FUZZY_CORPUS = st.lists(_FUZZY_KEY, min_size=2, max_size=12)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(corpus=_FUZZY_CORPUS)
+@pytest.mark.slow  # >20 s (measured r14): driver verify-window budget
 def test_qgram_pairs_match_exhaustive_in_guarantee_domain(spark, corpus):
     """qgram_edit_pairs' count-filter bound is SOUND: over random
     small-alphabet keys, the inverted-index path must emit exactly the
@@ -297,6 +300,7 @@ def test_qgram_pairs_match_exhaustive_in_guarantee_domain(spark, corpus):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(corpus=_FUZZY_CORPUS)
+@pytest.mark.slow  # >20 s (measured r14): driver verify-window budget
 def test_passjoin_pairs_match_exhaustive_everywhere(spark, corpus):
     """passjoin_edit_pairs is EXACT at every key length (no guarantee
     domain to restrict to): over random small-alphabet keys — the

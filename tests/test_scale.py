@@ -3,6 +3,8 @@ drop the exchange from the plan."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vspace_spark.io.tables import load_table
@@ -260,6 +262,7 @@ def test_input_bytes_survives_exotic_nested_leaf(spark, tmp_path, monkeypatch):
     assert degraded is not None and 0 < degraded <= base
 
 
+@pytest.mark.slow  # >20 s (measured r14): driver verify-window budget
 def test_no_unresolved_est_in_scale_paths(spark):
     """VERDICT r12 #5: every persist_shared site reached by the bench's
     heavy queries (the 100x block + the corpus-sized curation writes)

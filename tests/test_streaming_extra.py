@@ -522,6 +522,7 @@ class TestIncrementalPassjoin:
 
 
 class TestIncrementalEmbedding:
+    @pytest.mark.slow  # >20 s (measured r14): driver verify-window budget
     def test_matches_batch_lsh_pairs(self, spark, sf_dir, tmp_path):
         """The embedding leg of the accreting-index trilogy: the union
         over micro-batches must equal the BATCH hyperplane-LSH pair
