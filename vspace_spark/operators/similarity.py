@@ -638,26 +638,27 @@ def lsh_topk(
             ]
         )
 
+    # norms hoisted out of the candidate loop (r14, same bit-identical
+    # move as brute_force_topk) — computed BEFORE the table explode,
+    # once per VECTOR, not per posting row (the first cut computed
+    # them per posting — `tables`× more folds than necessary, which on
+    # this OR-amplified layout is more folds than the candidates save)
+    from vspace_spark.functions.vectors import l2_norm
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         F.explode(signatures(F.col(vec_col))).alias("sig"),
-    ).select("neighbor_id", "_cv", "sig.table", "sig.bucket")
+    ).select("neighbor_id", "_cv", "_cn", "sig.table", "sig.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(signatures(F.col(vec_col))).alias("sig"),
-    ).select("query_id", "_qv", "sig.table", "sig.bucket")
-    # norms hoisted out of the candidate loop (r14, same bit-identical
-    # move as brute_force_topk): once per side row, not per candidate
-    from vspace_spark.functions.vectors import l2_norm
-
+    ).select("query_id", "_qv", "_qn", "sig.table", "sig.bucket")
     candidates = (
-        c.withColumn("_cn", l2_norm(F.col("_cv")))
-        .join(
-            F.broadcast(q.withColumn("_qn", l2_norm(F.col("_qv")))),
-            ["table", "bucket"],
-        )
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
